@@ -1,0 +1,87 @@
+"""Session + IO helpers.
+
+The reference boots a Kafka Streams runtime via Spring
+(hackernews/config/KafkaStreamsConfig.java:19-26); our equivalent is a
+SparkSession tuned for the local[32] test harness but with settings that
+scale to a real cluster (AQE, skew-join handling, shuffle partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def get_spark(app_name: str = "kafka-denormalization-spark") -> SparkSession:
+    """Build a SparkSession for local runs (tests / bench).
+
+    On a real cluster these configs still apply: AQE re-plans shuffles at
+    runtime (coalesce + skew-join splitting), shuffle partitions sized to
+    cores locally (a cluster deployment would size to executors*cores*2-3).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (TESTDATA.md): columnar parquet scan with
+    pushdown/pruning handled by Catalyst."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the ``events`` stream table.
+
+    Its ``ts`` is parquet TIMESTAMP(NANOS), which Spark only reads via the
+    ``nanosAsLong`` legacy conf (set here at session level — effective at
+    scan time, so it also works inside a driver-owned session). Exposes:
+
+    - ``ts_us``  — BIGINT epoch microseconds (truncated; equals DuckDB's
+      ``epoch_us(ts)``, since DuckDB truncates ns→µs on read) — use for
+      oracle-checked outputs/ordering;
+    - ``ts``     — proper TimestampType (µs), for library use.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = table(spark, sf_dir, "events")
+    # integer division — ts is ~1.7e18 ns, beyond double's 53-bit mantissa,
+    # so float division here would corrupt low-order digits
+    ts_us = F.expr("ts DIV 1000")
+    return (
+        df.withColumn("ts_us", ts_us)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )

@@ -1,0 +1,58 @@
+"""Deduplication operators.
+
+Reference parity:
+- per-batch duplicate suppression: HashSet of JoinKeys reset per stream-time
+  tick (transform/JoinTransformer.java:142-145, :210-222) ->
+  ``suppress_duplicates`` (dropDuplicates on the pair key).
+- client-side ingest dedup: in-memory seen-sets (services/comments.py:18,
+  :52-53; services/stories.py:17, :32-33) -> ``exact_dedup_by_key``.
+
+North-star extensions (LLM-data-pipeline): content-hash exact dedup over the
+``documents`` table; near-dup operators live in functions/similarity.py.
+
+Scale notes (100 TB):
+- ``exact_dedup_content`` groups on a 256-bit content hash, not the content
+  itself: shuffle keys are 32 bytes regardless of document size, and the
+  min() representative-pick is a partial aggregation (map-side combine).
+- ``dropDuplicates`` on high-cardinality keys is itself a hash aggregation —
+  same shuffle bound (distinct keys, not rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def suppress_duplicates(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Emit each key combination at most once (O16). The reference does this
+    per stream-time batch; in batch mode the scope is the whole frame, in
+    streaming use ``dropDuplicatesWithinWatermark``."""
+    return df.dropDuplicates(list(keys))
+
+
+def exact_dedup_by_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Ingest-style dedup on record keys (P4)."""
+    return df.dropDuplicates(list(keys))
+
+
+def exact_dedup_content(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact content dedup: keep the row with the smallest ``id_col`` among
+    rows whose ``content_col`` hashes identically (sha2-256).
+
+    Deterministic representative choice makes this oracle-testable; grouping
+    by hash keeps shuffle rows small at scale.
+    """
+    h = F.sha2(F.col(content_col).cast("string"), 256)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(h.alias("_h"))
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )

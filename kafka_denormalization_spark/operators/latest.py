@@ -1,0 +1,64 @@
+"""Latest-per-key (changelog/KTable compaction) operator.
+
+Reference parity: ``builder.table(indexTopic, Consumed, Materialized.as(store))``
+materializes a compacted topic as latest-value-per-key state
+(dsl/StreamDenormalize.java:67-70); upserts win by arrival order on a
+compacted topic (docker-compose.yaml:44 ``cleanup.policy=compact,delete``).
+
+Spark-first design: the batch/incremental equivalent is an aggregation that
+keeps the row with the maximum version vector per key.
+
+Scale notes (100 TB):
+- The default ``max_by`` strategy is a hash aggregation with map-side partial
+  combine — each task reduces its partitions to <=1 row per key *before* the
+  shuffle, so shuffle volume is bounded by distinct keys, not input rows.
+  This beats the window-function formulation (full shuffle of every row, then
+  per-key sort) by the duplication factor.
+- The ``window`` strategy (row_number()=1) is kept because it preserves the
+  input plan's column-level lineage (useful under heavy pruning) and is the
+  exact oracle-SQL shape; use it when duplication per key is tiny.
+- Ordering must be a *total* order per key (include a unique tiebreaker such
+  as the record key/offset) or results are nondeterministic under re-runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    strategy: str = "max_by",
+) -> DataFrame:
+    """Keep the newest row per ``keys``, "newest" = max of ``order_by``
+    (compared as a struct, lexicographically — append a unique column for
+    determinism).
+
+    Equivalent semantics to the reference's store upsert
+    (StreamDenormalize.java:66-69): latest value wins per key.
+    """
+    if not keys:
+        raise ValueError("latest_per_key requires at least one key column")
+    if not order_by:
+        raise ValueError("latest_per_key requires at least one order_by column")
+
+    if strategy == "max_by":
+        row = F.struct(*[F.col(c) for c in df.columns])
+        version = F.struct(*[F.col(c) for c in order_by])
+        agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.max_by(row, version).alias("_row")
+        )
+        return agg.select("_row.*")
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    raise ValueError(f"unknown strategy: {strategy!r} (use 'max_by' or 'window')")

@@ -1,0 +1,313 @@
+"""Named queries + DuckDB oracle SQL — the driver-facing surface.
+
+Every operator from SURVEY.md §2 is exercised by at least one named query
+here; ``__spark_entry__.py`` re-exports ``QUERIES`` / ``ORACLE_SQL``.
+
+Conventions (driver contract, __spark_entry__.py docstring):
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates go through DECIMAL so Spark and DuckDB sums are bit-equal
+  (double summation order differs between engines; decimal addition is exact);
+- every top-k ORDER BY carries a unique tiebreaker so the result *set* is
+  deterministic.
+
+The HackerNews analogy (FIXTURES.md): lineitem = comments (N side, contains
+duplicate-key upserts), orders = stories (1 side), customer = a second hop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.dsl import Denormalize
+from kafka_denormalization_spark.engine import events_table, table
+from kafka_denormalization_spark.functions.json_io import parse_json
+from kafka_denormalization_spark.operators.dedup import exact_dedup_content
+from kafka_denormalization_spark.operators.join import fk_denormalize
+from kafka_denormalization_spark.operators.latest import latest_per_key
+from kafka_denormalization_spark.operators.rekey import join_key_digest, select_key
+
+# ---------------------------------------------------------------------------
+# latest-per-key version vectors (total order per key: ship date first, then
+# every remaining column so ties can only occur between identical rows)
+# ---------------------------------------------------------------------------
+
+LI_KEY = ["l_orderkey", "l_linenumber"]
+LI_VERSION = [
+    "l_shipdate",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_partkey",
+    "l_suppkey",
+]
+
+_LI_LATEST_SQL = """
+  SELECT * FROM lineitem
+  QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey, l_linenumber
+    ORDER BY l_shipdate DESC, l_quantity DESC, l_extendedprice DESC,
+             l_discount DESC, l_tax DESC, l_returnflag DESC,
+             l_linestatus DESC, l_partkey DESC, l_suppkey DESC
+  ) = 1
+"""
+
+_DENORM_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_shipdate",
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+]
+
+
+def _latest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_per_key(table(spark, sf_dir, "lineitem"), LI_KEY, LI_VERSION)
+
+
+def _denorm(spark: SparkSession, sf_dir: str, how: str, right_filter: bool) -> DataFrame:
+    """latest(lineitem) FK-join orders — flat projection of the reference's
+    comment⋈story output (JoinTransformer.java:72-130 flavors)."""
+    left = _latest_lineitem(spark, sf_dir)
+    right = table(spark, sf_dir, "orders")
+    if right_filter:
+        # shrink the 1-side so left/full outer joins exercise null sides
+        right = right.filter(F.col("o_orderkey") % 2 == 0)
+    joined, _, _ = fk_denormalize(left, right, "l_orderkey", "o_orderkey", how=how)
+    return joined.select(*_DENORM_COLS)
+
+
+def _denorm_sql(how_sql: str, right_filter: bool) -> str:
+    rf = "WHERE o_orderkey % 2 = 0" if right_filter else ""
+    return f"""
+    WITH li AS ({_LI_LATEST_SQL}),
+         ord AS (SELECT * FROM orders {rf})
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM li {how_sql} ord ON li.l_orderkey = ord.o_orderkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# individual queries
+# ---------------------------------------------------------------------------
+
+
+def q_denorm_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _denorm(spark, sf_dir, "inner", right_filter=False)
+
+
+def q_denorm_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _denorm(spark, sf_dir, "left_outer", right_filter=True)
+
+
+def q_denorm_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _denorm(spark, sf_dir, "right_outer", right_filter=False)
+
+
+def q_denorm_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _denorm(spark, sf_dir, "full_outer", right_filter=True)
+
+
+def q_two_hop_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> orders -> customer: the two-hop denormalization of
+    FIXTURES.md §"Mapping". Both hops are N:1; the customer hop is
+    broadcast (small dim)."""
+    li = _latest_lineitem(spark, sf_dir)
+    first, _, _ = fk_denormalize(li, table(spark, sf_dir, "orders"), "l_orderkey", "o_orderkey", "inner")
+    hop1 = first.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_totalprice"
+    )
+    second, _, _ = fk_denormalize(
+        hop1, table(spark, sf_dir, "customer"), "o_custkey", "c_custkey", "inner",
+        broadcast_right=True,
+    )
+    return second.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        "o_custkey", "o_totalprice", "c_name", "c_mktsegment",
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable semantics standalone (O2): latest event per user. Ordering
+    uses µs-truncated ``ts_us`` so Spark and the DuckDB oracle (which reads
+    the ns timestamps truncated to µs) rank identically."""
+    ev = events_table(spark, sf_dir)
+    return latest_per_key(ev, ["user_id"], ["ts_us", "event_id"]).select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+
+
+def q_rekey_select_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """selectKey (O4): key events by stringified id, like the producers'
+    key=str(id) (services/comments.py:59)."""
+    ev = events_table(spark, sf_dir)
+    return select_key(ev, F.col("event_id").cast("string")).select(
+        "key", "event_id", "event_type", "value"
+    )
+
+
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serde (O18): parse the events.props payload column."""
+    ev = parse_json(events_table(spark, sf_dir), "props", "k INT", out="parsed")
+    return ev.select("event_id", F.col("parsed.k").alias("k"))
+
+
+def q_join_key_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinKey digest shape (O5/O7/O8) — xxhash64 stand-in for Blake2b; no
+    SQL oracle (engine-specific hash), driver does the rows-only check."""
+    li = table(spark, sf_dir, "lineitem")
+    left_keys = li.select(
+        join_key_digest(F.col("l_orderkey"), F.col("l_linenumber")).alias("join_key"),
+    )
+    return left_keys.select("join_key.right_digest", "join_key.left_digest")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over documents (north-star), min-id representative."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup_content(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate suppression on a projected key pair (O16)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+    )
+
+
+def q_agg_fanout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comments-per-story fan-out analog: lineitems per order, top-20."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("n_items").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (north-star agg coverage). Sums go
+    through DECIMAL for bit-exact cross-engine comparison."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            (
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_denorm_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full DSL pipeline with nested struct output — the exact
+    shape of the reference's JoinedCommentStoryEvent (README.md:27-33).
+    No SQL oracle (nested structs); rows-only check + pytest golden tests."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        Denormalize.builder()
+        .left(li, key=LI_KEY, version=LI_VERSION)
+        .right(orders, key=["o_orderkey"])
+        .join_on("l_orderkey")
+        .joiner("item", "order")
+        .key_by(lambda df: F.concat_ws("-", F.col("item.l_orderkey"), F.col("item.l_linenumber")))
+        .inner()
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "denorm_inner": q_denorm_inner,
+    "denorm_left_outer": q_denorm_left_outer,
+    "denorm_right_outer": q_denorm_right_outer,
+    "denorm_full_outer": q_denorm_full_outer,
+    "denorm_nested": q_denorm_nested,
+    "two_hop_denorm": q_two_hop_denorm,
+    "latest_per_key": q_latest_per_key,
+    "rekey_select_key": q_rekey_select_key,
+    "json_parse": q_json_parse,
+    "join_key_digest": q_join_key_digest,
+    "dedup_exact": q_dedup_exact,
+    "distinct_pairs": q_distinct_pairs,
+    "agg_fanout_topk": q_agg_fanout_topk,
+    "agg_pricing_summary": q_agg_pricing_summary,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "denorm_inner": _denorm_sql("JOIN", right_filter=False),
+    "denorm_left_outer": _denorm_sql("LEFT JOIN", right_filter=True),
+    "denorm_right_outer": _denorm_sql("RIGHT JOIN", right_filter=False),
+    "denorm_full_outer": _denorm_sql("FULL JOIN", right_filter=True),
+    "two_hop_denorm": f"""
+    WITH li AS ({_LI_LATEST_SQL})
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           o_custkey, o_totalprice, c_name, c_mktsegment
+    FROM li
+    JOIN orders ON li.l_orderkey = orders.o_orderkey
+    JOIN customer ON orders.o_custkey = customer.c_custkey
+    """,
+    "latest_per_key": """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+    "rekey_select_key": """
+    SELECT CAST(event_id AS VARCHAR) AS key, event_id, event_type, value
+    FROM events
+    """,
+    "json_parse": """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+    "dedup_exact": """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    "distinct_pairs": """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "agg_fanout_topk": """
+    SELECT l_orderkey, count(*) AS n_items FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY n_items DESC, l_orderkey
+    LIMIT 20
+    """,
+    "agg_pricing_summary": """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+}

@@ -1,0 +1,25 @@
+"""Smoke the driver contract: entry() + every queries() entry at sf0.001."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["key", "item", "order"]
+
+
+def test_queries_and_oracles_aligned():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # non-SQL-expressible exceptions are known and deliberate
+    assert set(qs) - set(oracles) == {"denorm_nested", "join_key_digest"}
+
+
+def test_all_queries_run_smoke(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name

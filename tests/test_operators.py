@@ -1,0 +1,61 @@
+"""Unit tests for rekey / dedup / json serde operators (SURVEY §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.functions.json_io import parse_json, render_json
+from kafka_denormalization_spark.operators.dedup import (
+    exact_dedup_content,
+    suppress_duplicates,
+)
+from kafka_denormalization_spark.operators.rekey import (
+    copartition_by_fk,
+    join_key_digest,
+    select_key,
+)
+
+
+def test_select_key(spark, comments):
+    out = select_key(comments, F.col("id").cast("string"))
+    assert out.columns[0] == "key"
+    assert {r["key"] for r in out.select("key").collect()} == {"1", "2", "3", "4"}
+
+
+def test_join_key_digest_left_and_right(spark, comments):
+    left = comments.select(join_key_digest("story", "id").alias("jk"))
+    right = comments.select(join_key_digest("story").alias("jk"))
+    lrow = left.first()["jk"]
+    rrow = right.first()["jk"]
+    assert lrow["right_digest"] is not None and lrow["left_digest"] is not None
+    # right-side marker: left digest absent (JoinKey.java:55 null-left wire form)
+    assert rrow["left_digest"] is None
+    # same FK ⇒ same right digest on both sides (prefix compatibility)
+    assert lrow["right_digest"] == rrow["right_digest"]
+
+
+def test_suppress_duplicates(spark):
+    df = spark.createDataFrame([(1, 10), (1, 10), (2, 20)], "fk int, pk int")
+    assert suppress_duplicates(df, ["fk", "pk"]).count() == 2
+
+
+def test_exact_dedup_content_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")], "doc_id long, text string"
+    )
+    out = exact_dedup_content(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_json_roundtrip(spark):
+    df = spark.createDataFrame([(1, '{"k": 7}')], "id long, props string")
+    parsed = parse_json(df, "props", "k INT", out="p")
+    assert parsed.first()["p"]["k"] == 7
+    rendered = parsed.select(render_json(F.col("p")).alias("j"))
+    assert rendered.first()["j"] == '{"k":7}'
+
+
+def test_copartition_by_fk(spark, comments):
+    out = copartition_by_fk(comments, "story", num_partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == comments.count()
