@@ -1,0 +1,76 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is fully materialized through the noop sink (executes the whole
+plan on the executors; nothing is collected to the driver, so the number is
+engine time, not transfer time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_denormalization_spark.engine import get_spark
+from kafka_denormalization_spark.queries import QUERIES
+
+# Headline set: the reference-parity pipeline + the heaviest extension ops.
+BENCH_QUERIES = [
+    "denorm_inner",
+    "denorm_nested",
+    "denorm_full_outer",
+    "two_hop_denorm",
+    "latest_per_key",
+    "dedup_exact",
+    "agg_fanout_topk",
+    "agg_pricing_summary",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    extra = [n for n in QUERIES if n not in names and n in _EXTRA_BENCH]
+    timings: dict[str, float] = {}
+    for name in names + extra:
+        fn = QUERIES[name]
+        # warm the input file listing/schema inference, then time execution
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+_EXTRA_BENCH: set[str] = set()  # extension queries opt in here as they land
+
+if __name__ == "__main__":
+    main()
