@@ -1,0 +1,125 @@
+"""Text analysis operators (north-star LLM-data-pipeline extensions).
+
+No analog exists in the reference (SURVEY §2.3 — it has no value-level
+functions at all); these are the additions BASELINE.json's north star
+requires: language-ID, quality scoring, token counting, document
+fingerprinting.
+
+Spark-first: everything here is built-in Catalyst expressions (split /
+regexp / higher-order array functions / md5) — JVM-side, whole-stage
+codegen, zero Python in the hot path. Each function returns a Column so
+they compose into any plan; `queries.py` mirrors the exact arithmetic in
+DuckDB SQL for the oracle.
+
+Scale notes (100 TB):
+- all ops are narrow (per-row) — no shuffle, fully pipelined with the scan;
+- the fingerprint is a winnowing-style min-of-ngram-hashes: constant output
+  size per document regardless of document length, so downstream dedup
+  groups shuffle 32 hex chars, not documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small English stopword list (shared with the DuckDB oracle — keep in
+# sync with queries.py).
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# Per-language discriminator word lists for the n-gram/stopword-profile
+# language-ID heuristic. Order defines deterministic tie-break (struct max).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(t), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: word chunks + standalone punctuation,
+    the usual pre-tokenizer regex shape (``\\w+|[^\\w\\s]``)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", ""))
+    return n_punct.cast("double") / F.length(t).cast("double")
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / total tokens."""
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda tok: tok.isin(*sw)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    rewards reasonable length, some stopword density, low punctuation noise.
+    The exact arithmetic is mirrored in the DuckDB oracle — keep in sync."""
+    n_tok = token_count(text).cast("double")
+    len_component = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    sw_component = F.least(F.lit(1.0), stopword_ratio(text) * F.lit(5.0))
+    punct_component = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * F.lit(10.0))
+    return (
+        F.lit(0.4) * len_component
+        + F.lit(0.3) * sw_component
+        + F.lit(0.3) * punct_component
+    )
+
+
+def lang_hits(text: Column | str, lang: str) -> Column:
+    """Discriminator-word hit count for one language profile."""
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda tok: tok.isin(*LANG_PROFILES[lang])))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language profile hits.
+
+    Implemented as ``greatest`` over (hits, lang) structs — struct comparison
+    gives a deterministic tie-break (higher lang code wins ties), identical
+    in Spark and DuckDB.
+    """
+    candidates = [
+        F.struct(lang_hits(text, lang).alias("h"), F.lit(lang).alias("l"))
+        for lang in LANG_PROFILES
+    ]
+    return F.greatest(*candidates).getField("l")
+
+
+def ngrams(text: Column | str, n: int = 3) -> Column:
+    """Word n-grams (space-joined)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Winnowing-style document fingerprint: min md5 over word n-grams.
+
+    md5 (not xxhash) so the value is engine-independent and oracle-checkable;
+    constant 32-char output bounds shuffle width for dedup-by-fingerprint.
+    """
+    return F.array_min(F.transform(ngrams(text, n), F.md5))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kafka_denormalization_spark.dsl import Denormalize
 from kafka_denormalization_spark.engine import events_table, table
+from kafka_denormalization_spark.functions import text as text_fns
 from kafka_denormalization_spark.functions.json_io import parse_json
 from kafka_denormalization_spark.operators.dedup import exact_dedup_content
 from kafka_denormalization_spark.operators.join import fk_denormalize
@@ -241,6 +242,53 @@ def q_denorm_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text analysis (north-star extensions; functions/text.py)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents — all built-in
+    Catalyst expressions, no UDFs."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_fns.token_count("text").cast("long").alias("n_tokens"),
+        text_fns.bpe_ish_token_count("text").cast("long").alias("n_tokens_bpe"),
+        text_fns.punct_ratio("text").alias("punct_ratio"),
+        text_fns.stopword_ratio("text").alias("stopword_ratio"),
+        text_fns.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-profile argmax)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text_fns.lang_id("text").alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint (min md5 over word 3-grams)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_fns.fingerprint("text", 3).alias("fp"))
+
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_SW_LIST = ", ".join(f"'{w}'" for w in text_fns.STOPWORDS_EN)
+
+
+def _lang_id_sql() -> str:
+    cands = []
+    for lang, words in text_fns.LANG_PROFILES.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        cands.append(
+            f"struct_pack(h := CAST(len(list_filter({_TOKS_SQL}, t -> t IN ({inlist}))) AS INTEGER), l := '{lang}')"
+        )
+    # DuckDB's greatest() doesn't accept STRUCTs; list max does and has the
+    # same field-wise comparison (= Spark's greatest over structs)
+    return f"(list_aggregate([{', '.join(cands)}], 'max')).l"
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -259,6 +307,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_pairs": q_distinct_pairs,
     "agg_fanout_topk": q_agg_fanout_topk,
     "agg_pricing_summary": q_agg_pricing_summary,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -300,6 +351,33 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY l_orderkey
     ORDER BY n_items DESC, l_orderkey
     LIMIT 20
+    """,
+    "text_stats": f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
+           CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter({_TOKS_SQL}, t -> t IN ({_SW_LIST}))) AS DOUBLE)
+             / CAST(len({_TOKS_SQL}) AS DOUBLE) AS stopword_ratio,
+           0.4 * least(1.0, CAST(len({_TOKS_SQL}) AS DOUBLE) / 100.0)
+         + 0.3 * least(1.0, (CAST(len(list_filter({_TOKS_SQL}, t -> t IN ({_SW_LIST}))) AS DOUBLE)
+             / CAST(len({_TOKS_SQL}) AS DOUBLE)) * 5.0)
+         + 0.3 * (1.0 - least(1.0, (CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE)) * 10.0)) AS quality
+    FROM documents
+    """,
+    "lang_id": f"""
+    SELECT doc_id, lang, {_lang_id_sql()} AS lang_pred FROM documents
+    """,
+    "fingerprint": f"""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(
+               range(0, greatest(CAST(len({_TOKS_SQL}) AS BIGINT) - 2, 0)),
+               i -> md5(array_to_string(({_TOKS_SQL})[i+1:i+3], ' '))
+             ), 'min') AS fp
+    FROM documents
     """,
     "agg_pricing_summary": """
     SELECT l_returnflag, l_linestatus,

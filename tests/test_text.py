@@ -1,0 +1,68 @@
+"""Text analysis functions (functions/text.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.functions import text as T
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(1, text)], "id long, text string")
+
+
+def test_token_counts(spark):
+    df = _one(spark, "the quick brown fox, jumps!")
+    row = df.select(
+        T.token_count("text").alias("ws"),
+        T.bpe_ish_token_count("text").alias("bpe"),
+    ).first()
+    assert row["ws"] == 5
+    # word chunks: the quick brown fox jumps + "," + "!" = 7
+    assert row["bpe"] == 7
+
+
+def test_ratios_and_quality_bounds(spark):
+    df = _one(spark, "the cat sat on the mat.")
+    row = df.select(
+        T.punct_ratio("text").alias("p"),
+        T.stopword_ratio("text").alias("s"),
+        T.quality_score("text").alias("q"),
+    ).first()
+    assert 0 < row["p"] < 0.1
+    assert abs(row["s"] - 2 / 6) < 1e-12  # "the" twice of 6 tokens
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_lang_id_picks_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze ist da"), (2, "le chat et la souris est ici")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", T.lang_id("text").alias("l")).collect()}
+    assert got == {1: "de", 2: "fr"}
+
+
+def test_ngrams_and_fingerprint(spark):
+    df = _one(spark, "a b c d")
+    grams = df.select(T.ngrams("text", 3).alias("g")).first()["g"]
+    assert grams == ["a b c", "b c d"]
+    fp = df.select(T.fingerprint("text", 3).alias("f")).first()["f"]
+    expected = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+    assert fp == expected
+
+
+def test_fingerprint_short_doc_is_null(spark):
+    df = _one(spark, "a b")
+    assert df.select(T.fingerprint("text", 3).alias("f")).first()["f"] is None
+
+
+def test_fingerprint_detects_exact_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w"), (3, "totally different text here")],
+        "id long, text string",
+    )
+    fps = [r["f"] for r in df.select(T.fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
