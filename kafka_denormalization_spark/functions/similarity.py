@@ -1,0 +1,398 @@
+"""Near-duplicate detection + similarity search (north-star extensions).
+
+No reference analog (SURVEY §2.3); these are the LLM-data-pipeline operators
+required by BASELINE.json: MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine similarity (brute-force + LSH-bucketed ANN).
+
+Spark-first: signatures and distances are built-in higher-order array
+expressions (transform/aggregate/zip_with + xxhash64) — JVM codegen, no
+Python UDFs anywhere. The pair-generation topology is the scalable part:
+
+Scale notes (100 TB):
+- MinHash-LSH: documents are reduced to H*8-byte signatures before any
+  shuffle; candidate generation shuffles (band_id, band_hash) keys only —
+  never document text. The O(n²) all-pairs comparison is replaced by
+  per-bucket self-joins (AQE splits skewed buckets). The exact-Jaccard
+  verify joins shingle sets back for *candidates only*.
+- Random-hyperplane LSH for vectors: same shape — bucket by sign-bit
+  signature, join within buckets; brute-force is kept as the correctness
+  baseline and for small query sets (broadcast the queries, not the corpus).
+- All hash seeds are deterministic constants: re-runs and retried tasks
+  produce identical signatures (required for exactly-once semantics on
+  speculative execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.functions.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_set(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: element h = min over shingles of xxhash64(h, s).
+
+    One xxhash64 per (hash, shingle) — all inside codegen. Empty shingle
+    sets get a sentinel signature (all nulls) that never collides."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(shingles, lambda s: F.xxhash64(h, s))),
+    )
+
+
+def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split the signature into ``bands`` bands of ``rows_per_band`` and hash
+    each band -> array of structs (band, h) to explode for bucketing."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band))).alias("h"),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidate generation + exact
+    n-gram Jaccard verification.
+
+    Output: (id_a, id_b, jaccard_sim) with id_a < id_b, jaccard_sim >= threshold.
+
+    Topology: shingle -> signature -> explode band hashes -> self-join per
+    bucket -> distinct candidate pairs -> verify with exact Jaccard on the
+    (small) candidate set. With b bands of r rows the LSH catch probability
+    is 1-(1-s^r)^b; defaults (16 bands x 2 rows) catch s>=0.5 w.p. ~0.99.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("_id"), shingle_set(F.col(text_col), n).alias("_sh")
+    )
+    sigs = base.select(
+        "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    )
+    buckets = sigs.select(
+        "_id", F.explode(lsh_band_hashes(F.col("_sig"), bands, rows_per_band)).alias("_b")
+    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.h").alias("_h"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._h") == F.col("b._h"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+    sh = sigs.select("_id", "_sh")
+    verified = (
+        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa._id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sa._sh"), F.col("sb._sh")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the O(n²) correctness baseline for
+    MinHash-LSH; only for modest corpora — the LSH path is the scale path)."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), shingle_set(F.col(text_col), n).alias("_sh")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _pow2_array() -> Column:
+    """Literal array of the 64 single-bit longs (two's-complement for bit 63).
+    shiftleft/shiftright need Python-int shift amounts, so inside lambdas we
+    select the bit mask with element_at instead."""
+    return F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """SimHash: per-token xxhash64; each bit position votes +1/-1; the
+    fingerprint bit is the vote's sign. Returns a BIGINT fingerprint.
+
+    Single aggregate over tokens with an array-of-counters accumulator —
+    one pass, no shuffle."""
+    toks = tokens(text)
+    pow2 = _pow2_array()
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda p: F.when(
+                    F.xxhash64(t).bitwiseAND(F.element_at(pow2, p + 1)) != 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # fold sign bits into one 64-bit integer: OR of bit masks for positive votes
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, p: F.when(v > 0, F.element_at(pow2, p + 1)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dup_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed for scale.
+
+    Pigeonhole: with 4 16-bit chunks, any pair within Hamming distance 3
+    shares at least one exact chunk — bucket join per chunk, then verify
+    bit_count(xor) <= max_hamming. Shuffles (chunk_idx, chunk_value) keys,
+    not documents.
+    """
+    sh = docs.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    chunks = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"),
+                        F.shiftright(F.col("_sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_sh", F.col("_c.idx").alias("_idx"), F.col("_c.val").alias("_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._idx") == F.col("b._idx"))
+            & (F.col("a._val") == F.col("b._val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine: brute-force top-k + random-hyperplane LSH ANN
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double (left fold —
+    deterministic and order-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query scored against the full corpus.
+
+    Output: (query_id, neighbor_id, rank, sim), rank 1..k by sim desc
+    (neighbor_id tiebreak), self-match excluded.
+
+    Scale: the *queries* side is broadcast (small); the corpus is scanned
+    once and never shuffled in full — only (query_id, sim, id) tuples reach
+    the top-k window. For large query sets use ``lsh_ann_topk``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )
+
+
+def _probe_masks(num_planes: int, probe: int) -> list[int]:
+    """All XOR masks over ``num_planes`` bits with popcount <= probe."""
+    masks = [m for m in range(1 << num_planes) if bin(m).count("1") <= probe]
+    return masks
+
+
+def rp_signature(vec: Column, num_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane sign signature (int bucket id) for cosine LSH.
+
+    Hyperplane components are deterministic pseudo-randoms derived from
+    xxhash64(plane, dim_index) — no driver-side randomness, identical on
+    every executor/retry."""
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x.cast("double")
+                * ((F.xxhash64(p, j) % 1000).cast("double") / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pow2 = _pow2_array()
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(plane_dot(p) > 0, F.element_at(pow2, p + 1)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    probe: int = 1,
+) -> DataFrame:
+    """Approximate NN: corpus bucketed by random-hyperplane signature; each
+    query scores the buckets within Hamming distance ``probe`` of its own
+    signature (multi-probe LSH — flipping the least-confident planes is the
+    classic refinement; we flip all single/multi bit combinations up to
+    ``probe``, which is simpler and deterministic).
+
+    Recall/cost dial: probe=0 scans ~corpus/2^planes per query; each probe
+    level multiplies candidates by ~C(planes, probe).
+
+    Scale: the corpus is hash-partitioned by bucket once (reusable across
+    query batches); the probe expansion happens on the (small, broadcast)
+    query side only — the corpus is never replicated.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        rp_signature(F.col(vec_col), num_planes, dim).alias("_bucket"),
+    )
+    sig = rp_signature(F.col(vec_col), num_planes, dim)
+    masks = _probe_masks(num_planes, probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.array(*[sig.bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+        ).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="_bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
+    # no dedup needed: probe masks are distinct and each corpus row lives in
+    # exactly one bucket, so a (query, neighbor) pair appears at most once
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )

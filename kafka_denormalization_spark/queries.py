@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kafka_denormalization_spark.dsl import Denormalize
 from kafka_denormalization_spark.engine import events_table, table
+from kafka_denormalization_spark.functions import similarity as sim_fns
 from kafka_denormalization_spark.functions import text as text_fns
 from kafka_denormalization_spark.functions.json_io import parse_json
 from kafka_denormalization_spark.operators.dedup import exact_dedup_content
@@ -289,6 +290,78 @@ def _lang_id_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# similarity / near-dup (north-star extensions; functions/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH + exact-Jaccard verify. The oracle is
+    the brute-force all-pairs Jaccard — LSH params are sized so recall at
+    the 0.5 threshold is ~1 (16 bands x 2 rows)."""
+    docs = table(spark, sf_dir, "documents")
+    return sim_fns.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (correctness baseline for LSH)."""
+    docs = table(spark, sf_dir, "documents")
+    return sim_fns.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pigeonhole-bucketed). Engine-specific hash —
+    rows-only driver check; recall covered by pytest."""
+    docs = table(spark, sf_dir, "documents")
+    return sim_fns.simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries.
+    Rank-only output (sim is float-accumulation-order sensitive across
+    engines; ranks are stable — gaps >> ulp noise)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_fns.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (scale path). Approximate by design —
+    rows-only driver check; recall vs brute force covered by pytest."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_fns.lsh_ann_topk(emb, queries, k=5, num_planes=4, probe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(0, greatest(CAST(len({t}) AS BIGINT) - 2, 0)), "
+    "i -> array_to_string(({t})[i+1:i+3], ' ')))"
+).format(t=_TOKS_SQL)
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH d AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                  ELSE 0.0 END AS jaccard_sim
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard_sim FROM p WHERE jaccard_sim >= 0.5
+"""
+
+_COS_SQL = (
+    "(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
+)
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -310,6 +383,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -378,6 +456,20 @@ ORACLE_SQL: dict[str, str] = {
                i -> md5(array_to_string(({_TOKS_SQL})[i+1:i+3], ' '))
              ), 'min') AS fp
     FROM documents
+    """,
+    "minhash_lsh_dedup": _JACCARD_PAIRS_SQL,
+    "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "ann_cosine_topk": f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS sim
+           FROM q, c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
     """,
     "agg_pricing_summary": """
     SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,123 @@
+"""Similarity / near-dup operators (functions/similarity.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.engine import table
+from kafka_denormalization_spark.functions import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_jaccard_and_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d e", "a b c d x")], "id long, t1 string, t2 string")
+    row = df.select(
+        S.jaccard(S.shingle_set("t1", 3), S.shingle_set("t2", 3)).alias("j")
+    ).first()
+    # shingles t1: {abc,bcd,cde}, t2: {abc,bcd,cdx} -> 2/4
+    assert abs(row["j"] - 0.5) < 1e-12
+
+
+def test_minhash_lsh_matches_bruteforce(spark):
+    docs = table(spark, SF_DIR, "documents")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in S.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh == brute
+    assert len(brute) > 0  # the fixture does contain near-dups
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w v u"), (2, "x y z w v u")], "doc_id long, text string"
+    )
+    sigs = df.select(
+        S.minhash_signature(S.shingle_set("text"), 16).alias("sig")
+    ).collect()
+    assert sigs[0]["sig"] == sigs[1]["sig"]
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated words about database query optimization"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", S.simhash("text").alias("sh")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    pairs = S.simhash_dup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["hamming"] == 0
+
+
+def test_cosine_matches_python(spark):
+    random.seed(7)
+    a = [random.random() for _ in range(8)]
+    b = [random.random() for _ in range(8)]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    dot = sum(x * y for x, y in zip(a, b))
+    want = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    assert abs(got - want) < 1e-12
+
+
+def test_cosine_topk_shape_and_selfexclusion(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.cosine_topk(emb, queries, k=4).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 4
+        assert -1.0 <= r["sim"] <= 1.0
+
+
+def test_lsh_ann_multiprobe_recall(spark):
+    """Near-orthogonal random vectors are hyperplane-LSH's worst case;
+    multi-probe must still reach usable recall (measured ~0.88 at
+    4 planes / probe 2, ~0.52 at probe 1) and recall must grow with probe."""
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(probe):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_ann_topk(emb, queries, k=3, num_planes=4, probe=probe).collect()
+        }
+        return len(brute & approx) / len(brute)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= 0.7, f"multi-probe recall too low: {r2}"
+    assert r2 >= r1, "recall must not shrink with wider probing"
+
+
+def test_lsh_ann_finds_exact_duplicate(spark):
+    """A duplicated vector shares the signature deterministically — the
+    exact dup must always be the rank-1 neighbor even at probe 0."""
+    emb = table(spark, SF_DIR, "embeddings").limit(50).cache()
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    queries = corpus.filter(F.col("vec_id") == 100000)
+    out = S.lsh_ann_topk(corpus, queries, k=1, num_planes=4, probe=0).collect()
+    assert len(out) == 1
+    assert out[0]["neighbor_id"] == 0
+    assert abs(out[0]["sim"] - 1.0) < 1e-9
