@@ -1,0 +1,183 @@
+"""Streaming changelog denormalization: continuous (applyInPandasWithState)
+and incremental (bucketed-state micro-batch) modes.
+
+The key semantic Spark's native stream-stream join cannot express, and both
+modes must: a RIGHT update arriving in a LATER micro-batch re-emits every
+left already indexed for that FK (JoinTransformer.java:168-186)."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.streaming.incremental import IncrementalDenormalize
+from kafka_denormalization_spark.streaming.upsert_join import (
+    UPDATE_SCHEMA,
+    tag_side,
+    upsert_join,
+)
+
+UPDATES_B1 = [
+    # batch 1: two comments on story 100, one on 200; no stories yet
+    (1, "left", "c1", "100", '{"id": "c1", "text": "first"}'),
+    (2, "left", "c2", "100", '{"id": "c2", "text": "second"}'),
+    (3, "left", "c3", "200", '{"id": "c3", "text": "hello"}'),
+]
+UPDATES_B2 = [
+    # batch 2: story 100 arrives -> must fan out to c1+c2; story 300 no lefts
+    (4, "right", "100", "100", '{"id": "100", "title": "story hundred"}'),
+    (5, "right", "300", "300", '{"id": "300", "title": "lonely"}'),
+]
+UPDATES_B3 = [
+    # batch 3: c1 edited -> single re-emit with existing story;
+    # story 100 updated -> fan-out re-emit of c1+c2 with new title
+    (6, "left", "c1", "100", '{"id": "c1", "text": "first (edited)"}'),
+    (7, "right", "100", "100", '{"id": "100", "title": "story hundred v2"}'),
+]
+
+
+def _write_batches(spark, tmpdir, batches):
+    src = os.path.join(tmpdir, "updates")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, UPDATE_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    return src
+
+
+def _run_stream(spark, src, how):
+    name = "out_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(UPDATE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        upsert_join(stream, how=how)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(src, "..", "ckpt_" + name)
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
+
+
+@pytest.fixture()
+def tmpdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_continuous_inner_emits_nothing_without_right(spark, tmpdir):
+    src = _write_batches(spark, tmpdir, [UPDATES_B1])
+    out = _run_stream(spark, src, "inner")
+    assert out == []
+
+
+def test_continuous_right_arrival_fans_out(spark, tmpdir):
+    src = _write_batches(spark, tmpdir, [UPDATES_B1, UPDATES_B2])
+    out = _run_stream(spark, src, "inner")
+    emitted = {(r["key"], json.loads(r["right_value"])["title"]) for r in out}
+    # story 100's arrival re-emitted both earlier comments
+    assert emitted == {("c1", "story hundred"), ("c2", "story hundred")}
+
+
+def test_continuous_three_batch_changelog(spark, tmpdir):
+    src = _write_batches(spark, tmpdir, [UPDATES_B1, UPDATES_B2, UPDATES_B3])
+    out = _run_stream(spark, src, "inner")
+    # batch2: c1+c2 with v1 title; batch3: c1 (edit) + c1+c2 (fan-out) with v2
+    by_batch = {}
+    for r in out:
+        title = json.loads(r["right_value"])["title"]
+        by_batch.setdefault(title, set()).add((r["key"], json.loads(r["left_value"])["text"]))
+    assert by_batch["story hundred"] == {("c1", "first"), ("c2", "second")}
+    assert by_batch["story hundred v2"] == {("c1", "first (edited)"), ("c2", "second")}
+
+
+def test_continuous_left_outer_and_right_outer(spark, tmpdir):
+    src = _write_batches(spark, tmpdir, [UPDATES_B1, UPDATES_B2])
+    lo = _run_stream(spark, src, "left_outer")
+    # batch1 emits all three lefts with null right
+    nulls = {r["key"] for r in lo if r["right_value"] is None}
+    assert nulls == {"c1", "c2", "c3"}
+    ro = _run_stream(spark, src, "right_outer")
+    # story 300 has no lefts -> (null, right)
+    lonely = [r for r in ro if r["key"] is None]
+    assert len(lonely) == 1
+    assert json.loads(lonely[0]["right_value"])["title"] == "lonely"
+
+
+def _play_incremental(spark, tmpdir, how, batches):
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "state_" + how), how=how)
+    emitted = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, UPDATE_SCHEMA)
+        lu = df.filter(F.col("side") == "left").select(
+            "key", "fk", "payload", F.col("seq").alias("version")
+        )
+        ru = df.filter(F.col("side") == "right").select(
+            "key", "fk", "payload", F.col("seq").alias("version")
+        )
+        emitted.append([r.asDict() for r in eng.process_batch(lu, ru).collect()])
+    return emitted
+
+
+def test_incremental_matches_continuous_semantics(spark, tmpdir):
+    b1, b2, b3 = _play_incremental(
+        spark, tmpdir, "inner", [UPDATES_B1, UPDATES_B2, UPDATES_B3]
+    )
+    assert b1 == []  # no rights yet
+    assert {(r["key"], json.loads(r["right_value"])["title"]) for r in b2} == {
+        ("c1", "story hundred"),
+        ("c2", "story hundred"),
+    }
+    got3 = {(r["key"], json.loads(r["left_value"])["text"], json.loads(r["right_value"])["title"]) for r in b3}
+    assert got3 == {
+        ("c1", "first (edited)", "story hundred v2"),
+        ("c2", "second", "story hundred v2"),
+    }
+
+
+def test_incremental_right_outer_lonely_story(spark, tmpdir):
+    _, b2 = _play_incremental(spark, tmpdir, "right_outer", [UPDATES_B1, UPDATES_B2])
+    lonely = [r for r in b2 if r["key"] is None]
+    assert len(lonely) == 1
+    assert json.loads(lonely[0]["right_value"])["title"] == "lonely"
+
+
+def test_incremental_state_survives_across_engine_instances(spark, tmpdir):
+    """State is durable parquet: a new engine instance over the same state
+    dir continues the changelog (restart semantics,
+    dsl/StreamDenormalize.java:63 store rebuild)."""
+    state = os.path.join(tmpdir, "state_restart")
+    eng1 = IncrementalDenormalize(spark, state, how="inner")
+    df1 = spark.createDataFrame(UPDATES_B1, UPDATE_SCHEMA)
+    eng1.process_batch(
+        df1.select("key", "fk", "payload", F.col("seq").alias("version")), None
+    ).collect()
+
+    eng2 = IncrementalDenormalize(spark, state, how="inner")
+    df2 = spark.createDataFrame(UPDATES_B2, UPDATE_SCHEMA)
+    out = eng2.process_batch(
+        None, df2.select("key", "fk", "payload", F.col("seq").alias("version"))
+    ).collect()
+    assert {r["key"] for r in out} == {"c1", "c2"}
+
+
+def test_tag_side_projection(spark, comments):
+    tagged = tag_side(
+        comments, "left", key="id", fk="story",
+        payload_cols=["id", "text", "story"], seq="time",
+    )
+    assert tagged.columns == ["seq", "side", "key", "fk", "payload"]
+    row = tagged.filter(F.col("key") == "3").first()
+    assert row["fk"] == "200"
+    assert json.loads(row["payload"])["text"] == "hello"
