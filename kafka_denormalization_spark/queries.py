@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kafka_denormalization_spark.dsl import Denormalize
 from kafka_denormalization_spark.engine import events_table, table
+from kafka_denormalization_spark.functions import multimodal as mm_fns
 from kafka_denormalization_spark.functions import similarity as sim_fns
 from kafka_denormalization_spark.functions import text as text_fns
 from kafka_denormalization_spark.functions.json_io import parse_json
@@ -362,6 +363,45 @@ _COS_SQL = (
 )
 
 # ---------------------------------------------------------------------------
+# multimodal (north-star extensions; functions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (size/sha256/format sniff) — pure
+    Catalyst, no Python. Documents' text bytes stand in for media blobs."""
+    docs = table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    m = mm_fns.blob_metadata("blob")
+    return blobs.select(
+        "doc_id",
+        m.getField("n_bytes").alias("n_bytes"),
+        m.getField("sha256").alias("sha256"),
+        m.getField("format").alias("format"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over deterministic fake image blobs
+    (codec stubbed — Spark plumbing real). Rows-only driver check; exact
+    decode values covered by pytest."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                w = int(n_chars) % 32 + 1
+                rows.append((doc_id, mm_fns.make_fake_image(w, 4, seed=int(doc_id))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.mapInPandas(encode, "id long, blob binary")
+    return mm_fns.decode_images(blobs, "id", "blob")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -388,6 +428,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -470,6 +512,13 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
     FROM s
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """,
+    "multimodal_metadata": """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           'unknown' AS format
+    FROM documents
     """,
     "agg_pricing_summary": """
     SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,66 @@
+"""Physical-plan shape assertions — the 100 TB story, pinned by tests.
+
+These fail if a refactor silently loses broadcast placement, filter
+pushdown, or column pruning — regressions invisible to correctness tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark import queries as Q
+from kafka_denormalization_spark.engine import table
+from kafka_denormalization_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_two_hop_customer_join_is_broadcast(spark):
+    df = Q.q_two_hop_denorm(spark, SF_DIR)
+    assert has_broadcast_join(df), "small-dim customer join must broadcast"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_quantity"
+    )
+    assert any("l_quantity" in f for f in pushed_filters(li))
+
+
+def test_column_pruning_in_denorm(spark):
+    df = Q.q_two_hop_denorm(spark, SF_DIR)
+    schemas = read_schemas(df)
+    # the customer scan must not read columns the query never touches
+    cust = [s for s in schemas if "c_name" in s]
+    assert cust and all("c_acctbal" not in s for s in cust)
+
+
+def test_latest_per_key_single_shuffle(spark):
+    """max_by latest-per-key is one hash aggregation: exactly one exchange
+    (the window strategy would also be one, but without partial agg)."""
+    df = Q.q_latest_per_key(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+
+
+def test_denorm_inner_shuffle_budget(spark):
+    """latest(lineitem) + join: dedup agg shuffles on (okey, linenumber);
+    the join on okey. AQE may reuse/convert, but the static plan must not
+    exceed 3 exchanges (2 sides + agg)."""
+    df = Q.q_denorm_inner(spark, SF_DIR)
+    assert count_exchanges(df) <= 3
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy count must plan a map-side partial agg (HashAggregate appears
+    above AND below the exchange)."""
+    from kafka_denormalization_spark.plans import explain_str
+
+    df = table(spark, SF_DIR, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2
