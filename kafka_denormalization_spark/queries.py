@@ -27,6 +27,8 @@ from kafka_denormalization_spark.functions import multimodal as mm_fns
 from kafka_denormalization_spark.functions import similarity as sim_fns
 from kafka_denormalization_spark.functions import text as text_fns
 from kafka_denormalization_spark.functions.json_io import parse_json
+from kafka_denormalization_spark.operators import asof as asof_ops
+from kafka_denormalization_spark.operators import window as win_ops
 from kafka_denormalization_spark.operators.dedup import exact_dedup_content
 from kafka_denormalization_spark.operators.join import fk_denormalize
 from kafka_denormalization_spark.operators.latest import latest_per_key
@@ -363,6 +365,109 @@ _COS_SQL = (
 )
 
 # ---------------------------------------------------------------------------
+# window / sort / set-op / rollup coverage (north-star; operators/window.py,
+# operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order history (windowed cumsum;
+    DECIMAL accumulation for cross-engine bit-equality)."""
+    orders = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items by price within each order (window top-k)."""
+    li = _latest_lineitem(spark, sf_dir)
+    out = win_ops.top_k_per_group(
+        li,
+        ["l_orderkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        k=3,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute gap)."""
+    ev = events_table(spark, sf_dir)
+    out = win_ops.sessionize(ev, "user_id", "ts_us", F.lit(30 * 60 * 1_000_000))
+    return out.select("user_id", "event_id", "ts_us", F.col("session_id").cast("long").alias("session_id"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the user's most recent
+    earlier-or-equal error event (union-and-window formulation; DuckDB's
+    native ASOF JOIN is the oracle)."""
+    ev = events_table(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts_us").alias("err_ts"),
+        F.col("event_id").alias("err_event_id"),
+    )
+    return asof_ops.asof_join(
+        clicks, errors, on="user_id", left_ts="ts_us", right_ts="err_ts"
+    ).select("user_id", "ts_us", "event_id", "err_ts", "err_event_id")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: high-balance customers INTERSECT ordering customers,
+    EXCEPT automobile-segment customers."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    high = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    ordering = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return high.intersect(ordering).exceptAll(auto).distinct()
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (returnflag, linestatus) with subtotals."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts by type (fixed category list so the
+    output schema is deterministic)."""
+    ev = events_table(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal (north-star extensions; functions/multimodal.py)
 # ---------------------------------------------------------------------------
 
@@ -430,6 +535,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
+    "window_running_total": q_window_running_total,
+    "topk_per_group": q_topk_per_group,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "set_ops": q_set_ops,
+    "rollup_pricing": q_rollup_pricing,
+    "pivot_event_counts": q_pivot_event_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -512,6 +624,77 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
     FROM s
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """,
+    "window_running_total": """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    "topk_per_group": f"""
+    WITH li AS ({_LI_LATEST_SQL})
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(row_number() OVER (
+             PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber
+           ) AS BIGINT) AS rank
+    FROM li
+    QUALIFY row_number() OVER (
+      PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber
+    ) <= 3
+    """,
+    "sessionize": """
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 30*60*1000000
+                         THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM (
+      SELECT user_id, event_id, ts_us,
+             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_ts
+      FROM ev
+    )
+    """,
+    "asof_join": """
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+      WHERE event_type = 'click'
+    ),
+    errs AS (
+      SELECT user_id, epoch_us(ts) AS err_ts, event_id AS err_event_id FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT clicks.user_id, ts_us, event_id, err_ts, err_event_id
+    FROM clicks ASOF LEFT JOIN errs
+      ON clicks.user_id = errs.user_id AND clicks.ts_us >= errs.err_ts
+    """,
+    "set_ops": """
+    SELECT custkey FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+    )
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "rollup_pricing": """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pivot_event_counts": """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'error') AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'view') AS n_view
+    FROM events
+    GROUP BY user_id
     """,
     "multimodal_metadata": """
     SELECT doc_id,

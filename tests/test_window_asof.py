@@ -1,0 +1,86 @@
+"""Window operators + as-of join (operators/window.py, operators/asof.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.operators.asof import asof_join
+from kafka_denormalization_spark.operators.window import (
+    running_agg,
+    sessionize,
+    top_k_per_group,
+)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "g string, id int, v double",
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
+    got = {(r["g"], r["id"], r["rank"]) for r in out.collect()}
+    assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}
+
+
+def test_running_agg(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 5), ("a", 3, 1)], "g string, t int, v int"
+    )
+    out = running_agg(df, ["g"], [F.col("t")], F.sum("v"), "cum")
+    assert [r["cum"] for r in out.orderBy("t").collect()] == [10, 15, 16]
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 100), ("u", 1000), ("u", 1099), ("u", 5000)],
+        "user string, ts long",
+    )
+    out = sessionize(df, "user", "ts", F.lit(500))
+    sessions = [r["session_id"] for r in out.orderBy("ts").collect()]
+    # gaps: 100 (same), 900 (new), 99 (same), 3901 (new)
+    assert sessions == [1, 1, 2, 2, 3]
+
+
+def test_asof_backward_inclusive_tie(spark):
+    clicks = spark.createDataFrame([("u", 100, 1), ("u", 50, 2)], "k string, ts long, id int")
+    errs = spark.createDataFrame(
+        [("u", 100, 91), ("u", 60, 92), ("u", 10, 93)], "k string, ets long, eid int"
+    )
+    out = asof_join(clicks, errs, on="k", left_ts="ts", right_ts="ets")
+    got = {r["id"]: r["eid"] for r in out.collect()}
+    # ts=100 matches the equal-ts error (inclusive); ts=50 matches ets=10
+    assert got == {1: 91, 2: 93}
+
+
+def test_asof_no_match_is_null(spark):
+    clicks = spark.createDataFrame([("u", 5, 1)], "k string, ts long, id int")
+    errs = spark.createDataFrame([("u", 10, 91)], "k string, ets long, eid int")
+    out = asof_join(clicks, errs, on="k", left_ts="ts", right_ts="ets").collect()
+    assert out[0]["eid"] is None
+
+
+def test_asof_forward(spark):
+    clicks = spark.createDataFrame([("u", 5, 1), ("u", 70, 2)], "k string, ts long, id int")
+    errs = spark.createDataFrame([("u", 10, 91), ("u", 60, 92)], "k string, ets long, eid int")
+    out = asof_join(clicks, errs, on="k", left_ts="ts", right_ts="ets", direction="forward")
+    got = {r["id"]: r["eid"] for r in out.collect()}
+    assert got == {1: 91, 2: None}
+
+
+def test_asof_rejects_overlapping_columns(spark):
+    a = spark.createDataFrame([("u", 1, 2)], "k string, ts long, v long")
+    b = spark.createDataFrame([("u", 1, 2)], "k string, ts2 long, v long")
+    with pytest.raises(ValueError, match="overlap"):
+        asof_join(a, b, on="k", left_ts="ts", right_ts="ts2")
+
+
+def test_asof_single_shuffle(spark):
+    """The scale property: union-and-window as-of adds exactly one exchange
+    (no join blowup)."""
+    from kafka_denormalization_spark.plans import count_exchanges
+
+    a = spark.createDataFrame([("u", 1, 2)], "k string, ts long, v long")
+    b = spark.createDataFrame([("u", 1, 2)], "k string, ts2 long, w long")
+    out = asof_join(a, b, on="k", left_ts="ts", right_ts="ts2")
+    assert count_exchanges(out) == 1
