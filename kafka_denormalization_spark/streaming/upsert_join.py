@@ -77,7 +77,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _joiner(how: str):
+def _joiner(how: str, ttl_ms: int | None = None):
     left_outer = how in ("left_outer", "full_outer")
     right_outer = how in ("right_outer", "full_outer")
 
@@ -85,6 +85,11 @@ def _joiner(how: str):
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         fk = key[0]
+        if ttl_ms is not None and state.hasTimedOut:
+            # state TTL: drop this FK's index entries (the reference keeps
+            # state forever — its acknowledged gap, HackerNewsPipeline.java:35-36)
+            state.remove()
+            return
         if state.exists:
             right_value, left_keys, left_values = state.get
             lefts = dict(zip(left_keys, left_values))
@@ -103,6 +108,8 @@ def _joiner(how: str):
                     right_updated = True
 
         state.update((right_value, list(lefts.keys()), list(lefts.values())))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
         # right update fans out to every indexed left
         # (JoinTransformer.java:172-186); left updates emit just themselves
@@ -120,20 +127,30 @@ def _joiner(how: str):
     return update
 
 
-def upsert_join(updates: DataFrame, how: str = "inner", ttl: str | None = None) -> DataFrame:
+def upsert_join(
+    updates: DataFrame, how: str = "inner", ttl_ms: int | None = None
+) -> DataFrame:
     """Continuous FK denormalization over a side-tagged update stream.
 
     ``updates`` must match UPDATE_SCHEMA (streaming or batch-tested via
     memory sink). Returns the changelog stream (OUTPUT_SCHEMA): one record
     per (re-)joined left, re-emitted whenever either side changes.
+
+    ``ttl_ms``: evict an FK's state after that many ms without updates
+    (processing-time timeout). ``None`` = keep forever, matching the
+    reference's compact-topic semantics.
     """
     if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unknown join flavor {how!r}")
-    timeout = GroupStateTimeout.NoTimeout
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         updates.groupBy(F.col("fk"))
         .applyInPandasWithState(
-            _joiner(how),
+            _joiner(how, ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

@@ -181,3 +181,50 @@ def test_tag_side_projection(spark, comments):
     row = tagged.filter(F.col("key") == "3").first()
     assert row["fk"] == "200"
     assert json.loads(row["payload"])["text"] == "hello"
+
+
+def test_continuous_ttl_evicts_state(spark, tmpdir):
+    """With ttl_ms set, an FK's index entries vanish after inactivity: the
+    late-arriving story finds no lefts to fan out to (better-than-reference
+    state hygiene; the reference keeps state forever)."""
+    import time
+
+    # with processing-time timers, no-data micro-batches keep the query busy
+    # forever and processAllAvailable() never returns — disable for the test
+    # (timeouts then fire on the next data-carrying batch)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    src = os.path.join(tmpdir, "updates")
+    spark.createDataFrame(UPDATES_B1, UPDATE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    name = "out_ttl_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(UPDATE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        upsert_join(stream, how="inner", ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_" + name))
+        .start()
+    )
+    q.processAllAvailable()
+    time.sleep(1.5)  # let the 500ms TTL lapse
+    # an unrelated batch triggers the timeout callback: fk=100/200 get no
+    # data this trigger, are expired, and their state is removed
+    spark.createDataFrame(
+        [(99, "left", "zz", "999", "{}")], UPDATE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # now the story arrives: its lefts are gone -> no fan-out emission
+    spark.createDataFrame(UPDATES_B2, UPDATE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    out = [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    assert all(r["fk"] != "100" for r in out), out
