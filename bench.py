@@ -32,6 +32,14 @@ BENCH_QUERIES = [
     "dedup_exact",
     "agg_fanout_topk",
     "agg_pricing_summary",
+    "minhash_lsh_dedup",
+    "simhash_pairs",
+    "ann_cosine_topk",
+    "text_stats",
+    "fingerprint",
+    "window_running_total",
+    "sessionize",
+    "asof_join",
 ]
 
 
