@@ -53,6 +53,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
 
+    # warm the JVM/codegen/broadcast machinery so the first timed query
+    # doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    materialize(QUERIES["denorm_inner"](spark, sf_dir).limit(1000))
+
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     extra = [n for n in QUERIES if n not in names and n in _EXTRA_BENCH]
     timings: dict[str, float] = {}

@@ -64,6 +64,7 @@ class Denormalize:
         self._right_name = "right"
         self._key_by: Callable[[DataFrame], Column] | None = None
         self._broadcast_right = False
+        self._latest_strategy = "window"
 
     @staticmethod
     def builder() -> "Denormalize":
@@ -102,6 +103,13 @@ class Denormalize:
         self._key_by = fn
         return self
 
+    def latest_strategy(self, strategy: str) -> "Denormalize":
+        """Upsert-dedup strategy: 'window' (pruning-friendly, default) or
+        'max_by' (map-side combine for high-duplication changelogs) — see
+        operators/latest.py scale notes."""
+        self._latest_strategy = strategy
+        return self
+
     def broadcast_right(self, flag: bool = True) -> "Denormalize":
         """Broadcast the 1-side (scale knob; no reference analog — the
         reference always co-partitions via JoinKeyPartitioner.java:20-22)."""
@@ -137,9 +145,13 @@ class Denormalize:
         left = self._left
         right = self._right
         if self._left_version:
-            left = latest_per_key(left, self._left_key, self._left_version)
+            left = latest_per_key(
+                left, self._left_key, self._left_version, self._latest_strategy
+            )
         if self._right_version:
-            right = latest_per_key(right, self._right_key, self._right_version)
+            right = latest_per_key(
+                right, self._right_key, self._right_version, self._latest_strategy
+            )
 
         fk = self._join_on if self._join_on is not None else self._left_key[0]
         joined, _, _ = fk_denormalize(
