@@ -1,0 +1,94 @@
+"""Property-based test (SURVEY §5.4): for ANY interleaving of upserts split
+into ANY batching, the final changelog state equals
+``latest(left) ⋈ latest(right)`` — the algebraic invariant the reference
+maintains by construction.
+
+Each left key has a stable FK (the reference never retracts a left's old FK
+association when it changes — we inherit that gap deliberately, see
+streaming/incremental.py docstring — so FK churn is out of scope here).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.streaming.incremental import IncrementalDenormalize
+from kafka_denormalization_spark.streaming.upsert_join import UPDATE_SCHEMA
+
+LEFT_KEYS = [f"c{i}" for i in range(6)]
+FKS = ["f0", "f1", "f2"]
+
+
+def fk_of(key: str) -> str:
+    return FKS[hash(key) % len(FKS)]
+
+
+update_st = st.one_of(
+    st.tuples(st.just("left"), st.sampled_from(LEFT_KEYS), st.integers(0, 99)),
+    st.tuples(st.just("right"), st.sampled_from(FKS), st.integers(0, 99)),
+)
+
+# a run: up to 24 updates, chopped into up to 5 batches
+runs_st = st.lists(update_st, min_size=1, max_size=24)
+cuts_st = st.lists(st.integers(1, 23), max_size=4, unique=True)
+
+
+def expected_final(updates):
+    """Driver-side model: latest per key both sides, inner join on fk."""
+    latest_left: dict[str, tuple[int, int]] = {}
+    latest_right: dict[str, tuple[int, int]] = {}
+    for seq, (side, key, val) in enumerate(updates):
+        if side == "left":
+            latest_left[key] = (seq, val)
+        else:
+            latest_right[key] = (seq, val)
+    out = {}
+    for k, (_, v) in latest_left.items():
+        fk = fk_of(k)
+        if fk in latest_right:
+            out[k] = (v, latest_right[fk][1])
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(updates=runs_st, cuts=cuts_st)
+def test_incremental_converges_to_latest_join(spark, updates, cuts):
+    rows = []
+    for seq, (side, key, val) in enumerate(updates):
+        fk = fk_of(key) if side == "left" else key
+        rows.append((seq, side, key, fk, json.dumps({"v": val})))
+
+    bounds = sorted({c for c in cuts if c < len(rows)}) + [len(rows)]
+    batches, start = [], 0
+    for b in bounds:
+        if b > start:
+            batches.append(rows[start:b])
+            start = b
+
+    state_dir = tempfile.mkdtemp(prefix="prop_state_")
+    eng = IncrementalDenormalize(spark, state_dir, how="inner")
+    last_emit: dict[str, tuple[int, int]] = {}
+    for batch in batches:
+        df = spark.createDataFrame(batch, UPDATE_SCHEMA)
+        lu = df.filter(F.col("side") == "left").select(
+            "key", "fk", "payload", F.col("seq").alias("version")
+        )
+        ru = df.filter(F.col("side") == "right").select(
+            "key", "fk", "payload", F.col("seq").alias("version")
+        )
+        for r in eng.process_batch(lu, ru).collect():
+            last_emit[r["key"]] = (
+                json.loads(r["left_value"])["v"],
+                json.loads(r["right_value"])["v"],
+            )
+
+    assert last_emit == expected_final(updates)
