@@ -467,6 +467,42 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``); the approx variants are in
+    ``q_approx_stats`` (rows-only — sketch internals are engine-specific)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.75))")[0].alias("p25_price"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.75))")[1].alias("p75_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations: approx distinct + approx quantiles (HLL++ /
+    KLL internals differ per engine -> rows-only driver check; bounds are
+    asserted in pytest)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50_price"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations) with grouping ids."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal (north-star extensions; functions/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -535,6 +571,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
+    "quantiles": q_quantiles,
+    "approx_stats": q_approx_stats,
+    "grouping_sets": q_grouping_sets,
     "window_running_total": q_window_running_total,
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
@@ -624,6 +663,20 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
     FROM s
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """,
+    "quantiles": """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouping_sets": """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "window_running_total": """
     SELECT o_custkey, o_orderkey, o_orderdate,

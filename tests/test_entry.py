@@ -23,6 +23,7 @@ def test_queries_and_oracles_aligned():
         "simhash_pairs",
         "ann_lsh_topk",
         "multimodal_decode",
+        "approx_stats",
     }
 
 

@@ -1,0 +1,92 @@
+"""Batch IO round-trips + approx-sketch bounds + streaming windowed agg."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.sources.batch import read_batch, write_batch
+from kafka_denormalization_spark.sources.kafka import probe_kafka_available
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_batch_roundtrip(spark, comments, fmt, tmp_path):
+    path = os.path.join(str(tmp_path), fmt)
+    write_batch(comments, path, fmt)
+    back = read_batch(
+        spark, path, fmt,
+        schema="by string, id long, parent long, text string, time long, type string, story long",
+    )
+    assert back.count() == comments.count()
+    assert {r["id"] for r in back.select("id").collect()} == {1, 2, 3, 4}
+
+
+def test_schemaless_json_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="schema"):
+        read_batch(spark, str(tmp_path), "json")
+
+
+def test_kafka_probe_is_honest(spark):
+    """The container has no Kafka connector jar; the gate must say so
+    (on a real deployment with --packages it flips to True)."""
+    assert probe_kafka_available(spark) is False
+
+
+def test_approx_stats_within_bounds(spark):
+    from kafka_denormalization_spark.queries import q_approx_stats, q_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["l_returnflag"]: r for r in q_approx_stats(spark, sf).collect()}
+    exact_p50 = {r["l_returnflag"]: r["p50_qty"] for r in q_quantiles(spark, sf).collect()}
+    from kafka_denormalization_spark.engine import table
+
+    li = table(spark, sf, "lineitem")
+    exact_distinct = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("d"))
+        .collect()
+    }
+    for flag, row in approx.items():
+        rel_err = abs(row["approx_orders"] - exact_distinct[flag]) / exact_distinct[flag]
+        assert rel_err < 0.08, f"HLL++ error {rel_err} too large for {flag}"
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """North-star streaming coverage beyond the join: tumbling-window count
+    with a watermark, driven through a real streaming query."""
+    src = os.path.join(str(tmp_path), "ev")
+    rows = [
+        (1, "2024-01-01 00:00:10"),
+        (2, "2024-01-01 00:00:50"),
+        (3, "2024-01-01 00:01:10"),
+        (4, "2024-01-01 00:03:20"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["start"]: r["n"] for r in spark.sql("SELECT * FROM winagg").collect()}
+    assert got == {
+        "2024-01-01 00:00:00": 2,
+        "2024-01-01 00:01:00": 1,
+        "2024-01-01 00:03:00": 1,
+    }
