@@ -389,10 +389,146 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    dim: int = 64,
+    probe: int = 2,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, LSH-bucketed.
+
+    Same candidate topology as MinHash-LSH but over RP signatures: vectors
+    meet if their buckets are within Hamming distance ``probe`` (the probe
+    expansion replicates bucket IDS, never vectors). Exact cosine verifies
+    candidates. For a guaranteed-exhaustive small-corpus baseline use the
+    brute-force ``ngram``-style all-pairs below any threshold instead.
+    """
+    sig = rp_signature(F.col(vec_col), num_planes, dim)
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_bucket")
+    )
+    masks = _probe_masks(num_planes, probe)
+    a = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+        ).alias("_bucket"),
+    )
+    pairs = (
+        a.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cosine_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return pairs
+
+
 def _probe_masks(num_planes: int, probe: int) -> list[int]:
     """All XOR masks over ``num_planes`` bits with popcount <= probe."""
     masks = [m for m in range(1 << num_planes) if bin(m).count("1") <= probe]
     return masks
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse cells + probe-limited exact search
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Coarse quantizer: cells = RP-signature buckets; centroid = elementwise
+    mean of the cell's vectors (a deterministic single-pass k-means-lite —
+    no driver-side randomness, reproducible across runs/retries).
+
+    Columnar: posexplode -> per-(cell, position) avg -> re-assemble. Output:
+    (cell, centroid array<double>, cell_size).
+    """
+    cells = corpus.select(
+        rp_signature(F.col(vec_col), num_planes, dim).alias("_cell"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+    )
+    by_pos = cells.groupBy("_cell", "_pos").agg(
+        F.avg(F.col("_x").cast("double")).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        by_pos.groupBy("_cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+            ).alias("_pm"),
+            F.first("_n").alias("cell_size"),
+        )
+        .select(
+            F.col("_cell").alias("cell"),
+            F.transform(F.col("_pm"), lambda s: s.getField("_m")).alias("centroid"),
+            "cell_size",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    probe_cells: int = 4,
+) -> DataFrame:
+    """IVF approximate NN: each query exact-scores only the ``probe_cells``
+    cells whose centroids are most cosine-similar to it.
+
+    Scale: the centroid table is tiny (<= 2^num_planes rows) and broadcast;
+    the corpus is partitioned by cell once and each query touches
+    probe_cells/2^num_planes of it. Same output shape as ``cosine_topk``.
+    """
+    cents = ivf_centroids(corpus, vec_col, num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        rp_signature(F.col(vec_col), num_planes, dim).alias("cell"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # rank cells per query by centroid cosine, keep probe_cells
+    qc = q.join(F.broadcast(cents), how="cross").select(
+        "query_id", "_qv", "cell", cosine(F.col("_qv"), F.col("centroid")).alias("_cs")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cell"))
+    probed = (
+        qc.withColumn("_cr", F.row_number().over(w_cell))
+        .filter(F.col("_cr") <= probe_cells)
+        .select("query_id", "_qv", "cell")
+    )
+    scored = c.join(F.broadcast(probed), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )
 
 
 def rp_signature(vec: Column, num_planes: int = 16, dim: int = 64) -> Column:

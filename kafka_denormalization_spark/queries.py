@@ -339,6 +339,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.5). probe == num_planes makes
+    the LSH candidate generation exhaustive, so the brute-force all-pairs
+    oracle must match exactly; production uses probe < num_planes."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_fns.cosine_dup_pairs(
+        emb, threshold=0.5, num_planes=4, probe=4
+    ).select("id_a", "id_b")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (coarse cells + probe-limited exact scan).
+    Approximate by design — rows-only check; recall covered by pytest."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_fns.ivf_topk(emb, queries, k=5, num_planes=4, probe_cells=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 _SHINGLES_SQL = (
     "list_distinct(list_transform("
     "range(0, greatest(CAST(len({t}) AS BIGINT) - 2, 0)), "
@@ -569,6 +589,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "cosine_dedup": q_cosine_dedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
     "quantiles": q_quantiles,
@@ -663,6 +685,12 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
     FROM s
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """,
+    "cosine_dedup": f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.5
     """,
     "quantiles": """
     SELECT l_returnflag,

@@ -22,6 +22,7 @@ def test_queries_and_oracles_aligned():
         "join_key_digest",
         "simhash_pairs",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "multimodal_decode",
         "approx_stats",
     }

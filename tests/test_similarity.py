@@ -121,3 +121,58 @@ def test_lsh_ann_finds_exact_duplicate(spark):
     assert len(out) == 1
     assert out[0]["neighbor_id"] == 0
     assert abs(out[0]["sim"] - 1.0) < 1e-9
+
+
+def test_ivf_recall_scales_with_probe(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(pc):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, queries, k=3, num_planes=4, probe_cells=pc).collect()
+        }
+        return len(brute & approx) / len(brute)
+
+    r4, r8 = recall(4), recall(8)
+    assert r8 >= 0.7, f"IVF recall too low at 8/16 cells: {r8}"
+    assert r8 >= r4
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_topk(emb, queries, k=3, num_planes=4, probe_cells=16).collect()
+    }
+    assert full == brute
+
+
+def test_cosine_dup_pairs_exhaustive_probe_is_exact(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_dup_pairs(emb, threshold=0.3, num_planes=4, probe=4).collect()
+    }
+    a, b = emb.alias("a"), emb.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    assert lsh == brute
