@@ -121,5 +121,18 @@ def fingerprint(text: Column | str, n: int = 3) -> Column:
 
     md5 (not xxhash) so the value is engine-independent and oracle-checkable;
     constant 32-char output bounds shuffle width for dedup-by-fingerprint.
+    Expression form (array lambda, interpreted) — for corpus-scale use
+    ``fingerprint_table``, the codegen'd columnar twin.
     """
     return F.array_min(F.transform(ngrams(text, n), F.md5))
+
+
+def fingerprint_table(docs, id_col: str, text_col: str, n: int = 3):
+    """Columnar fingerprint: explode n-grams -> codegen'd min(md5) agg with
+    map-side combine. Docs too short for any n-gram keep a NULL fingerprint
+    via the join-back (same output as the expression form)."""
+    ex = docs.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("_g")
+    )
+    mins = ex.groupBy(id_col).agg(F.min(F.md5(F.col("_g"))).alias("fp"))
+    return docs.select(id_col).join(mins, id_col, "left")

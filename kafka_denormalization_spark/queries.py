@@ -271,9 +271,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style document fingerprint (min md5 over word 3-grams)."""
+    """Winnowing-style document fingerprint (min md5 over word 3-grams),
+    columnar/codegen'd path."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text_fns.fingerprint("text", 3).alias("fp"))
+    return text_fns.fingerprint_table(docs, "doc_id", "text", 3)
 
 
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"

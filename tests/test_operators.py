@@ -59,3 +59,23 @@ def test_copartition_by_fk(spark, comments):
     out = copartition_by_fk(comments, "story", num_partitions=4)
     assert out.rdd.getNumPartitions() == 4
     assert out.count() == comments.count()
+
+
+def test_json_serde_with_reference_schemas(spark):
+    """Round-trip the reference's own sample payloads (README.md:15-33)
+    through the typed schemas; malformed JSON becomes NULL, not an error."""
+    from kafka_denormalization_spark.schemas import COMMENT_SCHEMA
+
+    raw = spark.createDataFrame(
+        [
+            ('{"by":"z","id":1,"parent":2,"text":"t","time":3,"type":"comment","story":9}',),
+            ("not json at all",),
+        ],
+        "value string",
+    )
+    parsed = parse_json(raw, "value", COMMENT_SCHEMA, out="v")
+    rows = parsed.select("v").collect()
+    assert rows[0]["v"]["story"] == 9
+    assert rows[1]["v"] is None or all(
+        rows[1]["v"][f] is None for f in ("by", "id", "story")
+    )
