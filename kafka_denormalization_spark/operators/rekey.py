@@ -28,21 +28,30 @@ def select_key(df: DataFrame, key: Column | str, key_name: str = "key") -> DataF
     return df.select(k.alias(key_name), *[c for c in df.columns if c != key_name])
 
 
-def join_key_digest(fk: Column | str, pk: Column | str | None = None) -> Column:
+def join_key_digest(
+    fk: Column | str, pk: Column | str | None = None, algo: str = "xxhash64"
+) -> Column:
     """Composite join-key digest struct, shape-parity with JoinKey.java:28-43.
 
     ``pk is None`` marks a right-side key (left digest null — the all-zeros
-    marker of schema/JoinKey.java:55). xxhash64 replaces Blake2b: non-crypto,
-    JVM-codegen'd, 8 bytes — same width the demo uses
-    (HackerNewsPipeline.java:42). NOT used for joining (we join on values).
+    marker of schema/JoinKey.java:55). Algorithms replacing Blake2b:
+    ``xxhash64`` (default: non-crypto, JVM-codegen'd, 8 bytes — the width
+    the demo uses, HackerNewsPipeline.java:42) or ``md5`` (slower, but
+    engine-portable: identical hex in Spark/DuckDB/Kafka consumers).
+    NOT used for joining (we join on values).
     """
     fkc = F.col(fk) if isinstance(fk, str) else fk
-    right = F.xxhash64(fkc)
-    if pk is None:
-        left = F.lit(None).cast("long")
+    pkc = (F.col(pk) if isinstance(pk, str) else pk) if pk is not None else None
+    if algo == "xxhash64":
+        right = F.xxhash64(fkc)
+        left = F.xxhash64(pkc) if pkc is not None else F.lit(None).cast("long")
+    elif algo == "md5":
+        right = F.md5(fkc.cast("string"))
+        left = (
+            F.md5(pkc.cast("string")) if pkc is not None else F.lit(None).cast("string")
+        )
     else:
-        pkc = F.col(pk) if isinstance(pk, str) else pk
-        left = F.xxhash64(pkc)
+        raise ValueError(f"unknown digest algo {algo!r} (xxhash64 or md5)")
     return F.struct(right.alias("right_digest"), left.alias("left_digest"))
 
 

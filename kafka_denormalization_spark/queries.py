@@ -169,11 +169,14 @@ def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_key_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JoinKey digest shape (O5/O7/O8) — xxhash64 stand-in for Blake2b; no
-    SQL oracle (engine-specific hash), driver does the rows-only check."""
+    """JoinKey digest shape (O5/O7/O8) — md5 variant so the digest values
+    are engine-portable and DuckDB-checkable (the in-engine default is
+    xxhash64, which has no DuckDB twin)."""
     li = table(spark, sf_dir, "lineitem")
     left_keys = li.select(
-        join_key_digest(F.col("l_orderkey"), F.col("l_linenumber")).alias("join_key"),
+        join_key_digest(
+            F.col("l_orderkey"), F.col("l_linenumber"), algo="md5"
+        ).alias("join_key"),
     )
     return left_keys.select("join_key.right_digest", "join_key.left_digest")
 
@@ -686,6 +689,11 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
     FROM s
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """,
+    "join_key_digest": """
+    SELECT md5(CAST(l_orderkey AS VARCHAR)) AS right_digest,
+           md5(CAST(l_linenumber AS VARCHAR)) AS left_digest
+    FROM lineitem
     """,
     "cosine_dedup": f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings)

@@ -19,7 +19,6 @@ def test_queries_and_oracles_aligned():
     # nested-struct output, engine-specific hashes, approximate ops
     assert set(qs) - set(oracles) == {
         "denorm_nested",
-        "join_key_digest",
         "simhash_pairs",
         "ann_lsh_topk",
         "ann_ivf_topk",
