@@ -77,7 +77,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _joiner(how: str, ttl_ms: int | None = None):
+def _joiner(how: str, ttl_ms: int | None = None, tombstones: bool = True):
     left_outer = how in ("left_outer", "full_outer")
     right_outer = how in ("right_outer", "full_outer")
 
@@ -97,15 +97,33 @@ def _joiner(how: str, ttl_ms: int | None = None):
             right_value, lefts = None, {}
 
         affected: set[str] = set()
+        deleted_lefts: set[str] = set()
         right_updated = False
+        right_deleted = False
+        right_existed = right_value is not None
         for pdf in pdfs:
             for row in pdf.sort_values("seq").itertuples(index=False):
+                is_tombstone = tombstones and (
+                    row.payload is None or row.payload != row.payload  # None/NaN
+                )
                 if row.side == "left":
-                    lefts[row.key] = row.payload
-                    affected.add(row.key)
+                    if is_tombstone:
+                        # delete handling — a gap in the reference (no
+                        # null-value check at JoinTransformer.java:138).
+                        # Retract only if the key actually existed.
+                        if row.key in lefts:
+                            del lefts[row.key]
+                            deleted_lefts.add(row.key)
+                        affected.discard(row.key)
+                    else:
+                        lefts[row.key] = row.payload
+                        affected.add(row.key)
+                        deleted_lefts.discard(row.key)
                 else:
-                    right_value = row.payload
+                    right_value = None if is_tombstone else row.payload
                     right_updated = True
+                    right_deleted = is_tombstone
+                    right_existed = right_existed or not is_tombstone
 
         state.update((right_value, list(lefts.keys()), list(lefts.values())))
         if ttl_ms is not None:
@@ -119,7 +137,13 @@ def _joiner(how: str, ttl_ms: int | None = None):
         for k in emit_keys:
             if right_value is not None or left_outer:
                 out.append((k, fk, lefts[k], right_value))
-        if right_updated and not lefts and right_outer:
+            elif right_deleted and right_existed:
+                # inner join: previously-emitted pairs are now invalid ->
+                # changelog retraction (null values for the output key)
+                out.append((k, fk, None, None))
+        for k in sorted(deleted_lefts):
+            out.append((k, fk, None, None))
+        if right_updated and not lefts and right_outer and right_value is not None:
             out.append((None, fk, None, right_value))
         if out:
             yield pd.DataFrame(out, columns=["key", "fk", "left_value", "right_value"])
@@ -128,7 +152,10 @@ def _joiner(how: str, ttl_ms: int | None = None):
 
 
 def upsert_join(
-    updates: DataFrame, how: str = "inner", ttl_ms: int | None = None
+    updates: DataFrame,
+    how: str = "inner",
+    ttl_ms: int | None = None,
+    tombstones: bool = True,
 ) -> DataFrame:
     """Continuous FK denormalization over a side-tagged update stream.
 
@@ -139,6 +166,12 @@ def upsert_join(
     ``ttl_ms``: evict an FK's state after that many ms without updates
     (processing-time timeout). ``None`` = keep forever, matching the
     reference's compact-topic semantics.
+
+    ``tombstones``: treat a NULL payload as a delete (Kafka compaction
+    convention): the key leaves the index and a retraction record (null
+    values) is emitted for every invalidated join output. The reference
+    ignores deletes entirely (no null-value handling,
+    JoinTransformer.java:138) — set ``tombstones=False`` for bug-parity.
     """
     if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unknown join flavor {how!r}")
@@ -150,7 +183,7 @@ def upsert_join(
     return (
         updates.groupBy(F.col("fk"))
         .applyInPandasWithState(
-            _joiner(how, ttl_ms),
+            _joiner(how, ttl_ms, tombstones),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

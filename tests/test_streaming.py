@@ -228,3 +228,33 @@ def test_continuous_ttl_evicts_state(spark, tmpdir):
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     out = [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
     assert all(r["fk"] != "100" for r in out), out
+
+
+def test_tombstones_delete_and_retract(spark, tmpdir):
+    """NULL payloads are deletes (beyond-reference capability): a deleted
+    comment emits a retraction; a deleted story retracts every joined pair."""
+    b1 = UPDATES_B1 + UPDATES_B2  # comments + stories indexed
+    b2 = [
+        (10, "left", "c2", "100", None),    # delete comment c2
+        (11, "right", "200", "200", None),  # delete story 200 (c3 joined? no right yet for 200)
+    ]
+    src = _write_batches(spark, tmpdir, [b1, b2])
+    out = _run_stream(spark, src, "inner")
+    # batch2 retraction for c2
+    retractions = [r for r in out if r["left_value"] is None and r["right_value"] is None]
+    assert {r["key"] for r in retractions} == {"c2"}
+    # c2's state is gone: a later story update must not re-emit c2
+    b3 = [(12, "right", "100", "100", '{"id": "100", "title": "v3"}')]
+    src2 = _write_batches(spark, str(tmpdir) + "_2", [b1, b2, b3])
+    out3 = _run_stream(spark, src2, "inner")
+    v3_keys = {r["key"] for r in out3 if r["right_value"] and "v3" in r["right_value"]}
+    assert v3_keys == {"c1"}
+
+
+def test_right_tombstone_retracts_all_lefts(spark, tmpdir):
+    b1 = UPDATES_B1 + UPDATES_B2
+    b2 = [(10, "right", "100", "100", None)]  # delete story 100
+    src = _write_batches(spark, tmpdir, [b1, b2])
+    out = _run_stream(spark, src, "inner")
+    retractions = {r["key"] for r in out if r["left_value"] is None and r["right_value"] is None}
+    assert retractions == {"c1", "c2"}
