@@ -258,3 +258,36 @@ def test_right_tombstone_retracts_all_lefts(spark, tmpdir):
     out = _run_stream(spark, src, "inner")
     retractions = {r["key"] for r in out if r["left_value"] is None and r["right_value"] is None}
     assert retractions == {"c1", "c2"}
+
+
+def test_streaming_latest_per_key_suppresses_stragglers(spark, tmpdir):
+    """O2 continuous twin: later-version wins; an out-of-order older record
+    arriving in a later micro-batch is suppressed entirely."""
+    from kafka_denormalization_spark.streaming.latest import (
+        streaming_latest_per_key,
+    )
+
+    src = os.path.join(tmpdir, "lk")
+    b1 = [("a", 5, "a-v5"), ("b", 1, "b-v1")]
+    b2 = [("a", 3, "a-v3-straggler"), ("b", 2, "b-v2")]
+    schema = "key string, version long, payload string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = "lk_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_latest_per_key(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmpdir, "ck_lk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    # batch1 emits both; batch2 emits only b's advance (a's straggler suppressed)
+    assert sorted(rows) == [("a", 5, "a-v5"), ("b", 1, "b-v1"), ("b", 2, "b-v2")]
