@@ -38,6 +38,24 @@ def exact_dedup_by_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.dropDuplicates(list(keys))
 
 
+def near_dedup_keep_min(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Greedy near-dup removal: given similarity ``pairs`` (id_a < id_b),
+    drop every row whose id appears as the GREATER member of a pair — the
+    min-id document of each similarity clique survives.
+
+    One anti-join; no iterative connected components (chains A~B~C with
+    A!~C keep A only if B bridges them via pairs (A,B),(B,C) — B and C both
+    drop; the standard greedy approximation used by large-scale text-dedup
+    pipelines, cheap and deterministic).
+    """
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, [id_col], "left_anti")
+
+
 def exact_dedup_content(
     df: DataFrame,
     content_col: str,

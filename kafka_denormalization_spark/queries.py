@@ -29,6 +29,7 @@ from kafka_denormalization_spark.functions import text as text_fns
 from kafka_denormalization_spark.functions.json_io import parse_json
 from kafka_denormalization_spark.operators import asof as asof_ops
 from kafka_denormalization_spark.operators import window as win_ops
+from kafka_denormalization_spark.operators import dedup as dedup_ops
 from kafka_denormalization_spark.operators.dedup import exact_dedup_content
 from kafka_denormalization_spark.operators.join import fk_denormalize
 from kafka_denormalization_spark.operators.latest import latest_per_key
@@ -315,6 +316,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_fns.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs -> greedy min-id retention.
+    The surviving corpus (what a training-data pipeline actually ships)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = sim_fns.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dedup_ops.near_dedup_keep_min(docs, "doc_id", pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (pigeonhole-bucketed). Engine-specific hash —
     rows-only driver check; recall covered by pytest."""
@@ -589,6 +600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "near_dedup_docs": q_near_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -677,6 +689,11 @@ ORACLE_SQL: dict[str, str] = {
     FROM documents
     """,
     "minhash_lsh_dedup": _JACCARD_PAIRS_SQL,
+    "near_dedup_docs": f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL})
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
     "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
     "ann_cosine_topk": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
