@@ -291,3 +291,24 @@ def test_streaming_latest_per_key_suppresses_stragglers(spark, tmpdir):
     rows = [tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()]
     # batch1 emits both; batch2 emits only b's advance (a's straggler suppressed)
     assert sorted(rows) == [("a", 5, "a-v5"), ("b", 1, "b-v1"), ("b", 2, "b-v2")]
+
+
+def test_continuous_join_on_rocksdb_state_store(spark, tmpdir):
+    """The 100 TB state backend: the same stateful join must run unchanged
+    on the RocksDB state store provider (bundled with Spark; spills state
+    to local disk instead of holding it on the JVM heap)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = _write_batches(spark, tmpdir, [UPDATES_B1, UPDATES_B2])
+        out = _run_stream(spark, src, "inner")
+        emitted = {(r["key"], json.loads(r["right_value"])["title"]) for r in out}
+        assert emitted == {("c1", "story hundred"), ("c2", "story hundred")}
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
