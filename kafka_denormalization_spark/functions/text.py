@@ -127,6 +127,31 @@ def fingerprint(text: Column | str, n: int = 3) -> Column:
     return F.array_min(F.transform(ngrams(text, n), F.md5))
 
 
+def winnow_fingerprints(
+    text: Column | str, n: int = 3, w: int = 4
+) -> Column:
+    """Winnowing proper (Schleimer/Wilkerson/Aiken, SIGMOD'03): md5 each
+    word n-gram, slide a window of ``w`` hashes, keep each window's minimum,
+    distinct the selections. Guarantees: any shared run of w+n-1 tokens
+    between two documents yields at least one shared fingerprint.
+
+    Local-match robust (unlike the single global-min ``fingerprint``);
+    output size ~ len/w, bounded and shuffle-friendly.
+    """
+    hashes = F.transform(ngrams(text, n), F.md5)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(hashes) - w),
+        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+    )
+    windows = F.when(F.size(hashes) >= w, windows).otherwise(
+        # short docs: fall back to the global min (non-empty gram list)
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return F.array_sort(F.array_distinct(windows))
+
+
 def fingerprint_table(docs, id_col: str, text_col: str, n: int = 3):
     """Columnar fingerprint: explode n-grams -> codegen'd min(md5) agg with
     map-side combine. Docs too short for any n-gram keep a NULL fingerprint

@@ -274,6 +274,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", text_fns.lang_id("text").alias("lang_pred"))
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (sliding-window minima of n-gram hashes),
+    exploded to (doc_id, fp) pairs for a stable flat oracle shape."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(text_fns.winnow_fingerprints("text", 3, 4)).alias("fp")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint (min md5 over word 3-grams),
     columnar/codegen'd path."""
@@ -599,6 +608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "winnowing": q_winnowing,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "near_dedup_docs": q_near_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -678,6 +688,26 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "lang_id": f"""
     SELECT doc_id, lang, {_lang_id_sql()} AS lang_pred FROM documents
+    """,
+    "winnowing": f"""
+    WITH t1 AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 range(0, greatest(CAST(len({_TOKS_SQL}) AS BIGINT) - 2, 0)),
+                 i -> array_to_string(({_TOKS_SQL})[i+1:i+3], ' ')
+               ), g -> md5(g)) AS h
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4 THEN
+               list_transform(range(0, len(h) - 3), i -> list_aggregate(h[i+1:i+4], 'min'))
+             WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+             ELSE [] END AS wins
+      FROM t1
+    )
+    SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp FROM t2
     """,
     "fingerprint": f"""
     SELECT doc_id,

@@ -66,3 +66,30 @@ def test_fingerprint_detects_exact_dup(spark):
     )
     fps = [r["f"] for r in df.select(T.fingerprint("text").alias("f")).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing guarantee: documents sharing a run of >= w+n-1 tokens share
+    at least one fingerprint; disjoint documents share none."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+n-1 with n=3,w=4
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"five six {shared} seven eight"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select("doc_id", T.winnow_fingerprints("text", 3, 4).alias("f")).collect()
+    }
+    assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnowing_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    fps = df.select(T.winnow_fingerprints("text", 3, 4).alias("f")).first()["f"]
+    assert len(fps) == 1  # single gram -> global-min fallback
