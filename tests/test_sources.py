@@ -90,3 +90,64 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         "2024-01-01 00:01:00": 1,
         "2024-01-01 00:03:00": 1,
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """O16 streaming form: dropDuplicatesWithinWatermark suppresses
+    re-deliveries inside the watermark horizon."""
+    src = os.path.join(str(tmp_path), "dup")
+    rows = [
+        (1, "2024-01-01 00:00:10"),
+        (1, "2024-01-01 00:00:11"),  # re-delivery, same key
+        (2, "2024-01-01 00:00:12"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckd"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["id"] for r in spark.sql("SELECT id FROM dedup_wm").collect())
+    assert ids == [1, 2]
+
+
+def test_streaming_session_window_agg(spark, tmp_path):
+    """Streaming sessionization via session_window (the built-in gap-window
+    twin of operators.window.sessionize)."""
+    src = os.path.join(str(tmp_path), "sess")
+    rows = [
+        (1, "u", "2024-01-01 00:00:00"),
+        (2, "u", "2024-01-01 00:00:30"),   # same session (gap < 1m)
+        (3, "u", "2024-01-01 00:05:00"),   # new session
+    ]
+    df = spark.createDataFrame(rows, "id long, user string, ts_s string").select(
+        "id", "user", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "1 minute").alias("w"), "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "cks"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    counts = sorted(r["n"] for r in spark.sql("SELECT n FROM sess_out").collect())
+    assert counts == [1, 2]
