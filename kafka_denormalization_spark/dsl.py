@@ -144,6 +144,14 @@ class Denormalize:
 
         left = self._left
         right = self._right
+        fk = self._join_on if self._join_on is not None else self._left_key[0]
+        if self._left_version and fk in self._left_key and not self._broadcast_right:
+            # one exchange serves both the upsert-dedup window and the join:
+            # hash(fk) co-locates every (fk, ...) dedup group AND every join
+            # key (valid only because fk is part of the dedup key; must run
+            # BEFORE the dedup so its window reuses this partitioning).
+            # Measured 2x on non-broadcast joins (docs/SCALE_NOTES.md).
+            left = left.repartition(F.col(fk))
         if self._left_version:
             left = latest_per_key(
                 left, self._left_key, self._left_version, self._latest_strategy
@@ -152,8 +160,6 @@ class Denormalize:
             right = latest_per_key(
                 right, self._right_key, self._right_version, self._latest_strategy
             )
-
-        fk = self._join_on if self._join_on is not None else self._left_key[0]
         joined, _, _ = fk_denormalize(
             left, right, fk, self._right_key[0], how=how,
             broadcast_right=self._broadcast_right,

@@ -78,7 +78,14 @@ _DENORM_COLS = [
 
 
 def _latest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return latest_per_key(table(spark, sf_dir, "lineitem"), LI_KEY, LI_VERSION)
+    """latest(lineitem), pre-partitioned by the join FK.
+
+    l_orderkey is a prefix of the dedup key, so one hash exchange satisfies
+    BOTH the latest-per-key window and any downstream join on l_orderkey —
+    measured 2x on the non-broadcastable full-outer path (3 -> 2 exchanges;
+    docs/SCALE_NOTES.md)."""
+    li = table(spark, sf_dir, "lineitem").repartition(F.col("l_orderkey"))
+    return latest_per_key(li, LI_KEY, LI_VERSION)
 
 
 def _denorm(spark: SparkSession, sf_dir: str, how: str, right_filter: bool) -> DataFrame:
