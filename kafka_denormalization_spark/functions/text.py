@@ -153,11 +153,16 @@ def winnow_fingerprints(
 
 
 def fingerprint_table(docs, id_col: str, text_col: str, n: int = 3):
-    """Columnar fingerprint: explode n-grams -> codegen'd min(md5) agg with
-    map-side combine. Docs too short for any n-gram keep a NULL fingerprint
-    via the join-back (same output as the expression form)."""
-    ex = docs.select(
-        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("_g")
+    """Columnar fingerprint: codegen'd gram rows (posexplode + window lead,
+    see similarity.word_gram_rows) -> min(md5) agg with map-side combine.
+    Docs too short for any n-gram keep a NULL fingerprint via the join-back
+    (same output as the expression form)."""
+    from kafka_denormalization_spark.functions.similarity import word_gram_rows
+
+    ex = word_gram_rows(docs, id_col, text_col, n)
+    mins = (
+        ex.groupBy("_id")
+        .agg(F.min(F.md5(F.col("_g"))).alias("fp"))
+        .withColumnRenamed("_id", id_col)
     )
-    mins = ex.groupBy(id_col).agg(F.min(F.md5(F.col("_g"))).alias("fp"))
     return docs.select(id_col).join(mins, id_col, "left")
