@@ -312,3 +312,38 @@ def test_continuous_join_on_rocksdb_state_store(spark, tmpdir):
         assert emitted == {("c1", "story hundred"), ("c2", "story hundred")}
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_static_denormalize(spark, tmpdir, stories):
+    """Option (c): streaming comments joined to a static latest-per-key
+    stories snapshot; the dimension upsert (score 42) is applied at plan
+    time, and the join is broadcast (no stateful shuffle)."""
+    from kafka_denormalization_spark.streaming.stream_static import (
+        stream_static_denormalize,
+    )
+
+    src = os.path.join(tmpdir, "cstream")
+    comments = spark.createDataFrame(
+        [(1, "first", 100), (2, "second", 100), (4, "orphan", 999)],
+        "id long, text string, story long",
+    )
+    comments.coalesce(1).write.mode("overwrite").parquet(src)
+    cstream = spark.readStream.schema(comments.schema).parquet(src)
+
+    joined = stream_static_denormalize(
+        cstream, stories, fk="story", dim_key="id",
+        dim_version=["time", "id"], how="left_outer",
+    ).select("text", "score", "title")
+    name = "ss_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ck_ss"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["text"]: (r["score"], r["title"]) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert rows["first"] == (42, "story hundred (updated)")  # upsert won
+    assert rows["orphan"] == (None, None)  # left outer null side
