@@ -593,6 +593,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_fns.decode_images(blobs, "id", "blob")
 
 
+def q_denorm_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct output WITH a DuckDB struct_pack oracle — an
+    experiment in hashing nested cells cross-engine (locally both engines
+    yield identical python dicts via Arrow/pandas). The flagship
+    `denorm_nested` keeps the guaranteed rows-only check; this twin probes
+    whether the driver's hasher handles structs, informing round 2."""
+    return q_denorm_nested(spark, sf_dir)
+
+
+_NESTED_ORACLE_SQL = f"""
+    WITH li AS ({_LI_LATEST_SQL})
+    SELECT concat(li.l_orderkey, '-', li.l_linenumber) AS key,
+           struct_pack(l_orderkey := li.l_orderkey, l_partkey := l_partkey,
+                       l_suppkey := l_suppkey, l_linenumber := l_linenumber,
+                       l_quantity := l_quantity, l_extendedprice := l_extendedprice,
+                       l_discount := l_discount, l_tax := l_tax,
+                       l_returnflag := l_returnflag, l_linestatus := l_linestatus,
+                       l_shipdate := l_shipdate) AS item,
+           struct_pack(o_orderkey := o_orderkey, o_custkey := o_custkey,
+                       o_orderstatus := o_orderstatus, o_totalprice := o_totalprice,
+                       o_orderdate := o_orderdate, o_orderpriority := o_orderpriority) AS "order"
+    FROM li JOIN orders ON li.l_orderkey = orders.o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -603,6 +628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denorm_right_outer": q_denorm_right_outer,
     "denorm_full_outer": q_denorm_full_outer,
     "denorm_nested": q_denorm_nested,
+    "denorm_nested_struct": q_denorm_nested_struct,
     "two_hop_denorm": q_two_hop_denorm,
     "latest_per_key": q_latest_per_key,
     "rekey_select_key": q_rekey_select_key,
@@ -643,6 +669,7 @@ ORACLE_SQL: dict[str, str] = {
     "denorm_left_outer": _denorm_sql("LEFT JOIN", right_filter=True),
     "denorm_right_outer": _denorm_sql("RIGHT JOIN", right_filter=False),
     "denorm_full_outer": _denorm_sql("FULL JOIN", right_filter=True),
+    "denorm_nested_struct": _NESTED_ORACLE_SQL,
     "two_hop_denorm": f"""
     WITH li AS ({_LI_LATEST_SQL})
     SELECT l_orderkey, l_linenumber, l_extendedprice,
