@@ -28,6 +28,7 @@ from kafka_denormalization_spark.functions import similarity as sim_fns
 from kafka_denormalization_spark.functions import text as text_fns
 from kafka_denormalization_spark.functions.json_io import parse_json
 from kafka_denormalization_spark.operators import asof as asof_ops
+from kafka_denormalization_spark.operators import range_join as range_ops
 from kafka_denormalization_spark.operators import window as win_ops
 from kafka_denormalization_spark.operators import dedup as dedup_ops
 from kafka_denormalization_spark.operators.dedup import exact_dedup_content
@@ -561,6 +562,39 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: error events within 10 minutes AFTER a click by the same
+    user (bucketized equi-join; DuckDB inequality join is the oracle)."""
+    ev = events_table(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts_us").alias("err_ts"), F.col("event_id").alias("err_id")
+    )
+    ten_min = 10 * 60 * 1_000_000
+    return range_ops.range_join(
+        clicks, errors, on="user_id", left_ts="click_ts", right_ts="err_ts",
+        lower=0, upper=ten_min,
+    ).select("user_id", "click_id", "err_id", "click_ts", "err_ts")
+
+
+def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: 5-minute continuous aggregate of
+    the events stream per type (the batch twin of a windowed streaming agg)."""
+    ev = events_table(spark, sf_dir)
+    bucket = F.expr("ts_us DIV 300000000").cast("long")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        ev.groupBy(bucket.alias("bucket_5m"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``); the approx variants are in
@@ -695,6 +729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_dedup": q_cosine_dedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
+    "range_join": q_range_join,
+    "rollup_timeseries": q_rollup_timeseries,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "quantiles": q_quantiles,
@@ -826,6 +862,28 @@ ORACLE_SQL: dict[str, str] = {
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.5
+    """,
+    "range_join": """
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS click_ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'
+    ),
+    errs AS (
+      SELECT user_id, epoch_us(ts) AS err_ts, event_id AS err_id FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT clicks.user_id, click_id, err_id, click_ts, err_ts
+    FROM clicks JOIN errs
+      ON clicks.user_id = errs.user_id
+     AND err_ts >= click_ts AND err_ts <= click_ts + 600000000
+    """,
+    "rollup_timeseries": """
+    SELECT epoch_us(ts) // 300000000 AS bucket_5m, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
     """,
     "shipping_priority": """
     SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -84,3 +84,30 @@ def test_asof_single_shuffle(spark):
     b = spark.createDataFrame([("u", 1, 2)], "k string, ts2 long, w long")
     out = asof_join(a, b, on="k", left_ts="ts", right_ts="ts2")
     assert count_exchanges(out) == 1
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Bucketized range join: matches spanning a bucket boundary are found
+    (the 2-bucket probe), bounds are inclusive, out-of-range drops."""
+    from kafka_denormalization_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame([("u", 95, 1)], "k string, ts long, lid int")
+    right = spark.createDataFrame(
+        [("u", 95, 10), ("u", 105, 11), ("u", 96, 12), ("u", 106, 13), ("u", 94, 14)],
+        "k string, rts long, rid int",
+    )
+    # window [ts+0, ts+10] = [95, 105]: rids 10 (==lower), 11 (==upper), 12; not 13/14
+    out = range_join(left, right, on="k", left_ts="ts", right_ts="rts", lower=0, upper=10)
+    assert sorted(r["rid"] for r in out.collect()) == [10, 11, 12]
+
+
+def test_range_join_negative_window(spark):
+    from kafka_denormalization_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame([("u", 100, 1)], "k string, ts long, lid int")
+    right = spark.createDataFrame(
+        [("u", 92, 10), ("u", 100, 11), ("u", 89, 12)], "k string, rts long, rid int"
+    )
+    # [ts-10, ts+0] = [90, 100]
+    out = range_join(left, right, on="k", left_ts="ts", right_ts="rts", lower=-10, upper=0)
+    assert sorted(r["rid"] for r in out.collect()) == [10, 11]
