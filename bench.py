@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "window_running_total",
     "sessionize",
     "asof_join",
+    "range_join",
+    "rollup_timeseries",
+    "near_dedup_docs",
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 
