@@ -92,3 +92,59 @@ def test_incremental_converges_to_latest_join(spark, updates, cuts):
             )
 
     assert last_emit == expected_final(updates)
+
+
+import random as _random
+
+
+def _brute_range_pairs(lefts, rights, lower, upper):
+    out = set()
+    for (lk, lts, lid) in lefts:
+        for (rk, rts, rid) in rights:
+            if lk == rk and lts + lower <= rts <= lts + upper:
+                out.add((lid, rid))
+    return out
+
+
+def test_range_join_randomized_vs_bruteforce(spark):
+    """Randomized cross-check: bucketized range join == O(n^2) reference
+    model across window shapes (positive, negative, zero-width)."""
+    from kafka_denormalization_spark.operators.range_join import range_join
+
+    rng = _random.Random(42)
+    for lower, upper in [(0, 7), (-5, 5), (3, 3), (-9, -2)]:
+        lefts = [(rng.choice("ab"), rng.randrange(0, 40), i) for i in range(25)]
+        rights = [(rng.choice("ab"), rng.randrange(0, 40), 100 + i) for i in range(25)]
+        ldf = spark.createDataFrame(lefts, "k string, ts long, lid int")
+        rdf = spark.createDataFrame(rights, "k string, rts long, rid int")
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+                                lower=lower, upper=upper).collect()
+        }
+        assert got == _brute_range_pairs(lefts, rights, lower, upper), (lower, upper)
+
+
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """Randomized cross-check: union-and-window as-of == per-row max model."""
+    from kafka_denormalization_spark.operators.asof import asof_join
+
+    rng = _random.Random(7)
+    lefts = [(rng.choice("xy"), rng.randrange(0, 60), i) for i in range(30)]
+    rights = [(rng.choice("xy"), rng.randrange(0, 60), 100 + i) for i in range(30)]
+    # determinism: the operator breaks right-ts ties arbitrarily; keep one
+    # right per (key, ts)
+    seen = {}
+    for k, ts, rid in rights:
+        seen[(k, ts)] = rid
+    rights = [(k, ts, rid) for (k, ts), rid in seen.items()]
+    ldf = spark.createDataFrame(lefts, "k string, ts long, lid int")
+    rdf = spark.createDataFrame(rights, "k string, rts long, rid int")
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    for k, ts, lid in lefts:
+        cands = [(rts, rid) for (rk, rts, rid) in rights if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, ts)
