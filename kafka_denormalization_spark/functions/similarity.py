@@ -90,10 +90,15 @@ def word_gram_rows(
     id, which downstream per-doc aggregations reuse (subset rule).
     Duplicated grams are kept (min-hash is duplicate-insensitive; call
     ``.distinct()`` for set semantics)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
     )
+    if n == 1:
+        # unigrams: every token is a gram; no window, no lead, no filter
+        return toks.select("_id", F.col("_t").alias("_g"))
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = [F.lead("_t", i).over(w) for i in range(1, n)]
     gram = F.concat_ws(" ", F.col("_t"), *leads)

@@ -18,6 +18,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,9 +37,24 @@ def range_join(
     """Equi-bucketized range join. ``lower``/``upper`` are inclusive offsets
     in the ts unit (e.g. microseconds). Output: all left columns + all
     right columns except the duplicated key.
+
+    ``how``: ``inner`` or ``left_outer``. The bucket explosion copies each
+    left row into up to 2 buckets, so outer flavors CANNOT ride the joined
+    plan directly (an unmatched copy would emit a spurious null-extended
+    row per bucket). ``left_outer`` is therefore inner ∪ (left rows with no
+    match), where "no match" is a null-safe all-column anti-join against the
+    inner result's left projection — exact for duplicate left rows too,
+    since identical rows have identical match sets. Right-preserving
+    flavors are rejected (swap the sides and negate the window instead).
     """
     if upper < lower:
         raise ValueError("upper must be >= lower")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left_outer', got {how!r}; "
+            "for right-preserving joins swap left/right and use "
+            "[-upper, -lower] as the window"
+        )
     width = max(upper - lower, 1)
     overlap = (set(left.columns) & set(right.columns)) - {on}
     if overlap:
@@ -66,5 +83,21 @@ def range_join(
         & (r[right_ts] >= l[left_ts] + F.lit(lower))
         & (r[right_ts] <= l[left_ts] + F.lit(upper))
     )
-    joined = l.join(r, cond, how)
-    return joined.drop(r[on]).drop(l["_b"]).drop(r["_b"])
+    inner = l.join(r, cond, "inner").drop(r[on]).drop(l["_b"]).drop(r["_b"])
+    if how == "inner":
+        return inner
+
+    # left_outer: union the inner result with one null-extended row per
+    # unmatched ORIGINAL left row (never per exploded bucket copy)
+    matched = inner.select(*left.columns).distinct()
+    anti_cond = functools.reduce(
+        lambda a, b: a & b,
+        [left[c].eqNullSafe(matched[c]) for c in left.columns],
+    )
+    unmatched = left.join(matched, anti_cond, "left_anti")
+    null_right = [
+        F.lit(None).cast(right.schema[c].dataType).alias(c)
+        for c in right.columns
+        if c != on
+    ]
+    return inner.unionByName(unmatched.select(*left.columns, *null_right))

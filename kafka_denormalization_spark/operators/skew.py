@@ -33,9 +33,20 @@ def salted_join(
     monotonically increasing id — deterministic per task layout but
     effectively uniform; the small side is exploded ``salt`` times.
     Output columns: big.* + small.* (minus the duplicate key).
+
+    Only the big-side-preserving flavors are valid: the small side is
+    replicated ``salt`` times, so right_outer/full_outer would emit each
+    unmatched small-side row once per replica. Put the preserved side on
+    ``big`` (it carries the skew anyway) or dedup downstream.
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left_outer', got {how!r}: "
+            "small-side-preserving flavors would duplicate unmatched small rows "
+            "(one per salt replica)"
+        )
     b = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )

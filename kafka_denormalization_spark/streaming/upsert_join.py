@@ -101,8 +101,17 @@ def _joiner(how: str, ttl_ms: int | None = None, tombstones: bool = True):
         right_updated = False
         right_deleted = False
         right_existed = right_value is not None
-        for pdf in pdfs:
-            for row in pdf.sort_values("seq").itertuples(index=False):
+        # applyInPandasWithState delivers one group's batch as MULTIPLE Arrow
+        # chunks (~10k rows each); sorting per-chunk would let a lower-seq
+        # row in a later chunk overwrite a higher-seq one. Materialize the
+        # whole group (bounded by one FK's batch volume) and sort ONCE so
+        # last-write-wins follows the global seq order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(rows):
+            for row in rows.sort_values("seq", kind="stable").itertuples(index=False):
                 is_tombstone = tombstones and (
                     row.payload is None or row.payload != row.payload  # None/NaN
                 )

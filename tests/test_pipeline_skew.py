@@ -80,3 +80,15 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
     out = salted_join(big, small, "k", "sk", salt=3, how="left_outer")
     got = {(r["k"], r["w"]) for r in out.select("k", "w").collect()}
     assert got == {("a", 9.0), ("orphan", None)}
+
+
+def test_salted_join_rejects_small_side_preserving(spark):
+    import pytest as _pytest
+
+    from kafka_denormalization_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "d")], "k long, d string")
+    for how in ("right_outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(big, small, "k", "k", salt=4, how=how)

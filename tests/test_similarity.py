@@ -176,3 +176,31 @@ def test_cosine_dup_pairs_exhaustive_probe_is_exact(spark):
         .collect()
     }
     assert lsh == brute
+
+
+def test_word_gram_rows_unigrams(spark):
+    """n=1 must yield every token (regression: IndexError on empty leads)."""
+    from kafka_denormalization_spark.functions.similarity import word_gram_rows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "x y")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["_id"], r["_g"])
+        for r in word_gram_rows(docs, "doc_id", "text", n=1).collect()
+    )
+    assert rows == [(1, "a"), (1, "b"), (1, "c"), (2, "solo"), (3, "x"), (3, "y")]
+
+
+def test_minhash_signature_unigram_pipeline(spark):
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_signature_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "zz")], "doc_id long, text string"
+    )
+    sigs = minhash_signature_table(docs, "doc_id", "text", n=1, num_hashes=8)
+    got = {r["_id"]: [r[f"_h{i}"] for i in range(8)] for r in sigs.collect()}
+    assert got[1] == got[2]  # identical unigram sets -> identical signatures
+    assert got[1] != got[3]

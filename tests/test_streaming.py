@@ -347,3 +347,69 @@ def test_stream_static_denormalize(spark, tmpdir, stories):
     rows = {r["text"]: (r["score"], r["title"]) for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert rows["first"] == (42, "story hundred (updated)")  # upsert won
     assert rows["orphan"] == (None, None)  # left outer null side
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing the joiner function."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+    def remove(self):
+        self._value = None
+
+
+def test_joiner_sorts_across_arrow_chunks():
+    """Regression: applyInPandasWithState delivers a group's rows as
+    multiple Arrow chunks. A lower-seq update in a LATER chunk must not
+    overwrite a higher-seq one from an earlier chunk — the joiner has to
+    sort the whole group by seq, not per-chunk."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.streaming.upsert_join import _joiner
+
+    cols = ["seq", "side", "key", "fk", "payload"]
+    # chunk 1 carries the NEWER updates (higher seq); chunk 2 the older ones
+    chunk1 = pd.DataFrame(
+        [
+            (10, "left", "c1", "100", '{"v": "new"}'),
+            (11, "right", "100", "100", '{"title": "new title"}'),
+        ],
+        columns=cols,
+    )
+    chunk2 = pd.DataFrame(
+        [
+            (5, "left", "c1", "100", '{"v": "old"}'),
+            (6, "right", "100", "100", '{"title": "old title"}'),
+        ],
+        columns=cols,
+    )
+    state = _FakeGroupState()
+    out = list(_joiner("inner")(("100",), iter([chunk1, chunk2]), state))
+    emitted = pd.concat(out, ignore_index=True)
+    assert list(emitted["left_value"]) == ['{"v": "new"}']
+    assert list(emitted["right_value"]) == ['{"title": "new title"}']
+    right_value, left_keys, left_values = state.get
+    assert right_value == '{"title": "new title"}'
+    assert dict(zip(left_keys, left_values)) == {"c1": '{"v": "new"}'}
+
+
+def test_joiner_empty_chunk_iterator():
+    """TTL timeout invocations can hand the joiner zero input chunks."""
+    from kafka_denormalization_spark.streaming.upsert_join import _joiner
+
+    state = _FakeGroupState(("{}", ["c1"], ["{}"]))
+    out = list(_joiner("inner")(("100",), iter([]), state))
+    assert out == []  # nothing updated -> nothing emitted

@@ -111,3 +111,70 @@ def test_range_join_negative_window(spark):
     # [ts-10, ts+0] = [90, 100]
     out = range_join(left, right, on="k", left_ts="ts", right_ts="rts", lower=-10, upper=0)
     assert sorted(r["rid"] for r in out.collect()) == [10, 11]
+
+
+def test_range_join_left_outer(spark):
+    """left_outer must emit exactly ONE null-extended row per unmatched
+    left row — never one per exploded bucket copy — and no null row for a
+    left matched in only one of its two bucket probes."""
+    from kafka_denormalization_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame(
+        [("a", 5, "m"), ("a", 5, "m"), ("a", 100, "u"), ("b", 7, "u")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame([("a", 9)], "k string, rts long")
+    out = range_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", lower=0, upper=10,
+        how="left_outer",
+    ).collect()
+    rows = sorted((r["k"], r["ts"], r["tag"], r["rts"]) for r in out)
+    # both duplicate matched rows keep their match; each unmatched left
+    # appears exactly once with a null right
+    assert rows == [
+        ("a", 5, "m", 9),
+        ("a", 5, "m", 9),
+        ("a", 100, "u", None),
+        ("b", 7, "u", None),
+    ]
+
+
+def test_range_join_rejects_right_preserving(spark):
+    import pytest as _pytest
+
+    from kafka_denormalization_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame([("a", 1)], "k string, ts long")
+    right = spark.createDataFrame([("a", 2)], "k string, rts long")
+    for how in ("right_outer", "full_outer", "left_semi"):
+        with _pytest.raises(ValueError):
+            range_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                       lower=0, upper=10, how=how)
+
+
+def test_range_join_left_outer_randomized_vs_bruteforce(spark):
+    import random
+
+    from kafka_denormalization_spark.operators.range_join import range_join
+
+    rng = random.Random(7)
+    lrows = [(str(rng.randint(0, 3)), rng.randint(0, 200), i) for i in range(60)]
+    rrows = [(str(rng.randint(0, 3)), rng.randint(0, 200), i) for i in range(40)]
+    ldf = spark.createDataFrame(lrows, "k string, ts long, lid long")
+    rdf = spark.createDataFrame(rrows, "k string, rts long, rid long")
+    got = sorted(
+        (r["k"], r["ts"], r["lid"], r["rts"], r["rid"])
+        for r in range_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+                            lower=-15, upper=15, how="left_outer").collect()
+    )
+    expect = []
+    for lk, lts, lid in lrows:
+        matches = [
+            (rk, rts, rid) for rk, rts, rid in rrows
+            if rk == lk and lts - 15 <= rts <= lts + 15
+        ]
+        if matches:
+            expect.extend((lk, lts, lid, rts, rid) for _, rts, rid in matches)
+        else:
+            expect.append((lk, lts, lid, None, None))
+    assert got == sorted(expect)
