@@ -9,35 +9,51 @@ plays one micro-batch:
 - left update -> join against latest right, emit (JoinTransformer.java:152-158)
 - right update -> re-emit ALL lefts for that FK (JoinTransformer.java:168-186)
 - latest-per-key upsert state on both sides (StreamDenormalize.java:66-69)
-- no retraction of a left's old FK association when its FK changes — the
-  reference has the same gap (old index entries are never tombstoned; no
-  null-value handling at JoinTransformer.java:138). Production path: Delta
-  MERGE with delete.
+- left FK-change retraction (``retract_fk_changes``, default on): a left
+  update whose FK differs from the stored association deletes the stale
+  (key, old_fk) index row and emits a retraction record for it. The
+  reference has the exact same staleness gap and never fixes it (old index
+  entries are never tombstoned; no null-value check at
+  JoinTransformer.java:138) — pass ``retract_fk_changes=False`` for
+  bug-parity.
 
 Scale notes (100 TB):
 - state is partitioned by pmod(xxhash64(fk), n_buckets): a micro-batch
   rewrites ONLY the buckets it touches (dynamic partition overwrite), and
   every read is partition-pruned to the touched buckets — merge cost is
   O(touched state), not O(total state).
+- NO driver-side collect anywhere: touched-bucket pruning is a broadcast
+  semi-join on the partition column (Catalyst's dynamic partition pruning
+  turns it into directory-level pruning); bucket targets for the writer
+  come from the data itself via dynamic partition overwrite.
+- every bucket a batch touches gets a sentinel row (NULL key) so dynamic
+  overwrite rewrites it even when deletions empty it — otherwise stale
+  rows would survive on disk in deletion-only buckets.
 - the LEFT state is bucketed by FK (not by left key) because both the join
   and the right-update fan-out are FK-addressed — the same reason the
   reference prefix-scans on the FK digest (schema/JoinKey.java:94-99).
+  FK-change detection therefore needs a second, KEY-bucketed index
+  (key -> latest fk/version), read pruned to the batch's key buckets.
 - per-FK skew concentrates a hot FK's lefts in one bucket; raise n_buckets
   or use the continuous mode's AQE-planned join for emit.
 - payloads are opaque JSON strings (the reference's serde-opaque values);
   the typed projection happens at the edges.
+- state paths go through Spark's Hadoop filesystem layer (no ``os.path``),
+  so ``state_dir`` may live on HDFS/S3, not just the driver's local disk.
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_denormalization_spark.operators.latest import latest_per_key
 
 _STATE_SCHEMA = "key string, fk string, payload string, version long, bucket int"
+_KEY_INDEX_SCHEMA = "key string, fk string, version long, kbucket int"
 
 
 class IncrementalDenormalize:
@@ -53,6 +69,7 @@ class IncrementalDenormalize:
         state_dir: str,
         how: str = "inner",
         n_buckets: int = 32,
+        retract_fk_changes: bool = True,
     ) -> None:
         if how not in ("inner", "left_outer", "right_outer", "full_outer"):
             raise ValueError(f"unknown join flavor {how!r}")
@@ -60,38 +77,92 @@ class IncrementalDenormalize:
         self.state_dir = state_dir
         self.how = how
         self.n_buckets = n_buckets
+        self.retract_fk_changes = retract_fk_changes
         self._left_dir = os.path.join(state_dir, "left")
         self._right_dir = os.path.join(state_dir, "right")
+        self._key_index_dir = os.path.join(state_dir, "key_index")
 
     # -- state helpers -------------------------------------------------------
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
-    def _read_state(self, path: str, buckets: list[int] | None) -> DataFrame:
-        if not os.path.exists(path):
-            return self.spark.createDataFrame([], _STATE_SCHEMA)
-        df = self.spark.read.schema(_STATE_SCHEMA).parquet(path)
-        if buckets is not None:
-            df = df.filter(F.col("bucket").isin(buckets))  # partition-pruned
+    def _read(self, path: str, schema: str, prune: DataFrame | None, col: str) -> DataFrame:
+        """Read a bucketed state table, partition-pruned to the buckets in
+        ``prune`` (a 1-column DataFrame named ``col``). Pruning is a
+        broadcast semi-join on the partition column — dynamic partition
+        pruning skips the untouched directories; no driver collect.
+        Missing path (first batch) -> empty frame, whatever the filesystem
+        (probed by the read itself, not ``os.path``)."""
+        try:
+            df = self.spark.read.schema(schema).parquet(path)
+            # force the scan to notice nonexistent paths eagerly
+            if not df.schema.fields:
+                return self.spark.createDataFrame([], schema)
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
+        df = df.filter(F.col("key").isNotNull())  # drop writer sentinels
+        if prune is not None:
+            df = df.join(F.broadcast(prune), on=col, how="left_semi")
         return df
 
-    def _merge_state(self, path: str, updates: DataFrame) -> None:
-        """Copy-on-write upsert: rewrite only the buckets the batch touches."""
-        updates = updates.withColumn("bucket", self._bucket(F.col("fk"))).cache()
-        touched = [r["bucket"] for r in updates.select("bucket").distinct().collect()]
-        if not touched:
-            return
-        existing = self._read_state(path, touched)
+    def _merge_state(
+        self, path: str, updates: DataFrame, deletes: DataFrame | None = None
+    ) -> None:
+        """Copy-on-write upsert: rewrite only the buckets the batch touches.
+
+        ``updates``: (key, fk, payload, version) rows to upsert (latest
+        version per (key, fk) wins). ``deletes``: (key, fk) pairs to remove.
+        Every touched bucket gets a NULL-key sentinel row so dynamic
+        partition overwrite rewrites it even if it ends up empty."""
+        updates = updates.withColumn("bucket", self._bucket(F.col("fk")))
+        touched = updates.select("bucket").distinct()
+        if deletes is not None:
+            touched = (
+                touched.unionByName(
+                    deletes.select(self._bucket(F.col("fk")).alias("bucket")).distinct()
+                ).distinct()
+            )
+        existing = self._read(path, _STATE_SCHEMA, touched, "bucket")
         merged = latest_per_key(
             existing.unionByName(updates), ["key", "fk"], ["version"]
         )
+        if deletes is not None:
+            merged = merged.join(
+                F.broadcast(deletes.select("key", "fk")), ["key", "fk"], "left_anti"
+            )
+        sentinels = touched.select(
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("fk"),
+            F.lit(None).cast("string").alias("payload"),
+            F.lit(0).cast("long").alias("version"),
+            F.col("bucket"),
+        )
         (
-            merged.repartition(len(touched), F.col("bucket"))
+            merged.unionByName(sentinels)
+            .repartition(F.col("bucket"))
             .write.partitionBy("bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(path)
+        )
+
+    def _merge_key_index(self, updates: DataFrame) -> None:
+        """Upsert (key -> latest fk/version) into the KEY-bucketed index.
+        Index rows are only ever upserted (never deleted), so every touched
+        kbucket carries at least its update rows — no sentinels needed."""
+        updates = updates.withColumn("kbucket", self._bucket(F.col("key")))
+        touched = updates.select("kbucket").distinct()
+        existing = self._read(self._key_index_dir, _KEY_INDEX_SCHEMA, touched, "kbucket")
+        merged = latest_per_key(
+            existing.unionByName(updates), ["key"], ["version", "fk"]
+        )
+        (
+            merged.repartition(F.col("kbucket"))
+            .write.partitionBy("kbucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self._key_index_dir)
         )
 
     # -- one micro-batch -----------------------------------------------------
@@ -101,6 +172,7 @@ class IncrementalDenormalize:
     ) -> DataFrame:
         """Apply one micro-batch of updates (either side may be None/empty);
         return the changelog to emit: (key, fk, left_value, right_value).
+        FK-change retractions come out as (key, old_fk, NULL, NULL).
 
         Inputs must have columns (key, fk, payload, version); for the right
         side fk == key (RightKeyMapper.java:16-18). Use
@@ -108,30 +180,75 @@ class IncrementalDenormalize:
         """
         spark = self.spark
         empty = spark.createDataFrame([], "key string, fk string, payload string, version long")
-        lu = (left_updates or empty).select("key", "fk", "payload", "version").cache()
-        ru = (right_updates or empty).select("key", "fk", "payload", "version").cache()
+        caches: list[DataFrame] = []
 
-        self._merge_state(self._left_dir, lu)
+        def cached(df: DataFrame) -> DataFrame:
+            df = df.cache()
+            caches.append(df)
+            return df
+
+        lu = cached((left_updates or empty).select("key", "fk", "payload", "version"))
+        ru = cached((right_updates or empty).select("key", "fk", "payload", "version"))
+
+        stale = None
+        if self.retract_fk_changes:
+            # per-batch winner per KEY (not per (key, fk)): an FK move is a
+            # new association for the same key, and out-of-order stragglers
+            # (version below the stored one) must not apply at all
+            lu_latest = latest_per_key(lu, ["key"], ["version", "fk", "payload"])
+            kidx = self._read(
+                self._key_index_dir,
+                _KEY_INDEX_SCHEMA,
+                lu_latest.select(self._bucket(F.col("key")).alias("kbucket")).distinct(),
+                "kbucket",
+            ).select(
+                "key",
+                F.col("fk").alias("_old_fk"),
+                F.col("version").alias("_old_ver"),
+            )
+            # EAGER checkpoint before any state write: this frame reads the
+            # pre-merge key index, which the merge below overwrites — lazy
+            # recomputation after the write would silently resolve against
+            # the NEW index (no stale rows, no retractions). Truncating the
+            # lineage pins the pre-merge view; the frame is batch-sized.
+            resolved = lu_latest.join(kidx, on="key", how="left_outer").localCheckpoint()
+            winners = resolved.filter(
+                F.col("_old_ver").isNull() | (F.col("version") >= F.col("_old_ver"))
+            )
+            lu_apply = winners.select("key", "fk", "payload", "version")
+            stale = winners.filter(
+                F.col("_old_fk").isNotNull() & (F.col("_old_fk") != F.col("fk"))
+            ).select("key", F.col("_old_fk").alias("fk"))
+            self._merge_state(self._left_dir, lu_apply, deletes=stale)
+            self._merge_key_index(lu_apply.select("key", "fk", "version"))
+        else:
+            lu_apply = lu
+            self._merge_state(self._left_dir, lu)
         self._merge_state(self._right_dir, ru)
 
-        # affected FK set drives every read below (partition-pruned)
+        # affected FK set drives every state read below (partition-pruned);
+        # stale old-FKs are included so retractions can look up their rights
         left_fks = lu.select(F.col("fk")).distinct()
-        right_fks = ru.select(F.col("fk")).distinct()
-        affected = left_fks.unionByName(right_fks).distinct().cache()
-        fk_buckets = [
-            r["b"] for r in affected.select(self._bucket(F.col("fk")).alias("b")).distinct().collect()
-        ]
+        right_fks = cached(ru.select(F.col("fk")).distinct())
+        affected = left_fks.unionByName(right_fks)
+        if stale is not None:
+            affected = affected.unionByName(stale.select("fk"))
+        affected = cached(affected.distinct())
+        fk_buckets = affected.select(self._bucket(F.col("fk")).alias("bucket")).distinct()
 
-        lstate = self._read_state(self._left_dir, fk_buckets)
-        rstate = self._read_state(self._right_dir, fk_buckets)
+        lstate = self._read(self._left_dir, _STATE_SCHEMA, fk_buckets, "bucket")
+        rstate = cached(
+            self._read(self._right_dir, _STATE_SCHEMA, fk_buckets, "bucket")
+            .join(affected, ["fk"], "left_semi")
+        )
 
         # lefts to emit: updated lefts + full fan-out for FKs whose right changed
-        updated_left_keys = lu.select("key", "fk").distinct()
+        updated_left_keys = lu_apply.select("key", "fk").distinct()
         emit_updated = lstate.join(updated_left_keys, ["key", "fk"], "left_semi")
         emit_fanout = lstate.join(right_fks, ["fk"], "left_semi")
         lefts = emit_updated.unionByName(emit_fanout).dropDuplicates(["key", "fk"])
 
-        rights = rstate.join(affected, ["fk"], "left_semi").select(
+        rights = rstate.select(
             F.col("fk").alias("r_fk"), F.col("payload").alias("right_value")
         )
 
@@ -163,6 +280,28 @@ class IncrementalDenormalize:
                 out = joined.filter(F.col("right_value").isNotNull()).unionByName(extras)
             else:
                 out = joined.unionByName(extras)
+
+        if stale is not None:
+            # retract the old (key, old_fk) association. For the
+            # left-preserving flavors that pair was emitted unconditionally;
+            # for inner/right_outer it only ever reached the output if a
+            # right existed for the old FK — don't retract what was never
+            # emitted (a spurious delete could race the same-batch re-emit
+            # under the new FK for consumers keyed by `key` alone).
+            if self.how in ("left_outer", "full_outer"):
+                to_retract = stale
+            else:
+                to_retract = stale.join(rstate.select("fk"), ["fk"], "left_semi")
+            retractions = to_retract.select(
+                F.col("key"),
+                F.col("fk"),
+                F.lit(None).cast("string").alias("left_value"),
+                F.lit(None).cast("string").alias("right_value"),
+            )
+            out = out.unionByName(retractions)
+
+        for df in caches:
+            df.unpersist()
         return out
 
     def foreach_batch(self, tag_left, tag_right, sink):

@@ -413,3 +413,103 @@ def test_joiner_empty_chunk_iterator():
     state = _FakeGroupState(("{}", ["c1"], ["{}"]))
     out = list(_joiner("inner")(("100",), iter([]), state))
     assert out == []  # nothing updated -> nothing emitted
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "key string, fk string, payload string, version long")
+
+
+def test_incremental_fk_change_retracts_old_pair(spark, tmpdir):
+    """A left whose FK moves must (a) emit a retraction for the old
+    (key, old_fk) pair, (b) delete the stale index row so a later right
+    update on the old FK no longer fans out to it. The reference never
+    does this (JoinTransformer.java:138) — our deliberate improvement."""
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "st_move"), how="inner")
+    # batch 1: comment c1 on story 100, story 100 present -> joined emit
+    out1 = eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"v1"}', 1)]),
+        _mkdf(spark, [("100", "100", '{"s":"a"}', 1)]),
+    ).collect()
+    assert {(r["key"], r["fk"]) for r in out1} == {("c1", "100")}
+    # batch 2: c1 moves to story 200 (no right for 200 yet, inner join)
+    out2 = eng.process_batch(
+        _mkdf(spark, [("c1", "200", '{"t":"v2"}', 2)]), None
+    ).collect()
+    # retraction for the old joined pair; nothing for 200 (no right yet)
+    assert [(r["key"], r["fk"], r["left_value"], r["right_value"]) for r in out2] == [
+        ("c1", "100", None, None)
+    ]
+    # batch 3: story 100 updates -> must NOT fan out to the moved c1
+    out3 = eng.process_batch(
+        None, _mkdf(spark, [("100", "100", '{"s":"b"}', 2)])
+    ).collect()
+    assert out3 == []
+    # batch 4: story 200 arrives -> c1 joins under its NEW fk
+    out4 = eng.process_batch(
+        None, _mkdf(spark, [("200", "200", '{"s":"c"}', 1)])
+    ).collect()
+    assert [(r["key"], r["fk"], r["left_value"]) for r in out4] == [
+        ("c1", "200", '{"t":"v2"}')
+    ]
+
+
+def test_incremental_fk_change_no_spurious_retraction(spark, tmpdir):
+    """Inner join: moving OFF an FK that never had a right must not emit a
+    retraction (the pair was never emitted; a spurious delete could race
+    the same-batch re-emit for consumers keyed by `key` alone)."""
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "st_move2"), how="inner")
+    eng.process_batch(_mkdf(spark, [("c1", "100", '{"t":"v1"}', 1)]), None).collect()
+    out = eng.process_batch(
+        _mkdf(spark, [("c1", "200", '{"t":"v2"}', 2)]),
+        _mkdf(spark, [("200", "200", '{"s":"x"}', 1)]),
+    ).collect()
+    # no right ever existed for 100 -> no retraction; new pair joins
+    assert [(r["key"], r["fk"], r["right_value"] is not None) for r in out] == [
+        ("c1", "200", True)
+    ]
+
+
+def test_incremental_fk_change_left_outer_always_retracts(spark, tmpdir):
+    """left_outer emitted (c1, 100, left, null) even without a right, so the
+    move must retract unconditionally."""
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "st_move3"), how="left_outer")
+    out1 = eng.process_batch(_mkdf(spark, [("c1", "100", '{"t":"v1"}', 1)]), None).collect()
+    assert [(r["key"], r["fk"], r["right_value"]) for r in out1] == [("c1", "100", None)]
+    out2 = eng.process_batch(_mkdf(spark, [("c1", "200", '{"t":"v2"}', 2)]), None).collect()
+    got = sorted((r["key"], r["fk"], r["left_value"]) for r in out2)
+    assert got == [("c1", "100", None), ("c1", "200", '{"t":"v2"}')]
+
+
+def test_incremental_out_of_order_update_does_not_apply(spark, tmpdir):
+    """A straggler with a LOWER version than the stored association must
+    not change state, emit, or retract (last-writer-wins by version)."""
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "st_ooo"), how="inner")
+    eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"v5"}', 5)]),
+        _mkdf(spark, [("100", "100", '{"s":"a"}', 1), ("200", "200", '{"s":"b"}', 1)]),
+    ).collect()
+    out = eng.process_batch(
+        _mkdf(spark, [("c1", "200", '{"t":"v2-late"}', 2)]), None
+    ).collect()
+    assert out == []
+    # the association is still 100: a right update on 100 fans out to c1
+    out3 = eng.process_batch(None, _mkdf(spark, [("100", "100", '{"s":"a2"}', 2)])).collect()
+    assert [(r["key"], r["fk"], r["left_value"]) for r in out3] == [
+        ("c1", "100", '{"t":"v5"}')
+    ]
+
+
+def test_incremental_bug_parity_mode_keeps_stale_pair(spark, tmpdir):
+    """retract_fk_changes=False reproduces the reference's staleness bug:
+    both (key, old_fk) and (key, new_fk) rows survive in the index."""
+    eng = IncrementalDenormalize(
+        spark, os.path.join(tmpdir, "st_parity"), how="inner", retract_fk_changes=False
+    )
+    eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"v1"}', 1)]),
+        _mkdf(spark, [("100", "100", '{"s":"a"}', 1)]),
+    ).collect()
+    eng.process_batch(_mkdf(spark, [("c1", "200", '{"t":"v2"}', 2)]), None).collect()
+    # stale fan-out: story 100's update still re-emits the moved c1
+    out = eng.process_batch(None, _mkdf(spark, [("100", "100", '{"s":"b"}', 2)])).collect()
+    assert [(r["key"], r["fk"]) for r in out] == [("c1", "100")]
