@@ -513,3 +513,239 @@ def test_incremental_bug_parity_mode_keeps_stale_pair(spark, tmpdir):
     # stale fan-out: story 100's update still re-emits the moved c1
     out = eng.process_batch(None, _mkdf(spark, [("100", "100", '{"s":"b"}', 2)])).collect()
     assert [(r["key"], r["fk"]) for r in out] == [("c1", "100")]
+
+
+# -- transformWithStateInPandas twin (streaming/tws_join.py) ----------------
+# e2e runs need the protobuf runtime (Spark's TWS state protocol); absent
+# from this container -> skip e2e, unit-test the processor with fake state.
+
+from kafka_denormalization_spark.streaming.tws_join import (  # noqa: E402
+    UpsertJoinProcessor,
+    tws_available,
+)
+
+_tws_e2e = pytest.mark.skipif(
+    not tws_available(),
+    reason="google.protobuf not installed (transformWithState protocol needs it)",
+)
+
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def _run_tws_stream(spark, src, how, ttl_ms=None):
+    from kafka_denormalization_spark.streaming.tws_join import upsert_join_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    try:
+        name = "tws_" + uuid.uuid4().hex[:8]
+        stream = (
+            spark.readStream.schema(UPDATE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            upsert_join_tws(stream, how=how, ttl_ms=ttl_ms)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(src, "..", "ckpt_" + name))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@_tws_e2e
+def test_tws_inner_emits_nothing_without_right(spark, tmpdir):
+    src = _write_batches(spark, tmpdir, [UPDATES_B1])
+    assert _run_tws_stream(spark, src, "inner") == []
+
+
+@_tws_e2e
+def test_tws_right_arrival_fans_out(spark, tmpdir):
+    src = _write_batches(spark, tmpdir, [UPDATES_B1, UPDATES_B2])
+    out = _run_tws_stream(spark, src, "inner")
+    emitted = {(r["key"], json.loads(r["right_value"])["title"]) for r in out}
+    assert emitted == {("c1", "story hundred"), ("c2", "story hundred")}
+
+
+@_tws_e2e
+def test_tws_three_batch_changelog_matches_continuous(spark, tmpdir):
+    """The MapState twin must be emission-equivalent to the
+    applyInPandasWithState implementation on the full 3-batch fixture."""
+    src = _write_batches(spark, tmpdir, [UPDATES_B1, UPDATES_B2, UPDATES_B3])
+    tws = _run_tws_stream(spark, src, "inner")
+    ref = _run_stream(spark, src, "inner")
+    canon = lambda rows: sorted(
+        (r["key"], r["fk"], r["left_value"], r["right_value"]) for r in rows
+    )
+    assert canon(tws) == canon(ref)
+
+
+@_tws_e2e
+def test_tws_left_outer_and_right_outer(spark, tmpdir):
+    src = _write_batches(spark, tmpdir, [UPDATES_B1, UPDATES_B2])
+    lo = _run_tws_stream(spark, src, "left_outer")
+    assert {r["key"] for r in lo if r["right_value"] is None} == {"c1", "c2", "c3"}
+    ro = _run_tws_stream(spark, src, "right_outer")
+    lonely = [r for r in ro if r["key"] is None]
+    assert len(lonely) == 1
+    assert json.loads(lonely[0]["right_value"])["title"] == "lonely"
+
+
+@_tws_e2e
+def test_tws_tombstones_delete_and_retract(spark, tmpdir):
+    """Left tombstone -> retraction + index removal; later right update
+    must no longer fan out to the deleted left."""
+    b1 = [
+        (1, "left", "c1", "100", '{"id": "c1"}'),
+        (2, "left", "c2", "100", '{"id": "c2"}'),
+        (3, "right", "100", "100", '{"title": "t1"}'),
+    ]
+    b2 = [(4, "left", "c1", "100", None)]
+    b3 = [(5, "right", "100", "100", '{"title": "t2"}')]
+    src = _write_batches(spark, tmpdir, [b1, b2, b3])
+    out = _run_tws_stream(spark, src, "inner")
+    retractions = [r for r in out if r["left_value"] is None and r["right_value"] is None]
+    assert [(r["key"], r["fk"]) for r in retractions] == [("c1", "100")]
+    t2_keys = {
+        r["key"] for r in out
+        if r["right_value"] is not None and json.loads(r["right_value"])["title"] == "t2"
+    }
+    assert t2_keys == {"c2"}
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def removeKey(self, k):
+        self._m.pop(k, None)
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeMapState())
+
+
+def _tws_play(proc, handle, rows_chunks):
+    import pandas as pd
+
+    cols = ["seq", "side", "key", "fk", "payload"]
+    chunks = [pd.DataFrame(c, columns=cols) for c in rows_chunks]
+    out = list(proc.handleInputRows(("100",), iter(chunks), None))
+    return (
+        [tuple(r) for r in pd.concat(out, ignore_index=True).itertuples(index=False)]
+        if out
+        else []
+    )
+
+
+def test_tws_processor_semantics_with_fake_state():
+    """The MapState-backed processor reproduces JoinTransformer semantics:
+    no emit before the right arrives, fan-out on right arrival, per-key
+    updates touching ONE map entry (no array repack)."""
+    proc = UpsertJoinProcessor("inner")
+    handle = _FakeHandle()
+    proc.init(handle)
+    # batch 1: two lefts, no right -> inner emits nothing
+    assert _tws_play(proc, handle, [[
+        (1, "left", "c1", "100", '{"t":"a"}'),
+        (2, "left", "c2", "100", '{"t":"b"}'),
+    ]]) == []
+    # batch 2: right arrives -> fan-out to both lefts
+    out = _tws_play(proc, handle, [[(3, "right", "100", "100", '{"s":"x"}')]])
+    assert out == [
+        ("c1", "100", '{"t":"a"}', '{"s":"x"}'),
+        ("c2", "100", '{"t":"b"}', '{"s":"x"}'),
+    ]
+    # state check: map has exactly one entry per left key
+    assert sorted(handle.states["lefts"]._m) == [("c1",), ("c2",)]
+    # batch 3: one left edited -> single re-emit, not a fan-out
+    out = _tws_play(proc, handle, [[(4, "left", "c1", "100", '{"t":"a2"}')]])
+    assert out == [("c1", "100", '{"t":"a2"}', '{"s":"x"}')]
+
+
+def test_tws_processor_sorts_across_chunks():
+    """Same cross-chunk regression as the applyInPandasWithState joiner."""
+    proc = UpsertJoinProcessor("inner")
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = _tws_play(proc, handle, [
+        [(10, "left", "c1", "100", '{"v":"new"}'),
+         (11, "right", "100", "100", '{"s":"new"}')],
+        [(5, "left", "c1", "100", '{"v":"old"}'),
+         (6, "right", "100", "100", '{"s":"old"}')],
+    ])
+    assert out == [("c1", "100", '{"v":"new"}', '{"s":"new"}')]
+    assert handle.states["right"].get() == ('{"s":"new"}',)
+
+
+def test_tws_processor_tombstones():
+    proc = UpsertJoinProcessor("inner")
+    handle = _FakeHandle()
+    proc.init(handle)
+    _tws_play(proc, handle, [[
+        (1, "left", "c1", "100", '{"t":"a"}'),
+        (2, "right", "100", "100", '{"s":"x"}'),
+    ]])
+    # left tombstone -> retraction + removal from the map
+    out = _tws_play(proc, handle, [[(3, "left", "c1", "100", None)]])
+    assert out == [("c1", "100", None, None)]
+    assert handle.states["lefts"]._m == {}
+    # right tombstone with a re-added left -> inner retraction for it
+    _tws_play(proc, handle, [[(4, "left", "c2", "100", '{"t":"b"}')]])
+    out = _tws_play(proc, handle, [[(5, "right", "100", "100", None)]])
+    assert out == [("c2", "100", None, None)]
+
+
+def test_tws_unavailable_raises_clearly(spark):
+    if tws_available():
+        pytest.skip("protobuf present; gate inactive")
+    from kafka_denormalization_spark.streaming.tws_join import upsert_join_tws
+
+    df = spark.createDataFrame([], UPDATE_SCHEMA)
+    with pytest.raises(RuntimeError, match="protobuf"):
+        upsert_join_tws(df)
