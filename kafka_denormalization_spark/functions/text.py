@@ -166,3 +166,62 @@ def fingerprint_table(docs, id_col: str, text_col: str, n: int = 3):
         .withColumnRenamed("_id", id_col)
     )
     return docs.select(id_col).join(mins, id_col, "left")
+
+
+URL_PATTERN = r"https?://\S+"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Canonical text normalization for training corpora: strip URLs,
+    lowercase, collapse whitespace runs, trim. Pure regexp/codegen chain —
+    arithmetic mirrored 1:1 in the DuckDB oracle (regexp_replace with 'g')."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, URL_PATTERN, " ")
+    t = F.lower(t)
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def repetition_score(text: Column | str, n: int = 2) -> Column:
+    """Repetition quality signal: 1 - distinct n-grams / total n-grams
+    (0 = no repetition, ->1 = highly repetitive boilerplate). A standard
+    low-quality-document filter for LLM corpora."""
+    grams = ngrams(text, n)
+    return F.when(
+        F.size(grams) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def vocab_table(docs, text_col: str, k: int = 50):
+    """Corpus vocabulary: token -> frequency, top-k (count desc, token asc
+    tiebreak so the result set is deterministic).
+
+    Scale: explode + hash-agg with map-side combine — shuffle volume is
+    bounded by DISTINCT tokens per partition, not corpus tokens; the top-k
+    is a TakeOrdered (no global sort materialization)."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def contamination_scan(docs, id_col: str, text_col: str, patterns: list[str]):
+    """Benchmark-decontamination primitive: (doc, pattern) pairs for every
+    document containing any needle substring.
+
+    Scale: the pattern list is tiny and broadcast; the scan is a single
+    pass over the corpus with a whole-stage-codegen `contains` — a
+    broadcast nested-loop join whose inner side is len(patterns), which is
+    the right plan here (substring match has no equi-key to hash on; for
+    thousands of patterns, switch to an Aho-Corasick pandas UDF)."""
+    spark = docs.sparkSession
+    pats = spark.createDataFrame([(p,) for p in patterns], "pat string")
+    return (
+        docs.join(F.broadcast(pats), F.contains(F.col(text_col), F.col("pat")))
+        .select(F.col(id_col), F.col("pat"))
+    )

@@ -301,6 +301,23 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
 _SW_LIST = ", ".join(f"'{w}'" for w in text_fns.STOPWORDS_EN)
 
+# word 2-grams (non-distinct — repetition scoring needs multiplicity)
+_GRAMS2_SQL = (
+    "list_transform(range(0, greatest(CAST(len({t}) AS BIGINT) - 1, 0)), "
+    "i -> array_to_string(({t})[i+1:i+2], ' '))"
+).format(t=_TOKS_SQL)
+
+
+def _mix_threshold_sql() -> str:
+    """CASE expression mirroring operators/sampling.py's per-stratum hex
+    thresholds (same fraction_threshold constants on both engines)."""
+    from kafka_denormalization_spark.operators.sampling import fraction_threshold
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{fraction_threshold(f)}'" for s, f in MIX_FRACTIONS.items()
+    )
+    return f"CASE source {whens} ELSE '{fraction_threshold(MIX_DEFAULT)}' END"
+
 
 def _lang_id_sql() -> str:
     cands = []
@@ -312,6 +329,62 @@ def _lang_id_sql() -> str:
     # DuckDB's greatest() doesn't accept STRUCTs; list max does and has the
     # same field-wise comparison (= Spark's greatest over structs)
     return f"(list_aggregate([{', '.join(cands)}], 'max')).l"
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization + repetition scoring (training-corpus cleaning)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_fns.clean_text("text").alias("clean"),
+        text_fns.repetition_score("text", 2).alias("rep_2gram"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequencies, top-50 (count desc, token asc)."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.vocab_table(docs, "text", k=50)
+
+
+# benchmark-decontamination needles (substring probes over the corpus);
+# the last one never matches — scans must be exact, not fuzzy
+CONTAMINATION_PATTERNS = ["hash join", "merge batch", "slow query", "zzz never zzz"]
+
+
+def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.contamination_scan(docs, "doc_id", "text", CONTAMINATION_PATTERNS)
+
+
+# training-mix rates: named strata get their rate, the long tail defaults
+MIX_FRACTIONS = {"src0": 0.75, "src1": 0.5, "src2": 0.5}
+MIX_DEFAULT = 0.25
+MIX_SALT = "mix1"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source training-mix sample (operators/sampling.py):
+    membership is a pure function of (salt, doc_id), so Spark and the
+    DuckDB oracle must agree row-for-row — the test IS the determinism."""
+    from kafka_denormalization_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "source", MIX_FRACTIONS, "doc_id", MIX_DEFAULT, MIX_SALT
+    ).select("doc_id", "source", "lang")
+
+
+def q_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: customers with no URGENT order (left_anti with a
+    pushed-down filter on the right side — non-empty at every SF)."""
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
 
 
 # ---------------------------------------------------------------------------
@@ -797,6 +870,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "text_clean": q_text_clean,
+    "vocab_topk": q_vocab_topk,
+    "contamination_scan": q_contamination_scan,
+    "stratified_sample": q_stratified_sample,
+    "anti_join_orphans": q_anti_join_orphans,
     "fingerprint": q_fingerprint,
     "winnowing": q_winnowing,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -884,6 +962,41 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "lang_id": f"""
     SELECT doc_id, lang, {_lang_id_sql()} AS lang_pred FROM documents
+    """,
+    "text_clean": f"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(regexp_replace(text, 'https?://\\S+', ' ', 'g')),
+                               '\\s+', ' ', 'g')) AS clean,
+           CASE WHEN len({_GRAMS2_SQL}) > 0
+                THEN 1.0 - CAST(len(list_distinct({_GRAMS2_SQL})) AS DOUBLE)
+                           / CAST(len({_GRAMS2_SQL}) AS DOUBLE)
+                ELSE 0.0 END AS rep_2gram
+    FROM documents
+    """,
+    "vocab_topk": f"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    "contamination_scan": f"""
+    SELECT doc_id, pat
+    FROM documents
+    JOIN (VALUES {", ".join(f"('{p}')" for p in CONTAMINATION_PATTERNS)}) p(pat)
+      ON contains(text, pat)
+    """,
+    "stratified_sample": f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE substr(md5(concat('{MIX_SALT}', '|', CAST(doc_id AS VARCHAR))), 1, 8)
+          < {_mix_threshold_sql()}
+    """,
+    "anti_join_orphans": """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
     """,
     "winnowing": f"""
     WITH t1 AS (

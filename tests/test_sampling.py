@@ -1,0 +1,56 @@
+"""Deterministic hash sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.operators.sampling import (
+    fraction_threshold,
+    hash_sample,
+    stratified_sample,
+)
+
+
+def test_fraction_threshold_hex():
+    assert fraction_threshold(0.5) == "80000000"
+    assert fraction_threshold(0.25) == "40000000"
+    assert fraction_threshold(0.0) == "00000000"
+    assert len(fraction_threshold(0.999)) == 8
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    s1 = hash_sample(df, "k", 0.3, salt="a")
+    n1 = s1.count()
+    assert abs(n1 / 20_000 - 0.3) < 0.02  # ~binomial(20k, .3) tolerance
+    # identical draw on re-run and after repartitioning (partition-independent)
+    assert hash_sample(df.repartition(7), "k", 0.3, salt="a").count() == n1
+    ids1 = {r["k"] for r in s1.collect()}
+    ids2 = {r["k"] for r in hash_sample(df.repartition(3), "k", 0.3, salt="a").collect()}
+    assert ids1 == ids2
+    # a different salt draws an independent sample
+    ids3 = {r["k"] for r in hash_sample(df, "k", 0.3, salt="b").collect()}
+    assert ids3 != ids1
+    # membership is monotone in the fraction (a doc kept at 30% stays at 60%)
+    ids60 = {r["k"] for r in hash_sample(df, "k", 0.6, salt="a").collect()}
+    assert ids1 <= ids60
+
+
+def test_hash_sample_full_fraction(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert hash_sample(df, "k", 1.0).count() == 100
+
+
+def test_stratified_rates(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b").otherwise("c").alias("src"),
+    )
+    out = stratified_sample(df, "src", {"a": 0.8, "b": 0.2}, "k", default_fraction=0.05)
+    rates = {
+        r["src"]: r["n"] / 10_000
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(rates["a"] - 0.8) < 0.03
+    assert abs(rates["b"] - 0.2) < 0.03
+    assert abs(rates.get("c", 0.0) - 0.05) < 0.03

@@ -93,3 +93,56 @@ def test_winnowing_short_doc_fallback(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     fps = df.select(T.winnow_fingerprints("text", 3, 4).alias("f")).first()["f"]
     assert len(fps) == 1  # single gram -> global-min fallback
+
+
+def test_clean_text(spark):
+    from kafka_denormalization_spark.functions.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "  Visit https://example.com/x?q=1 NOW!!   Multiple   spaces\there ")],
+        "id long, text string",
+    )
+    out = df.select(clean_text("text").alias("c")).first()["c"]
+    assert out == "visit now!! multiple spaces here"
+
+
+def test_repetition_score(spark):
+    from kafka_denormalization_spark.functions.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words differ here"),
+            (3, "one"),           # no 2-grams -> 0.0
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["rep"] for r in df.select("id", repetition_score("text", 2).alias("rep")).collect()}
+    assert abs(got[1] - (1 - 2 / 5)) < 1e-12
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_vocab_table_topk_deterministic(spark):
+    from kafka_denormalization_spark.functions.text import vocab_table
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "c b a")], "id long, text string"
+    )
+    rows = [(r["token"], r["n"]) for r in vocab_table(df, "text", k=2).collect()]
+    assert rows == [("a", 3), ("b", 2)]
+
+
+def test_contamination_scan(spark):
+    from kafka_denormalization_spark.functions.text import contamination_scan
+
+    df = spark.createDataFrame(
+        [(1, "uses a hash join here"), (2, "nothing to see"), (3, "hash join and hash join")],
+        "id long, text string",
+    )
+    got = sorted(
+        (r["id"], r["pat"])
+        for r in contamination_scan(df, "id", "text", ["hash join", "absent"]).collect()
+    )
+    # doc 3 matches once per PATTERN, not per occurrence
+    assert got == [(1, "hash join"), (3, "hash join")]
