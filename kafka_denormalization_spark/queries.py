@@ -472,6 +472,40 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, one row per (label, dim).
+
+    The embedding-aggregation primitive (cluster means, class prototypes,
+    IVF coarse training). Scale: posexplode shuffles (label, pos, value)
+    triples with map-side partial sums — shuffle volume is bounded by
+    labels × dims after combine, never the corpus.
+
+    Cross-engine determinism: float sums are order-dependent and DECIMAL
+    quantization of binary fractions hits rounding-tie disagreements
+    (a double ending in ...5 at the quantization digit rounds HALF_UP in
+    Spark, differently in DuckDB — observed once in 32k sums). Instead each
+    element is scaled by 2^36 (exact — exponent shift) and FLOOR'd to a
+    BIGINT (floor is bit-identical everywhere): the summation is exact
+    integer math, the final division is one deterministic IEEE op, and the
+    2^-36 (~1.5e-11) per-element quantization is far below f32 noise."""
+    emb = table(spark, sf_dir, "embeddings")
+    scale = float(2**36)
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("v").cast("double") * F.lit(scale)).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            (F.col("_s").cast("double") / (F.col("n") * F.lit(scale))).alias("centroid"),
+            "n",
+        )
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN (coarse cells + probe-limited exact scan).
     Approximate by design — rows-only check; recall covered by pytest."""
@@ -882,6 +916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_centroid": q_embedding_centroid,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "cosine_dedup": q_cosine_dedup,
@@ -1050,6 +1085,14 @@ ORACLE_SQL: dict[str, str] = {
     SELECT md5(CAST(l_orderkey AS VARCHAR)) AS right_digest,
            md5(CAST(l_linenumber AS VARCHAR)) AS left_digest
     FROM lineitem
+    """,
+    "embedding_centroid": """
+    SELECT label, i - 1 AS pos,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 68719476736.0) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 68719476736.0) AS centroid,
+           count(*) AS n
+    FROM embeddings, generate_series(1, 64) t(i)
+    GROUP BY label, i
     """,
     "cosine_dedup": f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings)

@@ -70,14 +70,29 @@ class IncrementalDenormalize:
         how: str = "inner",
         n_buckets: int = 32,
         retract_fk_changes: bool = True,
+        tombstones: bool | None = None,
     ) -> None:
+        """``tombstones``: treat NULL payloads as deletes (continuous-mode
+        parity — index removal + retraction; a left tombstone's FK is
+        resolved through the key index, so only the record KEY is needed,
+        matching Kafka's key-only delete convention). Defaults to
+        ``retract_fk_changes`` (the key index is its backbone); the
+        bug-parity mode (both False) ignores deletes like the reference."""
         if how not in ("inner", "left_outer", "right_outer", "full_outer"):
             raise ValueError(f"unknown join flavor {how!r}")
+        if tombstones is None:
+            tombstones = retract_fk_changes
+        if tombstones and not retract_fk_changes:
+            raise ValueError(
+                "tombstones=True requires retract_fk_changes=True (left "
+                "deletes are resolved through the key index)"
+            )
         self.spark = spark
         self.state_dir = state_dir
         self.how = how
         self.n_buckets = n_buckets
         self.retract_fk_changes = retract_fk_changes
+        self.tombstones = tombstones
         self._left_dir = os.path.join(state_dir, "left")
         self._right_dir = os.path.join(state_dir, "right")
         self._key_index_dir = os.path.join(state_dir, "key_index")
@@ -147,18 +162,36 @@ class IncrementalDenormalize:
             .parquet(path)
         )
 
-    def _merge_key_index(self, updates: DataFrame) -> None:
-        """Upsert (key -> latest fk/version) into the KEY-bucketed index.
-        Index rows are only ever upserted (never deleted), so every touched
-        kbucket carries at least its update rows — no sentinels needed."""
+    def _merge_key_index(
+        self, updates: DataFrame, deletes: DataFrame | None = None
+    ) -> None:
+        """Upsert (key -> latest fk/version) into the KEY-bucketed index;
+        ``deletes`` is a 1-column (key) frame of tombstoned keys. Same
+        sentinel discipline as ``_merge_state`` so a deletion-emptied
+        kbucket still gets rewritten."""
         updates = updates.withColumn("kbucket", self._bucket(F.col("key")))
         touched = updates.select("kbucket").distinct()
+        if deletes is not None:
+            touched = touched.unionByName(
+                deletes.select(self._bucket(F.col("key")).alias("kbucket")).distinct()
+            ).distinct()
         existing = self._read(self._key_index_dir, _KEY_INDEX_SCHEMA, touched, "kbucket")
         merged = latest_per_key(
             existing.unionByName(updates), ["key"], ["version", "fk"]
         )
+        if deletes is not None:
+            merged = merged.join(
+                F.broadcast(deletes.select("key")), ["key"], "left_anti"
+            )
+        sentinels = touched.select(
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("fk"),
+            F.lit(0).cast("long").alias("version"),
+            F.col("kbucket"),
+        )
         (
-            merged.repartition(F.col("kbucket"))
+            merged.unionByName(sentinels)
+            .repartition(F.col("kbucket"))
             .write.partitionBy("kbucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
@@ -191,6 +224,8 @@ class IncrementalDenormalize:
         ru = cached((right_updates or empty).select("key", "fk", "payload", "version"))
 
         stale = None
+        tomb_pairs = None
+        right_tomb_fks = None
         if self.retract_fk_changes:
             # per-batch winner per KEY (not per (key, fk)): an FK move is a
             # new association for the same key, and out-of-order stragglers
@@ -215,16 +250,57 @@ class IncrementalDenormalize:
             winners = resolved.filter(
                 F.col("_old_ver").isNull() | (F.col("version") >= F.col("_old_ver"))
             )
-            lu_apply = winners.select("key", "fk", "payload", "version")
-            stale = winners.filter(
+            if self.tombstones:
+                # NULL payload = delete (Kafka compaction convention).
+                # The delete targets the INDEXED pair — a tombstone for an
+                # unindexed key is a no-op (continuous-mode parity).
+                lw_vals = winners.filter(F.col("payload").isNotNull())
+                lw_tombs = winners.filter(F.col("payload").isNull())
+                tomb_pairs = lw_tombs.filter(F.col("_old_fk").isNotNull()).select(
+                    "key", F.col("_old_fk").alias("fk")
+                )
+            else:
+                lw_vals = winners
+                lw_tombs = None
+            lu_apply = lw_vals.select("key", "fk", "payload", "version")
+            stale = lw_vals.filter(
                 F.col("_old_fk").isNotNull() & (F.col("_old_fk") != F.col("fk"))
             ).select("key", F.col("_old_fk").alias("fk"))
-            self._merge_state(self._left_dir, lu_apply, deletes=stale)
-            self._merge_key_index(lu_apply.select("key", "fk", "version"))
+            deletes = stale if tomb_pairs is None else stale.unionByName(tomb_pairs)
+            self._merge_state(self._left_dir, lu_apply, deletes=deletes)
+            self._merge_key_index(
+                lu_apply.select("key", "fk", "version"),
+                deletes=None if lw_tombs is None else lw_tombs.select("key"),
+            )
         else:
             lu_apply = lu
             self._merge_state(self._left_dir, lu)
-        self._merge_state(self._right_dir, ru)
+
+        if self.tombstones:
+            # right side: resolve the batch's final value per key, split
+            # deletes out, and remember which tombstoned rights actually
+            # existed BEFORE the merge (retraction gating) — checkpointed
+            # for the same pre-merge-view reason as `resolved` above
+            ru_final = latest_per_key(ru, ["key"], ["version", "payload"])
+            rv = ru_final.filter(F.col("payload").isNotNull()).select(
+                "key", "fk", "payload", "version"
+            )
+            rt = ru_final.filter(F.col("payload").isNull()).select("key", "fk")
+            right_tomb_fks = (
+                self._read(
+                    self._right_dir,
+                    _STATE_SCHEMA,
+                    rt.select(self._bucket(F.col("fk")).alias("bucket")).distinct(),
+                    "bucket",
+                )
+                .join(rt, ["key", "fk"], "left_semi")
+                .select("fk")
+                .distinct()
+                .localCheckpoint()
+            )
+            self._merge_state(self._right_dir, rv, deletes=rt)
+        else:
+            self._merge_state(self._right_dir, ru)
 
         # affected FK set drives every state read below (partition-pruned);
         # stale old-FKs are included so retractions can look up their rights
@@ -281,6 +357,7 @@ class IncrementalDenormalize:
             else:
                 out = joined.unionByName(extras)
 
+        retract_pairs = None
         if stale is not None:
             # retract the old (key, old_fk) association. For the
             # left-preserving flavors that pair was emitted unconditionally;
@@ -289,10 +366,33 @@ class IncrementalDenormalize:
             # emitted (a spurious delete could race the same-batch re-emit
             # under the new FK for consumers keyed by `key` alone).
             if self.how in ("left_outer", "full_outer"):
-                to_retract = stale
+                retract_pairs = stale
             else:
-                to_retract = stale.join(rstate.select("fk"), ["fk"], "left_semi")
-            retractions = to_retract.select(
+                retract_pairs = stale.join(rstate.select("fk"), ["fk"], "left_semi")
+        if tomb_pairs is not None:
+            # left delete: retract whenever the key was indexed, whatever
+            # the right side (continuous-mode parity: upsert_join.py emits
+            # deleted_lefts unconditionally)
+            retract_pairs = (
+                tomb_pairs
+                if retract_pairs is None
+                else retract_pairs.unionByName(tomb_pairs)
+            )
+        if right_tomb_fks is not None and self.how in ("inner", "right_outer"):
+            # right delete invalidates every previously-emitted pair for
+            # that FK (continuous parity: right_deleted && right_existed).
+            # The left-preserving flavors re-emit (left, NULL) through the
+            # fan-out path instead — no retraction rows there.
+            dead_lefts = lstate.join(right_tomb_fks, ["fk"], "left_semi").select(
+                "key", "fk"
+            )
+            retract_pairs = (
+                dead_lefts
+                if retract_pairs is None
+                else retract_pairs.unionByName(dead_lefts)
+            )
+        if retract_pairs is not None:
+            retractions = retract_pairs.select(
                 F.col("key"),
                 F.col("fk"),
                 F.lit(None).cast("string").alias("left_value"),

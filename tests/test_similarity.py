@@ -204,3 +204,24 @@ def test_minhash_signature_unigram_pipeline(spark):
     got = {r["_id"]: [r[f"_h{i}"] for i in range(8)] for r in sigs.collect()}
     assert got[1] == got[2]  # identical unigram sets -> identical signatures
     assert got[1] != got[3]
+
+
+def test_embedding_centroid_matches_numpy(spark):
+    """Centroid query vs numpy mean (within the 2^-36 quantization)."""
+    import numpy as np
+
+    from kafka_denormalization_spark.queries import q_embedding_centroid
+
+    out = q_embedding_centroid(spark, "/root/testdata/sf0.001")
+    got = {(r["label"], r["pos"]): (r["centroid"], r["n"]) for r in out.collect()}
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    for label, grp in t.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy())
+        mean = mat.astype(np.float64).mean(axis=0)
+        for pos in range(mat.shape[1]):
+            c, n = got[(label, pos)]
+            assert n == len(grp)
+            assert abs(c - mean[pos]) < 2 ** -36 + 1e-9

@@ -749,3 +749,68 @@ def test_tws_unavailable_raises_clearly(spark):
     df = spark.createDataFrame([], UPDATE_SCHEMA)
     with pytest.raises(RuntimeError, match="protobuf"):
         upsert_join_tws(df)
+
+
+def test_incremental_left_tombstone_key_only(spark, tmpdir):
+    """A left tombstone carries only the KEY (Kafka delete convention) —
+    the engine resolves its FK through the key index, removes the state
+    row, emits a retraction, and later right updates no longer fan out."""
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "ts1"), how="inner")
+    eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"a"}', 1), ("c2", "100", '{"t":"b"}', 2)]),
+        _mkdf(spark, [("100", "100", '{"s":"x"}', 1)]),
+    ).collect()
+    # tombstone: fk unknown (None) — resolved via the key index
+    out = eng.process_batch(_mkdf(spark, [("c1", None, None, 3)]), None).collect()
+    assert [(r["key"], r["fk"], r["left_value"], r["right_value"]) for r in out] == [
+        ("c1", "100", None, None)
+    ]
+    out2 = eng.process_batch(None, _mkdf(spark, [("100", "100", '{"s":"y"}', 2)])).collect()
+    assert [(r["key"], r["fk"]) for r in out2] == [("c2", "100")]
+
+
+def test_incremental_left_tombstone_unindexed_noop(spark, tmpdir):
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "ts2"), how="inner")
+    out = eng.process_batch(_mkdf(spark, [("ghost", None, None, 1)]), None).collect()
+    assert out == []
+
+
+def test_incremental_right_tombstone_inner_retracts_lefts(spark, tmpdir):
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "ts3"), how="inner")
+    eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"a"}', 1), ("c2", "100", '{"t":"b"}', 2)]),
+        _mkdf(spark, [("100", "100", '{"s":"x"}', 1)]),
+    ).collect()
+    out = eng.process_batch(None, _mkdf(spark, [("100", "100", None, 2)])).collect()
+    got = sorted((r["key"], r["fk"], r["left_value"], r["right_value"]) for r in out)
+    assert got == [("c1", "100", None, None), ("c2", "100", None, None)]
+    # a later left update on that FK finds no right -> no emission (inner)
+    out2 = eng.process_batch(_mkdf(spark, [("c3", "100", '{"t":"c"}', 3)]), None).collect()
+    assert out2 == []
+
+
+def test_incremental_right_tombstone_never_existed_noop(spark, tmpdir):
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "ts4"), how="inner")
+    eng.process_batch(_mkdf(spark, [("c1", "100", '{"t":"a"}', 1)]), None).collect()
+    out = eng.process_batch(None, _mkdf(spark, [("100", "100", None, 1)])).collect()
+    assert out == []
+
+
+def test_incremental_right_tombstone_left_outer_reemits_null(spark, tmpdir):
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "ts5"), how="left_outer")
+    eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"a"}', 1)]),
+        _mkdf(spark, [("100", "100", '{"s":"x"}', 1)]),
+    ).collect()
+    out = eng.process_batch(None, _mkdf(spark, [("100", "100", None, 2)])).collect()
+    assert [(r["key"], r["fk"], r["left_value"], r["right_value"]) for r in out] == [
+        ("c1", "100", '{"t":"a"}', None)
+    ]
+
+
+def test_incremental_tombstones_require_key_index(spark, tmpdir):
+    with pytest.raises(ValueError, match="retract_fk_changes"):
+        IncrementalDenormalize(
+            spark, os.path.join(tmpdir, "ts6"),
+            retract_fk_changes=False, tombstones=True,
+        )
