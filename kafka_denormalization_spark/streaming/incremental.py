@@ -106,9 +106,9 @@ class IncrementalDenormalize:
         """Read a bucketed state table, partition-pruned to the buckets in
         ``prune`` (a 1-column DataFrame named ``col``). Pruning is a
         broadcast semi-join on the partition column — dynamic partition
-        pruning skips the untouched directories; no driver collect.
-        Missing path (first batch) -> empty frame, whatever the filesystem
-        (probed by the read itself, not ``os.path``)."""
+        pruning skips the untouched directories at runtime; no driver
+        collect. Missing path (first batch) -> empty frame, whatever the
+        filesystem (probed by the read itself, not ``os.path``)."""
         try:
             df = self.spark.read.schema(schema).parquet(path)
             # force the scan to notice nonexistent paths eagerly
@@ -118,7 +118,15 @@ class IncrementalDenormalize:
             return self.spark.createDataFrame([], schema)
         df = df.filter(F.col("key").isNotNull())  # drop writer sentinels
         if prune is not None:
-            df = df.join(F.broadcast(prune), on=col, how="left_semi")
+            # the >= 0 predicate is vacuously true (pmod), but Catalyst's
+            # DynamicPartitionPruning rule only fires when the build side
+            # carries a selective predicate — with it, the scan shows
+            # `dynamicpruningexpression(bucket IN ...)` in PartitionFilters
+            # and skips untouched directories; without it, the semi-join
+            # filters ROWS but the scan lists every bucket
+            df = df.join(
+                F.broadcast(prune.filter(F.col(col) >= 0)), on=col, how="left_semi"
+            )
         return df
 
     def _merge_state(
