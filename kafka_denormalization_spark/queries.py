@@ -720,6 +720,65 @@ def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows over the events stream via the native
+    ``F.window`` operator (10-minute window, 5-minute slide — each event
+    lands in exactly two panes). Batch twin of the streaming
+    ``windowed_agg`` (streaming/windows.py); the oracle unnests the two
+    epoch-aligned window starts per event. Epoch alignment is identical in
+    both engines (Spark windows align to the unix epoch; the oracle
+    computes starts arithmetically from epoch micros)."""
+    from kafka_denormalization_spark.streaming.windows import windowed_agg
+
+    ev = events_table(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    out = windowed_agg(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        ],
+        window="10 minutes",
+        slide="5 minutes",
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("ws_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the native ``session_window`` operator
+    (30-minute gap, per user). Batch twin of the streaming
+    ``session_window_agg``; the oracle is the lag+cumsum formulation with
+    the session_window boundary rule (a gap of EXACTLY 30 minutes starts a
+    new session — sessions are [start, last+gap))."""
+    from kafka_denormalization_spark.streaming.windows import session_window_agg
+
+    ev = events_table(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    out = session_window_agg(
+        ev,
+        "ts",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+        gap="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        "n",
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``); the approx variants are in
@@ -924,6 +983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "range_join": q_range_join,
     "rollup_timeseries": q_rollup_timeseries,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "quantiles": q_quantiles,
@@ -1121,6 +1182,42 @@ ORACLE_SQL: dict[str, str] = {
            max(value) AS max_value
     FROM events
     GROUP BY 1, 2
+    """,
+    "sliding_window": """
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(ts) - epoch_us(ts) % 300000000 AS b5
+      FROM events
+    ),
+    x AS (
+      SELECT event_type, value, unnest([b5 - 300000000, b5]) AS ws_us FROM e
+    )
+    SELECT ws_us, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM x GROUP BY ws_us, event_type
+    """,
+    "session_window": """
+    WITH o AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+      )
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts_us) AS start_us,
+           max(ts_us) + 1800000000 AS end_us, count(*) AS n
+    FROM s GROUP BY user_id, sid
     """,
     "shipping_priority": """
     SELECT l_orderkey, o_orderdate, o_orderpriority,
