@@ -405,7 +405,7 @@ def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     if pairs is None:
         docs = table(spark, sf_dir, "documents")
         pairs = sim_fns.minhash_lsh_pairs(
-            docs, "doc_id", "text", threshold=0.5
+            docs, "doc_id", "text", num_hashes=64, bands=32, threshold=0.5
         ).persist()
         _LSH_PAIRS_MEMO[key] = pairs
     return pairs
@@ -414,7 +414,9 @@ def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash-LSH + exact-Jaccard verify. The oracle is
     the brute-force all-pairs Jaccard — LSH params are sized so recall at
-    the 0.5 threshold is ~1 (16 bands x 2 rows)."""
+    the 0.5 threshold is effectively 1 (32 bands x 2 rows: a true pair at
+    s=0.5 is missed w.p. (1-0.25)^32 ~ 1e-4, vs ~1e-2 at 16 bands —
+    equality with the exact oracle no longer rides on dataset luck)."""
     return _lsh_pairs_shared(spark, sf_dir)
 
 
