@@ -722,6 +722,146 @@ def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register `kd_`-prefixed temp views for SQL-surface queries (prefixed
+    to avoid clobbering anything the host session calls `orders` etc.)."""
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(f"kd_{n}")
+
+
+def q_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line item shipped >90 days
+    after the order date, counted by priority. The EXISTS correlated
+    subquery is decorrelated by Catalyst into a left-semi hash join (no
+    per-row subquery execution) — RewriteCorrelatedScalarQuery /
+    RewritePredicateSubquery; scale-safe (one shuffle on o_orderkey)."""
+    _sql_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM kd_orders
+        WHERE EXISTS (
+          SELECT 1 FROM kd_lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    20% of the per-part average — a CORRELATED SCALAR subquery Catalyst
+    decorrelates into an aggregate + join. Cross-engine determinism:
+    quantities are integer-valued doubles, so per-part sums (hence avgs)
+    are exact in both engines; revenue goes through DECIMAL."""
+    _sql_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM kd_lineitem l1
+        WHERE l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM kd_lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+        )
+        GROUP BY l_returnflag
+        """
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via an IN subquery with
+    GROUP BY + HAVING (rewritten to a semi-join over the pre-aggregated
+    key set — the aggregation happens once, not per probe row)."""
+    _sql_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c_name, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM kd_customer
+        JOIN kd_orders ON c_custkey = o_custkey
+        JOIN kd_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM kd_lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200
+        )
+        GROUP BY c_name, o_orderkey, o_totalprice
+        """
+    )
+
+
+def q_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part, the line items priced at that
+    part's minimum (correlated MIN subquery -> decorrelated aggregate
+    join; min over doubles is order-independent, so exact cross-engine)."""
+    _sql_views(spark, sf_dir, "part", "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, s_name, l_extendedprice AS min_price
+        FROM kd_lineitem l1
+        JOIN kd_part ON p_partkey = l_partkey
+        JOIN kd_supplier ON s_suppkey = l_suppkey
+        WHERE l_extendedprice = (
+          SELECT min(l_extendedprice) FROM kd_lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev of quantity vs price per return
+    flag. Formulated from EXACT decimal moment sums (count, Σx, Σy, Σx²,
+    Σy², Σxy) with the float math applied to identical operands in both
+    engines — the native F.corr/F.covar_samp accumulate doubles in
+    partition order and differ from DuckDB in low-order bits (pytest
+    cross-checks this formulation against F.corr to 1e-9)."""
+    _sql_views(spark, sf_dir, "lineitem")
+    return spark.sql(_STATS_MOMENTS_SQL.format(t="kd_lineitem"))
+
+
+# identical text runs on both engines (only the table name differs), so
+# every double op sees identical operands -> bitwise-equal results.
+# Moments are EXACT integers: quantity is integer-valued, price has 2dp ->
+# cents-scaled BIGINT per row (products fit int64: pi^2 <= 1e14), summed
+# through DECIMAL(38,0) (DuckDB int64 decimal multiply overflows at
+# DECIMAL(18,4)^2, and Spark's 38-cap would round wide decimal products —
+# integer moments sidestep both). corr is scale-invariant; covar rescales
+# by the cents factor at the end.
+_STATS_MOMENTS_SQL = """
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qi,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pi
+      FROM {t}
+    ),
+    m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             SUM(CAST(qi AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(pi AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(qi * qi AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(pi * pi AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(qi * pi AS DECIMAL(38,0))) AS sxy
+      FROM b GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price,
+           ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)) / 100.0
+             AS covar_qty_price,
+           SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+             AS stddev_qty
+    FROM m
+"""
+
+
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows over the events stream via the native
     ``F.window`` operator (10-minute window, 5-minute slide — each event
@@ -987,6 +1127,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_timeseries": q_rollup_timeseries,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    "exists_late_ship": q_exists_late_ship,
+    "small_qty_revenue": q_small_qty_revenue,
+    "big_orders": q_big_orders,
+    "min_cost_per_part": q_min_cost_per_part,
+    "stats_agg": q_stats_agg,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "quantiles": q_quantiles,
@@ -1185,6 +1330,51 @@ ORACLE_SQL: dict[str, str] = {
     FROM events
     GROUP BY 1, 2
     """,
+    "exists_late_ship": """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    "small_qty_revenue": """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+    GROUP BY l_returnflag
+    """,
+    "big_orders": """
+    SELECT c_name, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200
+    )
+    GROUP BY c_name, o_orderkey, o_totalprice
+    """,
+    "min_cost_per_part": """
+    SELECT p_partkey, p_brand, s_name, l_extendedprice AS min_price
+    FROM lineitem l1
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_extendedprice = (
+      SELECT min(l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+    "stats_agg": _STATS_MOMENTS_SQL.format(t="lineitem"),
     "sliding_window": """
     WITH e AS (
       SELECT event_type, value,

@@ -79,3 +79,31 @@ def test_json_serde_with_reference_schemas(spark):
     assert rows[1]["v"] is None or all(
         rows[1]["v"][f] is None for f in ("by", "id", "story")
     )
+
+
+def test_stats_agg_matches_native_moments(spark):
+    """The exact-integer moment formulation (q_stats_agg) must agree with
+    Spark's native corr/covar_samp/stddev_samp to float tolerance — the
+    moment route exists only for bitwise cross-engine determinism."""
+    from kafka_denormalization_spark import queries as Q
+    from kafka_denormalization_spark.engine import table as eng_table
+
+    sf = "/root/testdata/sf0.001"
+    ours = {r["l_returnflag"]: r for r in Q.q_stats_agg(spark, sf).collect()}
+    native = {
+        r["l_returnflag"]: r
+        for r in eng_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("cv"),
+            F.stddev_samp("l_quantity").alias("sd"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(native)
+    for flag, r in ours.items():
+        n = native[flag]
+        assert abs(r["corr_qty_price"] - n["c"]) < 1e-9
+        assert abs(r["covar_qty_price"] - n["cv"]) < 1e-6 * max(1.0, abs(n["cv"]))
+        assert abs(r["stddev_qty"] - n["sd"]) < 1e-9

@@ -64,3 +64,26 @@ def test_partial_aggregation_before_shuffle(spark):
     )
     plan = explain_str(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """Catalyst must rewrite the EXISTS correlated subquery into a semi
+    join (no per-row subquery execution)."""
+    from kafka_denormalization_spark.plans import explain_str
+
+    df = Q.q_exists_late_ship(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_correlated_scalar_subquery_decorrelates(spark):
+    """The per-part avg scalar subquery becomes an aggregate + join, not a
+    row-at-a-time subquery plan."""
+    from kafka_denormalization_spark.plans import explain_str
+
+    df = Q.q_small_qty_revenue(spark, SF_DIR)
+    plan = explain_str(df)
+    # decorrelated: an aggregate over l_partkey joined back; no Subquery
+    # node surviving in the physical plan
+    assert "Subquery" not in plan
+    assert "avg" in plan.lower()
