@@ -420,6 +420,21 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_shared(spark, sf_dir)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over the
+    MinHash-LSH pair graph (pairs shared via the session memo). Greedy
+    pairwise retention under-merges chained duplicates (a~b, b~c, a!~c);
+    components give the correct groups — each labeled by its smallest
+    doc_id. Oracle: recursive CTE transitive closure over the brute-force
+    Jaccard pairs."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (correctness baseline for LSH)."""
     docs = table(spark, sf_dir, "documents")
@@ -1115,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "near_dedup_docs": q_near_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_centroid": q_embedding_centroid,
@@ -1277,6 +1293,20 @@ ORACLE_SQL: dict[str, str] = {
     WHERE doc_id NOT IN (SELECT id_b FROM pairs)
     """,
     "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "near_dup_clusters": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node
+    """,
     "ann_cosine_topk": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

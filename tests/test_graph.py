@@ -1,0 +1,73 @@
+"""Connected components: correctness on known topologies + the chained
+near-dup scenario greedy retention gets wrong."""
+
+from __future__ import annotations
+
+import random
+
+from kafka_denormalization_spark.functions.graph import connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_chain_merges_transitively(spark):
+    # a~b, b~c but a!~c: greedy min-id pair retention would keep c;
+    # components put all three in ONE group labeled by the min id
+    got = _cc(spark, [(1, 2), (2, 3)])
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_long_path_converges(spark):
+    # path of 40 nodes — diameter > default near-dup expectations; the
+    # iteration cap must still cover it
+    got = _cc(spark, [(i, i + 1) for i in range(40)])
+    assert got == {(i, 0) for i in range(41)}
+
+
+def test_random_graph_matches_union_find(spark):
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    # canonical label = min node id in component
+    comp = {}
+    for n in nodes:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    expected = set()
+    for members in comp.values():
+        m = min(members)
+        expected |= {(n, m) for n in members}
+    assert _cc(spark, edges) == expected
+
+
+def test_string_node_ids(spark):
+    df = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_c", "doc_b")], "src string, dst string"
+    )
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == {("doc_a", "doc_a"), ("doc_b", "doc_a"), ("doc_c", "doc_a")}
