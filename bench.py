@@ -43,8 +43,13 @@ BENCH_QUERIES = [
     "range_join",
     "rollup_timeseries",
     "near_dedup_docs",
+    "near_dup_clusters",
     "shipping_priority",
     "local_supplier_volume",
+    "sliding_window",
+    "session_window",
+    "big_orders",
+    "stats_agg",
 ]
 
 

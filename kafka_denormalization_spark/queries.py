@@ -936,6 +936,20 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from the events changelog: every event version
+    of a user gets [valid_from, valid_to) bounds; the latest has NULL
+    valid_to (one window pass, single shuffle). The as-of companion is
+    pytest-covered (operators/scd.py)."""
+    from kafka_denormalization_spark.operators.scd import scd2_from_changelog
+
+    ev = events_table(spark, sf_dir)
+    out = scd2_from_changelog(
+        ev, ["user_id"], ["ts_us", "event_id"],
+    )
+    return out.select("user_id", "event_id", "ts_us", "valid_from", "valid_to")
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``); the approx variants are in
@@ -1148,6 +1162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "big_orders": q_big_orders,
     "min_cost_per_part": q_min_cost_per_part,
     "stats_agg": q_stats_agg,
+    "scd2_intervals": q_scd2_intervals,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "quantiles": q_quantiles,
@@ -1405,6 +1420,14 @@ ORACLE_SQL: dict[str, str] = {
     )
     """,
     "stats_agg": _STATS_MOMENTS_SQL.format(t="lineitem"),
+    "scd2_intervals": """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           epoch_us(ts) AS valid_from,
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to
+    FROM events
+    """,
     "sliding_window": """
     WITH e AS (
       SELECT event_type, value,

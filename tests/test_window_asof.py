@@ -178,3 +178,41 @@ def test_range_join_left_outer_randomized_vs_bruteforce(spark):
         else:
             expect.append((lk, lts, lid, None, None))
     assert got == sorted(expect)
+
+
+def test_scd2_intervals_and_as_of(spark):
+    """SCD2: intervals partition each key's timeline; as_of(T) returns
+    exactly one version per key for any T inside the history."""
+    from kafka_denormalization_spark.operators.scd import as_of, scd2_from_changelog
+
+    rows = [
+        ("k1", 100, "v1"), ("k1", 200, "v2"), ("k1", 300, "v3"),
+        ("k2", 150, "w1"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ver long, val string")
+    scd = scd2_from_changelog(df, ["key"], ["ver"])
+    got = {(r.key, r.ver, r.valid_from, r.valid_to) for r in scd.collect()}
+    assert got == {
+        ("k1", 100, 100, 200), ("k1", 200, 200, 300), ("k1", 300, 300, None),
+        ("k2", 150, 150, None),
+    }
+    at = {(r.key, r.val) for r in as_of(scd, F.lit(250)).collect()}
+    assert at == {("k1", "v2"), ("k2", "w1")}
+    # before any history for k2's start: only versions valid at T=120
+    early = {(r.key, r.val) for r in as_of(scd, F.lit(120)).collect()}
+    assert early == {("k1", "v1")}
+
+
+def test_scd2_current_matches_latest_per_key(spark):
+    from kafka_denormalization_spark.operators.latest import latest_per_key
+    from kafka_denormalization_spark.operators.scd import scd2_from_changelog
+
+    rows = [("a", 1, "x"), ("a", 2, "y"), ("b", 5, "z")]
+    df = spark.createDataFrame(rows, "key string, ver long, val string")
+    current = (
+        scd2_from_changelog(df, ["key"], ["ver"])
+        .filter(F.col("valid_to").isNull())
+        .select("key", "ver", "val")
+    )
+    latest = latest_per_key(df, ["key"], ["ver", "val"])
+    assert {tuple(r) for r in current.collect()} == {tuple(r) for r in latest.collect()}
