@@ -451,6 +451,27 @@ def q_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-correct near-dedup: MinHash-LSH pairs -> connected
+    components -> keep each component's min-id representative. The
+    greedy variant (`near_dedup_docs`) drops every doc that appears as a
+    pair's right side, which over-drops chained duplicates (b dropped for
+    a, c dropped for b even when c!~a keeps a second group alive);
+    components retain exactly one doc per TRANSITIVE group. One anti-join
+    over the (tiny) non-representative set."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    dropped = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(dropped), ["doc_id"], "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (pigeonhole-bucketed). Engine-specific hash —
     rows-only driver check; recall covered by pytest."""
@@ -1145,6 +1166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_docs": q_near_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "cluster_dedup_docs": q_cluster_dedup_docs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_centroid": q_embedding_centroid,
@@ -1321,6 +1343,22 @@ ORACLE_SQL: dict[str, str] = {
       SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
     )
     SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node
+    """,
+    "cluster_dedup_docs": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster)
     """,
     "ann_cosine_topk": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
