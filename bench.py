@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "shipping_priority",
     "local_supplier_volume",
+    "volume_shipping",
+    "returned_items",
+    "waiting_suppliers",
     "sliding_window",
     "session_window",
     "big_orders",

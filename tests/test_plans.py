@@ -87,3 +87,31 @@ def test_correlated_scalar_subquery_decorrelates(spark):
     # node surviving in the physical plan
     assert "Subquery" not in plan
     assert "avg" in plan.lower()
+
+
+def test_volume_shipping_broadcasts_filtered_dims(spark):
+    """The nation-pair predicate shrinks supplier/customer dims to
+    broadcast size; the fact table must join them without a shuffle on
+    the dim side."""
+    df = Q.q_volume_shipping(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_disjunctive_revenue_pushes_part_predicate(spark):
+    """The OR'd brand/size predicate must reach the part scan (shrinks
+    part to broadcast size before the fact join)."""
+    df = Q.q_disjunctive_revenue(spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("p_brand" in f or "p_size" in f for f in filters)
+    assert has_broadcast_join(df)
+
+
+def test_waiting_suppliers_decorrelates(spark):
+    """EXISTS -> left-semi, NOT EXISTS -> left-anti; no per-row subquery
+    nodes survive in the physical plan."""
+    from kafka_denormalization_spark.plans import explain_str
+
+    df = Q.q_waiting_suppliers(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
