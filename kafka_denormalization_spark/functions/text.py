@@ -194,6 +194,47 @@ def repetition_score(text: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that"]
+
+
+def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
+    """Gopher-style (Rae et al. 2021, arXiv:2112.11446 §A1.1) document
+    quality rules as named boolean columns. Every ratio threshold is
+    expressed with EXACT integer cross-multiplication (``3*wc <= chars``
+    instead of ``chars/wc >= 3``) so the flags are bitwise-identical
+    across engines — no float division anywhere.
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio (# and ...) <= 0.1; >=80% of words contain an
+    alphabetic char; >=2 distinct stopwords present.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens(t)
+    wc = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_wc = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipsis_count = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    return {
+        "r_word_count": wc.between(50, 100_000),
+        "r_mean_word_len": (F.lit(3) * wc <= word_chars)
+        & (word_chars <= F.lit(10) * wc),
+        "r_symbol_ratio": F.lit(10) * (hash_count + ellipsis_count) <= wc,
+        "r_alpha_words": F.lit(5) * alpha_wc >= F.lit(4) * wc,
+        "r_stopwords": stop_hits >= 2,
+    }
+
+
 def vocab_table(docs, text_col: str, k: int = 50):
     """Corpus vocabulary: token -> frequency, top-k (count desc, token asc
     tiebreak so the result set is deterministic).

@@ -347,6 +347,52 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.vocab_table(docs, "text", k=50)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering: per-document boolean flags + the
+    conjunctive keep decision. Narrow per-row Catalyst expressions in the
+    scan stage — the standard first pass of a training-data pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    flags = text_fns.gopher_quality_flags(F.col("text"))
+    out = docs.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
+    )
+    keep = F.lit(True)
+    for name in flags:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over event values (bucket = floor(value/50)).
+    floor of an IEEE double division is deterministic cross-engine; the
+    per-bucket min/max are exact (no summation)."""
+    ev = events_table(spark, sf_dir)
+    bucket = F.floor(F.col("value") / F.lit(50)).alias("bucket")
+    return (
+        ev.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def q_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of customer balance within each nation. The
+    ORDER BY carries a c_custkey tie-break so tile assignment is total
+    (deterministic cross-engine)."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # benchmark-decontamination needles (substring probes over the corpus);
 # the last one never matches — scans must be exact, not fuzzy
 CONTAMINATION_PATTERNS = ["hash join", "merge batch", "slow query", "zzz never zzz"]
@@ -1312,6 +1358,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
+    "quality_filter": q_quality_filter,
+    "value_histogram": q_value_histogram,
+    "ntile_acctbal": q_ntile_acctbal,
     "contamination_scan": q_contamination_scan,
     "stratified_sample": q_stratified_sample,
     "anti_join_orphans": q_anti_join_orphans,
@@ -1429,6 +1478,48 @@ ORACLE_SQL: dict[str, str] = {
                            / CAST(len({_GRAMS2_SQL}) AS DOUBLE)
                 ELSE 0.0 END AS rep_2gram
     FROM documents
+    """,
+    "quality_filter": """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             length(text) - length(replace(text, '#', '')) AS hash_count,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipsis_count
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, hash_count, ellipsis_count,
+             len(w) AS wc,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS word_chars,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_wc,
+             len(list_intersect(list_transform(w, x -> lower(x)),
+                                ['the','and','of','to','a','in','is','that'])) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id,
+           wc BETWEEN 50 AND 100000 AS r_word_count,
+           (3 * wc <= word_chars AND word_chars <= 10 * wc) AS r_mean_word_len,
+           10 * (hash_count + ellipsis_count) <= wc AS r_symbol_ratio,
+           5 * alpha_wc >= 4 * wc AS r_alpha_words,
+           stop_hits >= 2 AS r_stopwords,
+           (wc BETWEEN 50 AND 100000)
+             AND (3 * wc <= word_chars AND word_chars <= 10 * wc)
+             AND (10 * (hash_count + ellipsis_count) <= wc)
+             AND (5 * alpha_wc >= 4 * wc)
+             AND (stop_hits >= 2) AS keep
+    FROM stats
+    """,
+    "value_histogram": """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+    "ntile_acctbal": """
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
     """,
     "vocab_topk": f"""
     SELECT token, count(*) AS n

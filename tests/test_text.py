@@ -146,3 +146,29 @@ def test_contamination_scan(spark):
     )
     # doc 3 matches once per PATTERN, not per occurrence
     assert got == [(1, "hash join"), (3, "hash join")]
+
+
+def test_gopher_quality_flags(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_denormalization_spark.functions.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog and runs to town in time " * 5
+    short = "too few words here"
+    symbols = " ".join(["###"] * 60)
+    no_stop = " ".join(["zebra"] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, no_stop)], "id long, text string"
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in flags.items()]
+        ).collect()
+    }
+    assert all(out[1][n] for n in flags), "good doc passes every rule"
+    assert not out[2]["r_word_count"], "short doc fails word count"
+    assert not out[3]["r_symbol_ratio"], "hash-runs fail symbol ratio"
+    assert not out[3]["r_alpha_words"], "hash-runs fail alpha-word rule"
+    assert not out[4]["r_stopwords"], "stopword-free doc fails stopword rule"
