@@ -347,6 +347,32 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.vocab_table(docs, "text", k=50)
 
 
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style keyword extraction: top-3 terms per document ranked
+    by term frequency desc, document frequency asc (rarer-is-better),
+    term asc — the idf ordering without float logarithms, so the rank is
+    EXACT cross-engine. Two aggregations (doc-term tf, corpus df) + one
+    window; the df table is small (vocabulary-sized) and broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id",
+        F.explode(text_fns.tokens(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term").rlike("^[a-z]{3,}$"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filtering: per-document boolean flags + the
     conjunctive keep decision. Narrow per-row Catalyst expressions in the
@@ -1359,6 +1385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
     "quality_filter": q_quality_filter,
+    "keyword_extraction": q_keyword_extraction,
     "value_histogram": q_value_histogram,
     "ntile_acctbal": q_ntile_acctbal,
     "contamination_scan": q_contamination_scan,
@@ -1478,6 +1505,24 @@ ORACLE_SQL: dict[str, str] = {
                            / CAST(len({_GRAMS2_SQL}) AS DOUBLE)
                 ELSE 0.0 END AS rep_2gram
     FROM documents
+    """,
+    "keyword_extraction": """
+    WITH terms AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(term)
+      WHERE regexp_matches(t.term, '^[a-z]{3,}$')
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
     """,
     "quality_filter": """
     WITH toks AS (
