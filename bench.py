@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "rollup_timeseries",
     "near_dedup_docs",
     "near_dup_clusters",
+    "corpus_pipeline",
     "shipping_priority",
     "local_supplier_volume",
     "volume_shipping",

@@ -544,6 +544,35 @@ def q_cluster_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline, end to end in ONE lazy plan:
+    Gopher quality rules -> transitive near-dedup (corpus-wide LSH pair
+    graph -> connected components -> min-id representative) -> per-source
+    deterministic mix sampling. Catalyst fuses the per-row stages into the
+    scan; only the dedup candidate generation shuffles. Dedup clusters are
+    computed corpus-wide (before the quality gate), and a dropped
+    representative does not promote another member — the standard order
+    for reproducible corpus builds."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    flags = text_fns.gopher_quality_flags(F.col("text"))
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    quality = docs.filter(keep)
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    dropped = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = quality.join(F.broadcast(dropped), ["doc_id"], "left_anti")
+    return stratified_sample(
+        kept, "source", MIX_FRACTIONS, "doc_id", MIX_DEFAULT, MIX_SALT
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (pigeonhole-bucketed). Engine-specific hash —
     rows-only driver check; recall covered by pytest."""
@@ -1398,6 +1427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "cluster_dedup_docs": q_cluster_dedup_docs,
+    "corpus_pipeline": q_corpus_pipeline,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_centroid": q_embedding_centroid,
@@ -1435,6 +1465,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_pricing": q_rollup_pricing,
     "pivot_event_counts": q_pivot_event_counts,
 }
+
+# Gopher-rule CTE fragments shared by quality_filter and corpus_pipeline
+# (must stay expression-identical to functions/text.py gopher_quality_flags)
+_GOPHER_STATS_SQL = """
+    gq_toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             length(text) - length(replace(text, '#', '')) AS hash_count,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipsis_count
+      FROM documents
+    ), gq_stats AS (
+      SELECT doc_id, hash_count, ellipsis_count,
+             len(w) AS wc,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS word_chars,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_wc,
+             len(list_intersect(list_transform(w, x -> lower(x)),
+                                ['the','and','of','to','a','in','is','that'])) AS stop_hits
+      FROM gq_toks
+    )"""
+
+_GOPHER_KEEP_SQL = """(wc BETWEEN 50 AND 100000)
+             AND (3 * wc <= word_chars AND word_chars <= 10 * wc)
+             AND (10 * (hash_count + ellipsis_count) <= wc)
+             AND (5 * alpha_wc >= 4 * wc)
+             AND (stop_hits >= 2)"""
+
 
 ORACLE_SQL: dict[str, str] = {
     "denorm_inner": _denorm_sql("JOIN", right_filter=False),
@@ -1524,34 +1580,39 @@ ORACLE_SQL: dict[str, str] = {
     )
     SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
     """,
-    "quality_filter": """
-    WITH toks AS (
-      SELECT doc_id,
-             regexp_split_to_array(trim(text), '\\s+') AS w,
-             length(text) - length(replace(text, '#', '')) AS hash_count,
-             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipsis_count
-      FROM documents
-    ), stats AS (
-      SELECT doc_id, hash_count, ellipsis_count,
-             len(w) AS wc,
-             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS word_chars,
-             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_wc,
-             len(list_intersect(list_transform(w, x -> lower(x)),
-                                ['the','and','of','to','a','in','is','that'])) AS stop_hits
-      FROM toks
-    )
+    "quality_filter": f"""
+    WITH {_GOPHER_STATS_SQL}
     SELECT doc_id,
            wc BETWEEN 50 AND 100000 AS r_word_count,
            (3 * wc <= word_chars AND word_chars <= 10 * wc) AS r_mean_word_len,
            10 * (hash_count + ellipsis_count) <= wc AS r_symbol_ratio,
            5 * alpha_wc >= 4 * wc AS r_alpha_words,
            stop_hits >= 2 AS r_stopwords,
-           (wc BETWEEN 50 AND 100000)
-             AND (3 * wc <= word_chars AND word_chars <= 10 * wc)
-             AND (10 * (hash_count + ellipsis_count) <= wc)
-             AND (5 * alpha_wc >= 4 * wc)
-             AND (stop_hits >= 2) AS keep
-    FROM stats
+           {_GOPHER_KEEP_SQL} AS keep
+    FROM gq_stats
+    """,
+    "corpus_pipeline": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM clusters WHERE node <> cluster),
+    {_GOPHER_STATS_SQL},
+    quality AS (SELECT doc_id FROM gq_stats WHERE {_GOPHER_KEEP_SQL})
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d
+    JOIN quality USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+      AND substr(md5(concat('{MIX_SALT}', '|', CAST(d.doc_id AS VARCHAR))), 1, 8)
+          < {_mix_threshold_sql()}
     """,
     "value_histogram": """
     SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
