@@ -115,3 +115,35 @@ def test_waiting_suppliers_decorrelates(spark):
     plan = explain_str(df)
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's InjectRuntimeFilter adds a bloom-filter semi-reduction on
+    the fact side of a shuffle join whose dim side carries a selective
+    predicate. The application-side threshold defaults to 10 GB, so at
+    cluster scale it fires on its own; locally we lower it to prove the
+    plan shape (and that our query form doesn't block the rule)."""
+    from kafka_denormalization_spark.plans import explain_str
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_DIR, "lineitem")
+        orders = table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -151,3 +151,68 @@ def test_streaming_session_window_agg(spark, tmp_path):
     q.stop()
     counts = sorted(r["n"] for r in spark.sql("SELECT n FROM sess_out").collect())
     assert counts == [1, 2]
+
+
+def test_read_with_quarantine_json(spark, tmp_path):
+    from kafka_denormalization_spark.sources.batch import read_with_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        'not json at all\n'
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "badtype and", "v": }\n'
+    )
+    good, bad = read_with_quarantine(spark, str(p), "json", "id LONG, v STRING")
+    assert sorted((r["id"], r["v"]) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "also ok"),
+    ]
+    quarantined = [r["_corrupt"] for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert "not json at all" in quarantined
+
+
+def test_read_with_quarantine_csv(spark, tmp_path):
+    from kafka_denormalization_spark.sources.batch import read_with_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,ok\nnotanumber,alsook\n2,fine\n")
+    good, bad = read_with_quarantine(spark, str(p), "csv", "id LONG, v STRING")
+    assert sorted((r["id"], r["v"]) for r in good.collect()) == [(1, "ok"), (2, "fine")]
+    assert bad.count() == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy layout + a partition-column predicate must prune at
+    PLAN time (PartitionFilters on the scan), not post-scan."""
+    from kafka_denormalization_spark.engine import events_table
+    from kafka_denormalization_spark.plans import explain_str
+    from kafka_denormalization_spark.sources.batch import read_batch, write_batch
+
+    ev = events_table(spark, "/root/testdata/sf0.001")
+    write_batch(ev, str(tmp_path / "ev"), partition_by=["event_type"])
+    back = read_batch(spark, str(tmp_path / "ev")).filter(
+        F.col("event_type") == "click"
+    )
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan
+    # the predicate must appear in PartitionFilters, not PushedFilters
+    pf = plan[plan.index("PartitionFilters") :].split("]")[0]
+    assert "click" in pf
+
+
+def test_observe_metrics_single_pass(spark):
+    from kafka_denormalization_spark.operators.observe import observe_corpus_metrics
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "x")],
+        "id long, text string",
+    )
+    observed, obs = observe_corpus_metrics(df, "text")
+    assert observed.count() == 4
+    m = obs.get
+    assert m["n_docs"] == 4
+    assert m["total_chars"] == 12
+    assert m["n_empty"] == 1
+    assert m["n_null"] == 1
