@@ -1,0 +1,76 @@
+"""Document chunking + sequence packing for training-data preparation.
+
+Chunking splits each document into fixed-token-budget windows (optionally
+overlapping) — the unit LLM pipelines tokenize and pack. Packing assigns
+chunks to fixed-size context windows with concat-and-cut semantics (the
+standard pretraining layout: concatenate the corpus stream, slice every
+``budget`` tokens).
+
+Both are pure Catalyst expression chains — sequence/slice/explode for
+chunking, one window cumsum for packing — with EXACT integer arithmetic
+throughout, so the DuckDB oracles match bitwise. Packing partitions by
+``source`` so no single window partition absorbs the whole corpus (the
+global-order variant would serialize on one task at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens) rows; chunk ``i`` covers
+    whitespace tokens [i*step, i*step + chunk_tokens), step = chunk -
+    overlap. Short documents produce a single (possibly small) chunk."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    wc = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((wc - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
+    ).cast("int")
+    with_toks = docs.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("_w"), F.col("chunk_id") * step + 1, F.lit(chunk_tokens)
+    )
+    return with_toks.select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+    budget: int = 256,
+) -> DataFrame:
+    """Concat-and-cut packing: within each ``part_col`` stream (ordered by
+    ``order_cols``), a chunk starting at cumulative token offset ``s``
+    lands in pack ``s // budget`` at offset ``s % budget``. One window
+    cumsum per partition — no iterative bin state, no driver loop."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    cum_end = F.sum(F.col(token_col)).over(w)
+    start = (cum_end - F.col(token_col)).cast("long")
+    return chunks.select(
+        "*",
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        (start % F.lit(budget)).alias("pack_offset"),
+    )

@@ -544,6 +544,34 @@ def q_cluster_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (64-token windows, 16-token overlap): the
+    tokenize-and-chunk stage of a training pipeline as a pure
+    sequence/slice/explode expression chain — no Python in the row path."""
+    from kafka_denormalization_spark.operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: 64-token chunks packed into
+    256-token context windows per source stream. One window cumsum per
+    source partition — deterministic, no driver loop, no global sort."""
+    from kafka_denormalization_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64).join(
+        docs.select("doc_id", "source"), ["doc_id"]
+    )
+    return pack_chunks(
+        chunks, "source", ["doc_id", "chunk_id"], budget=256
+    ).select("doc_id", "chunk_id", "source", "n_tokens", "pack_id", "pack_offset")
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus pipeline, end to end in ONE lazy plan:
     Gopher quality rules -> transitive near-dedup (corpus-wide LSH pair
@@ -1427,6 +1455,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "cluster_dedup_docs": q_cluster_dedup_docs,
+    "doc_chunks": q_doc_chunks,
+    "sequence_packing": q_sequence_packing,
     "corpus_pipeline": q_corpus_pipeline,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1590,6 +1620,39 @@ ORACLE_SQL: dict[str, str] = {
            stop_hits >= 2 AS r_stopwords,
            {_GOPHER_KEEP_SQL} AS keep
     FROM gq_stats
+    """,
+    "doc_chunks": """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(greatest(1, (len(w) - 16 + 47) // 48))) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+           len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens
+    FROM c
+    """,
+    "sequence_packing": """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(greatest(1, (len(w) + 63) // 64))) AS chunk_id
+      FROM t
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             len(list_slice(w, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS n_tokens
+      FROM c
+    ), j AS (
+      SELECT chunks.*, d.source FROM chunks JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, chunk_id, source, n_tokens,
+           (SUM(n_tokens) OVER win - n_tokens) // 256 AS pack_id,
+           (SUM(n_tokens) OVER win - n_tokens) % 256 AS pack_offset
+    FROM j
+    WINDOW win AS (PARTITION BY source ORDER BY doc_id, chunk_id)
     """,
     "corpus_pipeline": f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),

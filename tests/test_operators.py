@@ -107,3 +107,36 @@ def test_stats_agg_matches_native_moments(spark):
         assert abs(r["corr_qty_price"] - n["c"]) < 1e-9
         assert abs(r["covar_qty_price"] - n["cv"]) < 1e-6 * max(1.0, abs(n["cv"]))
         assert abs(r["stddev_qty"] - n["sd"]) < 1e-9
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from kafka_denormalization_spark.operators.chunking import chunk_documents
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text10), (2, "solo")], "id long, text string")
+    out = chunk_documents(df, "id", "text", chunk_tokens=4, overlap=2)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, step 2 -> ceil((10-2)/2) = 4 chunks at offsets 0,2,4,6
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0, 1, 2, 3]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"
+    assert rows[(1, 3)]["chunk_text"] == "w6 w7 w8 w9"
+    # short doc: one undersized chunk
+    assert rows[(2, 0)]["chunk_text"] == "solo"
+    assert rows[(2, 0)]["n_tokens"] == 1
+
+
+def test_pack_chunks_concat_and_cut(spark):
+    from kafka_denormalization_spark.operators.chunking import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [("s", 1, 0, 60), ("s", 1, 1, 60), ("s", 2, 0, 60), ("s", 2, 1, 30)],
+        "source string, doc_id long, chunk_id long, n_tokens long",
+    )
+    out = pack_chunks(chunks, "source", ["doc_id", "chunk_id"], budget=128)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+        for r in out.collect()
+    }
+    # starts: 0, 60, 120, 180 with budget 128 -> packs 0,0,0,1
+    assert got == {(1, 0): (0, 0), (1, 1): (0, 60), (2, 0): (0, 120), (2, 1): (1, 52)}
