@@ -15,12 +15,18 @@ from pyspark.sql import functions as F
 
 def observe_metrics(
     df: DataFrame, name: str, **aggs: Column
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """Attach named aggregate metrics to a DataFrame without changing its
-    rows. Returns (df, observation); read ``observation.get`` after an
-    action completes."""
+    rows. Batch: returns (df, observation) — read ``observation.get``
+    after an action. Streaming: ``Observation`` is unsupported (one value
+    per micro-batch), so metrics register under ``name`` and surface in
+    ``query.recentProgress[i]["observedMetrics"][name]``; returns
+    (df, None)."""
+    exprs = [c.alias(n) for n, c in aggs.items()]
+    if df.isStreaming:
+        return df.observe(name, *exprs), None
     obs = Observation(name)
-    return df.observe(obs, *[c.alias(n) for n, c in aggs.items()]), obs
+    return df.observe(obs, *exprs), obs
 
 
 def observe_corpus_metrics(

@@ -1009,6 +1009,80 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table predicate + sum — the whole query
+    should collapse into the scan stage (every filter pushed, two columns
+    read, partial agg map-side)."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue, keep the max.
+    The scalar max subquery decorrelates to an aggregate + cross join of
+    a 1-row frame; revenue sums stay DECIMAL so the max-equality match is
+    exact (ties all surface, deterministically)."""
+    _sql_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(28,8))) AS total_revenue
+          FROM kd_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM kd_supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nation key in place of the phone prefix):
+    customers with above-average balance and no RECENT orders. The average
+    comparison is EXACT — cross-multiplied decimal sums
+    (bal * n > total) instead of a float division."""
+    _sql_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        WITH pos AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+          FROM kd_customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM kd_customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.total
+          AND NOT EXISTS (
+            SELECT 1 FROM kd_orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-06-01'
+          )
+        GROUP BY c_nationkey
+        """
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: error events within 10 minutes AFTER a click by the same
     user (bucketized equi-join; DuckDB inequality join is the oracle)."""
@@ -1484,6 +1558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "forecast_revenue": q_forecast_revenue,
+    "top_supplier": q_top_supplier,
+    "idle_rich_customers": q_idle_rich_customers,
     "quantiles": q_quantiles,
     "approx_stats": q_approx_stats,
     "grouping_sets": q_grouping_sets,
@@ -2014,6 +2091,46 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
+    """,
+    "forecast_revenue": """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE year(l_shipdate) = 1997
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    "top_supplier": """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                 AS DECIMAL(28,8))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "idle_rich_customers": """
+    WITH pos AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-06-01'
+      )
+    GROUP BY c_nationkey
     """,
     "local_supplier_volume": """
     SELECT r_name, n_name,

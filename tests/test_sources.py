@@ -216,3 +216,32 @@ def test_observe_metrics_single_pass(spark):
     assert m["total_chars"] == 12
     assert m["n_empty"] == 1
     assert m["n_null"] == 1
+
+
+def test_observe_metrics_streaming(spark, tmp_path):
+    """observe() metrics surface per-batch in StreamingQueryProgress —
+    the same helper serves batch and streaming ingest telemetry."""
+    from kafka_denormalization_spark.operators.observe import observe_corpus_metrics
+
+    src = os.path.join(str(tmp_path), "obs")
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "abc")], "id long, text string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    observed, _ = observe_corpus_metrics(stream, "text")
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "cko"))
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p.get("observedMetrics")]
+    q.stop()
+    assert progresses, "no batch carried observed metrics"
+    m = progresses[-1]["observedMetrics"]["corpus_metrics"]
+    assert m["n_docs"] == 3
+    assert m["total_chars"] == 14
+    assert m["n_empty"] == 1
