@@ -1009,6 +1009,52 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' revenue share within ASIA
+    customers' orders, by order year. Both the numerator (conditional
+    sum) and denominator accumulate as exact DECIMAL; only the FINAL
+    ratio divides — two identical doubles divided IEEE-deterministically,
+    so the share is hash-comparable cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    cust_in_region = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("c_custkey")
+    )
+    supp_n = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    vol = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+            F.lit(0).cast("decimal(28,8)")
+        )
+    )
+    den = F.sum(vol)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_in_region, orders["o_custkey"] == cust_in_region["c_custkey"], "left_semi")
+        .join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            num.cast("double").alias("nation_volume"),
+            den.cast("double").alias("total_volume"),
+            (num.cast("double") / den.cast("double")).alias("mkt_share"),
+        )
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: single-table predicate + sum — the whole query
     should collapse into the scan stage (every filter pushed, two columns
@@ -1558,6 +1604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "market_share": q_market_share,
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
     "idle_rich_customers": q_idle_rich_customers,
@@ -2091,6 +2138,32 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
+    """,
+    "market_share": """
+    WITH base AS (
+      SELECT year(o_orderdate) AS o_year,
+             ns.n_name AS supp_nation,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(28,8)) AS vol
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE o_custkey IN (
+        SELECT c_custkey FROM customer
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+      )
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS nation_volume,
+           CAST(SUM(vol) AS DOUBLE) AS total_volume,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY o_year
     """,
     "forecast_revenue": """
     SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
