@@ -235,6 +235,66 @@ def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
     }
 
 
+def contamination_scan_join(
+    docs, id_col: str, text_col: str, patterns: list[str], probe_grams: int = 2
+):
+    """Many-needle decontamination at corpus scale: TOKEN-SEQUENCE match
+    of each needle against each document, found via an equi-join on the
+    needle's first ``probe_grams``-token gram instead of a per-needle
+    substring scan.
+
+    ``contamination_scan`` is a broadcast nested-loop: every document is
+    string-scanned once per needle — fine for a handful, O(corpus x
+    needles) for a benchmark suite with thousands of probes. Here a
+    document containing needle tokens w1..wn must contain the gram
+    (w1..wk), so candidates come from ONE hash join between the corpus
+    gram table (reusable from the dedup pipeline) and the broadcast
+    needle-gram table; the exact token-boundary verification then runs
+    only on candidates. Needles shorter than ``probe_grams`` tokens fall
+    back to the contains scan (their gram key doesn't exist).
+
+    Matching is on whitespace-normalized token sequences — " ``a b`` "
+    matches "``x a b y``" but not "``xa by``" — the standard
+    decontamination definition, identical in the DuckDB oracle.
+    """
+    spark = docs.sparkSession
+    pats = spark.createDataFrame([(p,) for p in patterns], "pat string")
+    norm = lambda c: F.array_join(tokens(c), " ")
+    pats = pats.select(
+        "pat",
+        norm(F.col("pat")).alias("_pnorm"),
+        F.size(tokens(F.col("pat"))).alias("_ptoks"),
+        F.array_join(F.slice(tokens(F.col("pat")), 1, probe_grams), " ").alias("_g"),
+    )
+    long_pats = pats.filter(F.col("_ptoks") >= probe_grams)
+    short_pats = pats.filter(F.col("_ptoks") < probe_grams)
+
+    from kafka_denormalization_spark.functions.similarity import word_gram_rows
+
+    grams = word_gram_rows(docs, id_col, text_col, probe_grams).dropDuplicates()
+    candidates = (
+        grams.join(F.broadcast(long_pats), ["_g"])
+        .select(F.col("_id").alias(id_col), "pat", "_pnorm")
+        .dropDuplicates()
+    )
+    normed = docs.select(
+        F.col(id_col), F.concat(F.lit(" "), norm(F.col(text_col)), F.lit(" ")).alias("_dnorm")
+    )
+    boundary_hit = F.contains(
+        F.col("_dnorm"), F.concat(F.lit(" "), F.col("_pnorm"), F.lit(" "))
+    )
+    verified = (
+        candidates.join(normed, [id_col])
+        .filter(boundary_hit)
+        .select(id_col, "pat")
+    )
+    fallback = (
+        normed.join(F.broadcast(short_pats), boundary_hit)
+        .select(F.col(id_col), F.col("pat"))
+    )
+    return verified.unionByName(fallback)
+
+
 def vocab_table(docs, text_col: str, k: int = 50):
     """Corpus vocabulary: token -> frequency, top-k (count desc, token asc
     tiebreak so the result set is deterministic).

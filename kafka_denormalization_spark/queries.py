@@ -429,6 +429,20 @@ def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.contamination_scan(docs, "doc_id", "text", CONTAMINATION_PATTERNS)
 
 
+# the many-needle variant adds a single-token needle (exercises the
+# short-pattern fallback path) on top of the multiword probes
+CONTAMINATION_MANY = CONTAMINATION_PATTERNS + ["query"]
+
+
+def q_contamination_scan_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for decontamination: gram-probe hash join + verify on
+    candidates (token-boundary semantics), not per-needle corpus scans."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.contamination_scan_join(
+        docs, "doc_id", "text", CONTAMINATION_MANY, probe_grams=2
+    )
+
+
 # training-mix rates: named strata get their rate, the long tail defaults
 MIX_FRACTIONS = {"src0": 0.75, "src1": 0.5, "src2": 0.5}
 MIX_DEFAULT = 0.25
@@ -1566,6 +1580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     "ntile_acctbal": q_ntile_acctbal,
     "contamination_scan": q_contamination_scan,
+    "contamination_scan_join": q_contamination_scan_join,
     "stratified_sample": q_stratified_sample,
     "anti_join_orphans": q_anti_join_orphans,
     "fingerprint": q_fingerprint,
@@ -1826,6 +1841,20 @@ ORACLE_SQL: dict[str, str] = {
     FROM documents
     JOIN (VALUES {", ".join(f"('{p}')" for p in CONTAMINATION_PATTERNS)}) p(pat)
       ON contains(text, pat)
+    """,
+    "contamination_scan_join": f"""
+    WITH needles(pat) AS (VALUES {", ".join(f"('{p}')" for p in CONTAMINATION_MANY)}),
+    dnorm AS (
+      SELECT doc_id,
+             ' ' || array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') || ' ' AS dn
+      FROM documents
+    ),
+    pnorm AS (
+      SELECT pat,
+             ' ' || array_to_string(regexp_split_to_array(trim(pat), '\\s+'), ' ') || ' ' AS pn
+      FROM needles
+    )
+    SELECT doc_id, pat FROM dnorm, pnorm WHERE contains(dn, pn)
     """,
     "stratified_sample": f"""
     SELECT doc_id, source, lang FROM documents

@@ -172,3 +172,25 @@ def test_gopher_quality_flags(spark):
     assert not out[3]["r_symbol_ratio"], "hash-runs fail symbol ratio"
     assert not out[3]["r_alpha_words"], "hash-runs fail alpha-word rule"
     assert not out[4]["r_stopwords"], "stopword-free doc fails stopword rule"
+
+
+def test_contamination_scan_join_token_boundaries(spark):
+    from kafka_denormalization_spark.functions.text import contamination_scan_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "uses a hash join here"),
+            (2, "rehash joint ventures"),     # substring but not token-seq
+            (3, "hash  join\twith odd   ws"),  # whitespace-normalized match
+            (4, "the query planner"),          # single-token fallback path
+            (5, "queryx plans"),               # no boundary match
+        ],
+        "id long, text string",
+    )
+    got = sorted(
+        (r["id"], r["pat"])
+        for r in contamination_scan_join(
+            docs, "id", "text", ["hash join", "query"], probe_grams=2
+        ).collect()
+    )
+    assert got == [(1, "hash join"), (3, "hash join"), (4, "query")]
