@@ -1023,6 +1023,18 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customer-name pairs within edit distance 1,
+    found via deletion-neighborhood blocking (operators/fuzzy.py) — an
+    equi-join on 1-deletion variant keys, NOT the O(n^2) scan the DuckDB
+    oracle runs. Prefix blocking would degenerate here (every name shares
+    'Customer#'); the deletion neighborhood doesn't care."""
+    from kafka_denormalization_spark.operators.fuzzy import fuzzy_self_join_dist1
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_self_join_dist1(cust, "c_custkey", "c_name")
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' revenue share within ASIA
     customers' orders, by order year. Both the numerator (conditional
@@ -1619,6 +1631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "market_share": q_market_share,
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
@@ -2167,6 +2180,13 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
+    """,
+    "fuzzy_name_pairs": """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
     """,
     "market_share": """
     WITH base AS (

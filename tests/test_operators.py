@@ -140,3 +140,26 @@ def test_pack_chunks_concat_and_cut(spark):
     }
     # starts: 0, 60, 120, 180 with budget 128 -> packs 0,0,0,1
     assert got == {(1, 0): (0, 0), (1, 1): (0, 60), (2, 0): (0, 120), (2, 1): (1, 52)}
+
+
+def test_fuzzy_self_join_dist1_edit_types(spark):
+    from kafka_denormalization_spark.operators.fuzzy import fuzzy_self_join_dist1
+
+    rows = [
+        (1, "abcdef"),
+        (2, "abcxef"),   # substitution of 1
+        (3, "abcdefg"),  # insertion vs 1
+        (4, "abcde"),    # deletion vs 1
+        (5, "abXYef"),   # distance 2 from 1: excluded
+        (6, "abcdef"),   # exact duplicate of 1: distance 0
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join_dist1(df, "id", "s").collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 6)] == 0
+    assert (1, 5) not in got
+    # pairs among the variants themselves
+    assert got[(3, 6)] == 1 and got[(4, 6)] == 1
