@@ -1023,6 +1023,63 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view -> click -> purchase, strict time
+    order): the relevant event types are filtered and hash-partitioned by
+    user_id ONCE; all three stage aggregations and both stage joins run
+    on that single exchange (2 ReusedExchange + zero join shuffles,
+    pinned in test_plans.py — the naive per-stage formulation costs 6).
+    All integer microsecond comparisons — exact cross-engine."""
+    ev = (
+        events_table(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts_us")
+        .repartition(F.col("user_id"))
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, ["user_id"])
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, ["user_id"])
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        views.join(clicks, ["user_id"], "left_outer")
+        .join(purchases, ["user_id"], "left_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+    )
+
+
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-rank breadth: percent_rank and cume_dist over customer
+    balance within each nation. Both are ratios of integer ranks over
+    identical doubles — IEEE-deterministic, hash-comparable."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: customer-name pairs within edit distance 1,
     found via deletion-neighborhood blocking (operators/fuzzy.py) — an
@@ -1631,6 +1688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "funnel_counts": q_funnel_counts,
+    "rank_distribution": q_rank_distribution,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "market_share": q_market_share,
     "forecast_revenue": q_forecast_revenue,
@@ -2180,6 +2239,35 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
+    """,
+    "funnel_counts": """
+    WITH views AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), clicks AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN views v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      GROUP BY e.user_id
+    ), purchases AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN clicks c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_view,
+           count(c.t_click) AS n_view_click,
+           count(p.t_purchase) AS n_view_click_purchase
+    FROM views v
+    LEFT JOIN clicks c ON v.user_id = c.user_id
+    LEFT JOIN purchases p ON v.user_id = p.user_id
+    """,
+    "rank_distribution": """
+    SELECT c_custkey, c_nationkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
     "fuzzy_name_pairs": """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -147,3 +147,13 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """The single user_id repartition must be shared by all three stage
+    aggregations at runtime (AQE ReuseExchange) — the naive per-stage
+    formulation shuffles six times."""
+    df = Q.q_funnel_counts(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 2
