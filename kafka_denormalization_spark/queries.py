@@ -1023,6 +1023,53 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's event-type sequence as a
+    '>'-joined string. collect_list order is nondeterministic under
+    parallel merge, so elements carry their (ts_us, event_id) sort key
+    into the array and are sorted AFTER collection — deterministic
+    regardless of partitioning, one shuffle."""
+    ev = events_table(spark, sf_dir)
+    item = F.struct(
+        F.col("ts_us"), F.col("event_id"), F.col("event_type")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(item)), lambda s: s["event_type"]
+                ),
+                ">",
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-frame windowed aggregate: 7-row trailing average of event
+    values per user (ordered by time with an event_id tie-break). The
+    trailing SUM accumulates as DECIMAL; count is exact; one IEEE
+    division at the end keeps the average hash-comparable."""
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    tot = F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (tot.cast("double") / n.cast("double")).alias("avg_7"),
+    )
+
+
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view -> click -> purchase, strict time
     order): the relevant event types are filtered and hash-partitioned by
@@ -1688,6 +1735,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "user_journeys": q_user_journeys,
+    "moving_average": q_moving_average,
     "funnel_counts": q_funnel_counts,
     "rank_distribution": q_rank_distribution,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
@@ -2239,6 +2288,21 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
+    """,
+    "user_journeys": """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS journey,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    "moving_average": """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_7
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     "funnel_counts": """
     WITH views AS (
