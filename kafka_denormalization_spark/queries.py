@@ -1505,6 +1505,25 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts_us", "valid_from", "valid_to")
 
 
+# mid-range probe instant for the point-in-time lookup (events span
+# 2024-01-01..2024-01-31; this is ~Jan 16)
+_AS_OF_US = 1705361944535855
+
+
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 history: each user's row
+    version valid at the probe instant. On a persisted SCD2 table the
+    validity predicate pushes to the scan; here it composes with the
+    interval build in one plan."""
+    from kafka_denormalization_spark.operators.scd import as_of, scd2_from_changelog
+
+    ev = events_table(spark, sf_dir)
+    scd = scd2_from_changelog(ev, ["user_id"], ["ts_us", "event_id"])
+    return as_of(scd, F.lit(_AS_OF_US)).select(
+        "user_id", "event_id", "ts_us", "valid_from", "valid_to"
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``); the approx variants are in
@@ -1727,6 +1746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_per_part": q_min_cost_per_part,
     "stats_agg": q_stats_agg,
     "scd2_intervals": q_scd2_intervals,
+    "scd2_as_of": q_scd2_as_of,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "volume_shipping": q_volume_shipping,
@@ -2160,6 +2180,20 @@ ORACLE_SQL: dict[str, str] = {
              PARTITION BY user_id ORDER BY ts, event_id
            ) AS valid_to
     FROM events
+    """,
+    "scd2_as_of": f"""
+    WITH scd AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) AS valid_from,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS valid_to
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us, valid_from, valid_to
+    FROM scd
+    WHERE valid_from <= {_AS_OF_US}
+      AND (valid_to IS NULL OR valid_to > {_AS_OF_US})
     """,
     "sliding_window": """
     WITH e AS (
