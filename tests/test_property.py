@@ -148,3 +148,76 @@ def test_asof_join_randomized_vs_bruteforce(spark):
         cands = [(rts, rid) for (rk, rts, rid) in rights if rk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, k, ts)
+
+
+def test_chunking_conserves_tokens_randomized(spark):
+    """No-overlap chunking must partition every document's token stream:
+    per-doc sum(n_tokens) == token count, offsets tile without gaps, and
+    packing offsets stay inside the budget."""
+    from kafka_denormalization_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    rng = _random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(100)}" for _ in range(rng.randrange(1, 90))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    chunks = chunk_documents(df, "id", "text", chunk_tokens=16)
+    per_doc = {
+        r["id"]: r["s"]
+        for r in chunks.groupBy("id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    expected = {i: len(t.split()) for i, t in rows}
+    assert per_doc == expected
+    packed = pack_chunks(
+        chunks.withColumn("src", F.lit("s")), "src", ["id", "chunk_id"], budget=64
+    )
+    for r in packed.collect():
+        assert 0 <= r["pack_offset"] < 64
+        assert r["pack_id"] >= 0
+
+
+def test_fuzzy_join_randomized_vs_bruteforce(spark):
+    """Deletion-neighborhood blocking must have PERFECT recall for
+    distance <= 1 — cross-checked against the O(n^2) levenshtein scan on
+    random strings with random single edits applied."""
+    from kafka_denormalization_spark.operators.fuzzy import fuzzy_self_join_dist1
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = _random.Random(13)
+    base = ["".join(rng.choice("abcd") for _ in range(rng.randrange(4, 10))) for _ in range(15)]
+    mutated = []
+    for s in base:
+        i = rng.randrange(len(s))
+        op = rng.choice(["sub", "ins", "del"])
+        if op == "sub":
+            mutated.append(s[:i] + rng.choice("abcd") + s[i + 1 :])
+        elif op == "ins":
+            mutated.append(s[:i] + rng.choice("abcd") + s[i:])
+        else:
+            mutated.append(s[:i] + s[i + 1 :])
+    strings = base + mutated
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join_dist1(df, "id", "s").collect()
+    }
+    want = {
+        (i, j): lev(a, b)
+        for i, a in rows
+        for j, b in rows
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == want
