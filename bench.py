@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "near_dedup_docs",
     "near_dup_clusters",
     "corpus_pipeline",
+    "quality_filter",
+    "sequence_packing",
+    "keyword_extraction",
+    "contamination_scan_join",
+    "funnel_counts",
     "shipping_priority",
     "local_supplier_volume",
     "volume_shipping",
