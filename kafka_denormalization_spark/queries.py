@@ -1023,6 +1023,52 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (p1 < p2): parts appearing in
+    the same order. The self-join shuffles on l_orderkey once; distinct
+    dedups across orders."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .dropDuplicates()
+    )
+
+
+def q_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the co-purchase graph: degree distribution
+    (degree -> node count). Two hash aggregations, exact integers."""
+    edges = _copurchase_edges(spark, sf_dir)
+    degrees = (
+        edges.select(F.col("p1").alias("part"))
+        .unionByName(edges.select(F.col("p2").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle count: the ID-oriented edge list (p1 < p2)
+    joined twice — each triangle a<b<c is counted exactly once as
+    (a,b)x(b,c)x(a,c). Shuffles on single part keys; at heavy-tailed
+    scale, orient edges by DEGREE instead of ID to bound the wedge
+    blowup of hub nodes (same plan shape, different ordering key)."""
+    e = _copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+    tris = wedges.join(
+        e3,
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: each user's event-type sequence as a
     '>'-joined string. collect_list order is nondeterministic under
@@ -1755,6 +1801,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "copurchase_degree": q_copurchase_degree,
+    "copurchase_triangles": q_copurchase_triangles,
     "user_journeys": q_user_journeys,
     "moving_average": q_moving_average,
     "funnel_counts": q_funnel_counts,
@@ -2322,6 +2370,29 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
+    """,
+    "copurchase_degree": """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT part, count(*) AS degree FROM (
+        SELECT p1 AS part FROM e UNION ALL SELECT p2 FROM e
+      ) GROUP BY part
+    )
+    SELECT degree, count(*) AS n_parts FROM deg GROUP BY degree
+    """,
+    "copurchase_triangles": """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.p2 = e2.p1
+    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
     """,
     "user_journeys": """
     SELECT user_id,
