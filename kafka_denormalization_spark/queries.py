@@ -1023,6 +1023,40 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile: per-column row/null/distinct counts in
+    ONE aggregation pass (one scan for the whole profile, not one job
+    per column)."""
+    from kafka_denormalization_spark.operators.profile import profile
+
+    return profile(table(spark, sf_dir, "orders"))
+
+
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named data-quality constraints over the denormalized audit frame
+    (referential integrity via left join + row-level invariants), one
+    row per check with the violation count — the gate a pipeline run
+    evaluates before publishing."""
+    from kafka_denormalization_spark.operators.profile import check_constraints
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    audit = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_outer"
+    )
+    return check_constraints(
+        audit,
+        {
+            "orders_have_customer": F.col("c_custkey").isNotNull(),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "priority_known": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected co-purchase edges (p1 < p2): parts appearing in
     the same order. The self-join shuffles on l_orderkey once; distinct
@@ -1801,6 +1835,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "profile_orders": q_profile_orders,
+    "quality_checks": q_quality_checks,
     "copurchase_degree": q_copurchase_degree,
     "copurchase_triangles": q_copurchase_triangles,
     "user_journeys": q_user_journeys,
@@ -2370,6 +2406,56 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
+    """,
+    "profile_orders": """
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+    "quality_checks": """
+    WITH audit AS (
+      SELECT o.*, c.c_custkey AS cc
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT 'orders_have_customer' AS check_name,
+           sum(CASE WHEN cc IS NULL THEN 1 ELSE 0 END) AS n_violations,
+           sum(CASE WHEN cc IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM audit
+    UNION ALL
+    SELECT 'totalprice_positive',
+           sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END),
+           sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) = 0
+    FROM audit
+    UNION ALL
+    SELECT 'priority_known',
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END),
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) = 0
+    FROM audit
+    UNION ALL
+    SELECT 'status_known',
+           sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END),
+           sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+    FROM audit
     """,
     "copurchase_degree": """
     WITH e AS (

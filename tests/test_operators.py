@@ -163,3 +163,36 @@ def test_fuzzy_self_join_dist1_edit_types(spark):
     assert (1, 5) not in got
     # pairs among the variants themselves
     assert got[(3, 6)] == 1 and got[(4, 6)] == 1
+
+
+def test_profile_and_constraints(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_denormalization_spark.operators.profile import (
+        check_constraints,
+        profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, -1.0), (3, "a", None)],
+        "id long, tag string, v double",
+    )
+    prof = {r["col_name"]: r for r in profile(df).collect()}
+    assert prof["id"]["n_rows"] == 3 and prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["tag"]["n_nulls"] == 1 and prof["tag"]["n_distinct"] == 1
+    checks = {
+        r["check_name"]: r
+        for r in check_constraints(
+            df,
+            {
+                "v_positive": F.col("v") > 0,
+                "tag_present": F.col("tag").isNotNull(),
+            },
+        ).collect()
+    }
+    # NULL conditions are NOT violations (SQL three-valued semantics) —
+    # add an explicit isNotNull constraint to catch missing values
+    assert checks["v_positive"]["n_violations"] == 1
+    assert not checks["v_positive"]["passed"]
+    assert checks["tag_present"]["n_violations"] == 1
