@@ -157,3 +157,30 @@ def test_funnel_reuses_user_partitioning(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") >= 2
+
+
+def test_no_unjustified_scale_killers_anywhere(spark):
+    """Sweep EVERY registered query plan for cartesian products and
+    nested-loop joins. The allow-list is exhaustive and each entry is a
+    documented design: brute-force correctness baselines (the LSH/ANN
+    scale paths exist), tiny broadcast inner sides (needle lists, <=2^4
+    centroid rows, 1-row scalar aggregates). Anything new that shows up
+    here is a scale regression, not a style choice."""
+    ALLOWED_BNLJ = {
+        "contamination_scan",       # broadcast needle list (documented few-needle path)
+        "contamination_scan_join",  # short-needle fallback only; probes are broadcast
+        "ngram_jaccard_pairs",      # documented O(n^2) baseline for the LSH path
+        "ann_cosine_topk",          # documented brute-force ANN baseline
+        "ann_ivf_topk",             # <=2^planes centroid rows, broadcast cross
+        "idle_rich_customers",      # 1-row scalar aggregate cross join
+    }
+    from kafka_denormalization_spark.plans import explain_str
+
+    offenders = {}
+    for name, fn in Q.QUERIES.items():
+        plan = explain_str(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
