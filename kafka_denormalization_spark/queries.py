@@ -373,6 +373,23 @@ def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact dedup: documents identical AFTER canonicalization
+    (URL strip, lowercase, whitespace collapse) collapse to the min-id
+    representative — catches trivial near-copies exact hashing misses,
+    without any LSH machinery. Shuffles md5 digests, not text."""
+    docs = table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        F.md5(text_fns.clean_text(F.col("text"))).alias("_c"),
+    )
+    reps = canon.groupBy("_c").agg(F.min("doc_id").alias("rep_id"))
+    return (
+        canon.join(reps, ["_c"])
+        .select("doc_id", "rep_id", (F.col("doc_id") == F.col("rep_id")).alias("is_rep"))
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filtering: per-document boolean flags + the
     conjunctive keep decision. Narrow per-row Catalyst expressions in the
@@ -1790,6 +1807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
+    "canonical_dedup": q_canonical_dedup,
     "quality_filter": q_quality_filter,
     "keyword_extraction": q_keyword_extraction,
     "value_histogram": q_value_histogram,
@@ -1973,6 +1991,18 @@ ORACLE_SQL: dict[str, str] = {
       FROM tf JOIN df USING (term)
     )
     SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+    """,
+    "canonical_dedup": """
+    WITH canon AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(regexp_replace(text, 'https?://\\S+', ' ', 'g')),
+                                     '\\s+', ' ', 'g'))) AS c
+      FROM documents
+    ), reps AS (
+      SELECT c, min(doc_id) AS rep_id FROM canon GROUP BY c
+    )
+    SELECT canon.doc_id, reps.rep_id, canon.doc_id = reps.rep_id AS is_rep
+    FROM canon JOIN reps USING (c)
     """,
     "quality_filter": f"""
     WITH {_GOPHER_STATS_SQL}
