@@ -234,6 +234,7 @@ class IncrementalDenormalize:
         stale = None
         tomb_pairs = None
         right_tomb_fks = None
+        stale_right_fks = None
         if self.retract_fk_changes:
             # per-batch winner per KEY (not per (key, fk)): an FK move is a
             # new association for the same key, and out-of-order stragglers
@@ -274,6 +275,27 @@ class IncrementalDenormalize:
             stale = lw_vals.filter(
                 F.col("_old_fk").isNotNull() & (F.col("_old_fk") != F.col("fk"))
             ).select("key", F.col("_old_fk").alias("fk"))
+            if self.how in ("inner", "right_outer"):
+                # Whether a stale (key, old_fk) pair was ever EMITTED depends
+                # on the right side as of emission time — approximate with
+                # the PRE-merge right state, captured here before any right
+                # write. Consulting post-merge rstate instead would miss the
+                # retraction when old_fk's right is tombstoned in this same
+                # batch, and fabricate one when it first appears in this
+                # batch. Checkpointed for the same pre-merge-view reason as
+                # `resolved` above.
+                stale_right_fks = (
+                    self._read(
+                        self._right_dir,
+                        _STATE_SCHEMA,
+                        stale.select(self._bucket(F.col("fk")).alias("bucket")).distinct(),
+                        "bucket",
+                    )
+                    .join(stale.select("fk").distinct(), ["fk"], "left_semi")
+                    .select("fk")
+                    .distinct()
+                    .localCheckpoint()
+                )
             deletes = stale if tomb_pairs is None else stale.unionByName(tomb_pairs)
             self._merge_state(self._left_dir, lu_apply, deletes=deletes)
             self._merge_key_index(
@@ -372,11 +394,13 @@ class IncrementalDenormalize:
             # for inner/right_outer it only ever reached the output if a
             # right existed for the old FK — don't retract what was never
             # emitted (a spurious delete could race the same-batch re-emit
-            # under the new FK for consumers keyed by `key` alone).
+            # under the new FK for consumers keyed by `key` alone). Gated on
+            # the PRE-merge right state (stale_right_fks) — post-merge rstate
+            # is wrong when old_fk's right was deleted or created this batch.
             if self.how in ("left_outer", "full_outer"):
                 retract_pairs = stale
             else:
-                retract_pairs = stale.join(rstate.select("fk"), ["fk"], "left_semi")
+                retract_pairs = stale.join(stale_right_fks, ["fk"], "left_semi")
         if tomb_pairs is not None:
             # left delete: retract whenever the key was indexed, whatever
             # the right side (continuous-mode parity: upsert_join.py emits

@@ -480,6 +480,46 @@ def test_incremental_fk_change_left_outer_always_retracts(spark, tmpdir):
     assert got == [("c1", "100", None), ("c1", "200", '{"t":"v2"}')]
 
 
+def test_incremental_fk_change_with_same_batch_right_tombstone(spark, tmpdir):
+    """Inner join, one batch: c1 moves 100->200 WHILE story 100 is
+    tombstoned. The (c1, 100) pair WAS emitted in batch 1, so exactly one
+    retraction must come out. Gating on post-merge right state misses it
+    (100's right is already gone after the merge); the pre-merge snapshot
+    (stale_right_fks) catches it."""
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "st_rt"), how="inner")
+    out1 = eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"v1"}', 1)]),
+        _mkdf(spark, [("100", "100", '{"s":"a"}', 1)]),
+    ).collect()
+    assert {(r["key"], r["fk"]) for r in out1} == {("c1", "100")}
+    out2 = eng.process_batch(
+        _mkdf(spark, [("c1", "200", '{"t":"v2"}', 2)]),
+        _mkdf(spark, [("100", "100", None, 2)]),  # tombstone story 100
+    ).collect()
+    got = sorted(
+        (r["key"], r["fk"], r["left_value"], r["right_value"]) for r in out2
+    )
+    assert got == [("c1", "100", None, None)]
+
+
+def test_incremental_fk_change_with_same_batch_right_arrival_on_old_fk(spark, tmpdir):
+    """Inner join, one batch: c1 moves 100->200 WHILE story 100 FIRST
+    appears. (c1, 100) was never emitted (no right existed), so no
+    retraction — gating on post-merge right state would fabricate one."""
+    eng = IncrementalDenormalize(spark, os.path.join(tmpdir, "st_ra"), how="inner")
+    out1 = eng.process_batch(
+        _mkdf(spark, [("c1", "100", '{"t":"v1"}', 1)]), None
+    ).collect()
+    assert out1 == []  # inner join, no right yet
+    out2 = eng.process_batch(
+        _mkdf(spark, [("c1", "200", '{"t":"v2"}', 2)]),
+        _mkdf(spark, [("100", "100", '{"s":"new"}', 1)]),
+    ).collect()
+    # story 100 fans out to ZERO lefts (c1 already moved in this batch);
+    # no retraction for the never-emitted (c1, 100)
+    assert out2 == []
+
+
 def test_incremental_out_of_order_update_does_not_apply(spark, tmpdir):
     """A straggler with a LOWER version than the stored association must
     not change state, emit, or retract (last-writer-wins by version)."""
