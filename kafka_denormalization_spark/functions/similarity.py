@@ -194,24 +194,50 @@ def minhash_lsh_pairs(
     )
 
     # exact verification touches ONLY candidate documents: semi-join the
-    # (small) candidate id set against the corpus, then build shingle sets
-    # for those rows alone — the array expression cost is bounded by the
-    # candidate count, not the corpus size.
+    # (small) candidate id set against the corpus, then verify with GRAM
+    # ROWS, not array expressions — distinct (doc, gram) rows feed two
+    # equi-joins (pair x gram -> intersection counts), all codegen hash
+    # joins and counting aggregates. The previous array formulation
+    # (shingle_set + array_intersect per pair) evaluated an interpreted
+    # slice/concat lambda per gram and computed the whole shingle subtree
+    # twice (once per join side) — measured ~2x slower on the verify stage.
+    # Work is bounded by candidate_pairs x doc_grams, never corpus size.
     cand_ids = (
         candidates.select(F.col("id_a").alias("_id"))
         .unionByName(candidates.select(F.col("id_b").alias("_id")))
         .dropDuplicates()
     )
-    cand_docs = docs.join(
-        cand_ids, docs[id_col] == cand_ids["_id"], "left_semi"
-    ).select(F.col(id_col).alias("_id"), shingle_set(F.col(text_col), n).alias("_sh"))
+    cand_docs = docs.join(cand_ids, docs[id_col] == cand_ids["_id"], "left_semi")
+    grams = (
+        word_gram_rows(cand_docs, id_col, text_col, n)
+        .dropDuplicates(["_id", "_g"])
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        # referenced 3x below (two intersection sides + sizes)
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        candidates.join(
+            grams.select(F.col("_id").alias("id_a"), "_g"), ["id_a"]
+        )
+        .join(grams.select(F.col("_id").alias("id_b"), "_g"), ["id_b", "_g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
     verified = (
-        candidates.join(cand_docs.alias("sa"), F.col("id_a") == F.col("sa._id"))
-        .join(cand_docs.alias("sb"), F.col("id_b") == F.col("sb._id"))
+        candidates.join(inter, ["id_a", "id_b"], "left_outer")
+        .na.fill({"_inter": 0})
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), ["id_a"])
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), ["id_b"])
         .select(
             "id_a",
             "id_b",
-            jaccard(F.col("sa._sh"), F.col("sb._sh")).alias("jaccard_sim"),
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
