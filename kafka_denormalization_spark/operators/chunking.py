@@ -68,9 +68,14 @@ def pack_chunks(
     cumsum per partition — no iterative bin state, no driver loop."""
     w = Window.partitionBy(part_col).orderBy(*order_cols)
     cum_end = F.sum(F.col(token_col)).over(w)
-    start = (cum_end - F.col(token_col)).cast("long")
-    return chunks.select(
-        "*",
-        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
-        (start % F.lit(budget)).alias("pack_offset"),
+    out_cols = chunks.columns
+    staged = chunks.select(
+        "*", (cum_end - F.col(token_col)).cast("long").alias("_start")
+    )
+    # Integral DIV, not floor(double division): cumulative offsets can exceed
+    # 2^53 at corpus scale, where the double round-trip silently loses bits.
+    return staged.select(
+        *out_cols,
+        F.expr(f"_start DIV {int(budget)}").alias("pack_id"),
+        (F.col("_start") % F.lit(budget)).cast("long").alias("pack_offset"),
     )

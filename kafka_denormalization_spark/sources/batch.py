@@ -52,7 +52,9 @@ def read_with_quarantine(
         from pyspark.sql.types import _parse_datatype_string
 
         schema = _parse_datatype_string(schema)
-    full = schema.add("_corrupt", "string")
+    # StructType.add mutates in place — copy so the caller's schema object
+    # doesn't grow a spurious _corrupt field.
+    full = StructType(list(schema.fields)).add("_corrupt", "string")
     df = read_batch(
         spark,
         path,
