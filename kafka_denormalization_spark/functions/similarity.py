@@ -148,6 +148,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     persist: bool = True,
+    share_grams: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH candidate generation + exact
     n-gram Jaccard verification.
@@ -159,19 +160,61 @@ def minhash_lsh_pairs(
     Jaccard on the (small) candidate set. With b bands of r rows the LSH
     catch probability is 1-(1-s^r)^b; defaults (16 bands x 2 rows) catch
     s>=0.5 w.p. ~0.99.
+
+    ``share_grams``: tokenize ONCE — persist the corpus gram rows and feed
+    both the signature aggregation and the exact verify from the same
+    cache. The verify side's scan is gated behind the candidate broadcast,
+    so by the time it runs the signature stage has fully populated the
+    cache (without sharing, the verify's three gram consumers race the
+    lazy persist inside the one final action and re-tokenize the corpus —
+    measured ~2x on the whole query at sf0.1). At cluster scale with a
+    corpus too big to cache AND a tiny candidate ratio, pass False: the
+    verify then re-tokenizes candidate documents only, with the semi-join
+    pushed below the explode.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature_table(docs, id_col, text_col, n, num_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"_h{b * rows_per_band + i}") for i in range(rows_per_band)]).alias("h"),
+    grams_all = word_gram_rows(docs, id_col, text_col, n)
+    if share_grams and persist:
+        from pyspark import StorageLevel
+
+        grams_all = grams_all.persist(StorageLevel.MEMORY_AND_DISK)
+    # NARROW signature aggregation: explode the seed range instead of
+    # emitting num_hashes wide min-columns. Hash values are identical to
+    # the wide formulation (seed h = min over grams of xxhash64(h, g64);
+    # band hash = xxhash64 of that band's mins in seed order), but the
+    # generated aggregate has 2 tiny buffers instead of 64 — the wide
+    # HashAggregate's generated class took multiple seconds of first-run
+    # JIT, which a one-shot query pays in full. Map-side combine keys are
+    # (_id, band): docs x bands entries per partition, and the band
+    # bucket rows come straight out of the aggregation — no second
+    # explode over a wide signature row.
+    ex = (
+        grams_all.withColumn("_g64", F.xxhash64(F.col("_g")))
+        .select(
+            "_id",
+            "_g64",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_seed"),
         )
-        for b in range(bands)
+        .select(
+            "_id",
+            (F.col("_seed") % rows_per_band).alias("_r"),
+            F.floor(F.col("_seed") / rows_per_band).cast("int").alias("_band"),
+            F.xxhash64(F.col("_seed"), F.col("_g64")).alias("_hv"),
+        )
+    )
+    row_mins = [
+        F.min(F.when(F.col("_r") == i, F.col("_hv"))).alias(f"_m{i}")
+        for i in range(rows_per_band)
     ]
-    buckets = sigs.select(
-        "_id", F.explode(F.array(*band_structs)).alias("_b")
-    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.h").alias("_h"))
+    buckets = (
+        ex.groupBy("_id", "_band")
+        .agg(*row_mins)
+        .select(
+            "_id",
+            "_band",
+            F.xxhash64(*[F.col(f"_m{i}") for i in range(rows_per_band)]).alias("_h"),
+        )
+    )
     if persist:
         # the bucket table is referenced by both sides of the self-join and
         # is tiny (id + band + hash per row); persisting avoids recomputing
@@ -207,11 +250,15 @@ def minhash_lsh_pairs(
         .unionByName(candidates.select(F.col("id_b").alias("_id")))
         .dropDuplicates()
     )
-    cand_docs = docs.join(cand_ids, docs[id_col] == cand_ids["_id"], "left_semi")
-    grams = (
-        word_gram_rows(cand_docs, id_col, text_col, n)
-        .dropDuplicates(["_id", "_g"])
-    )
+    if share_grams and persist:
+        # row-filter the cached corpus gram table (broadcast semi-join on
+        # the candidate ids — gated behind the candidate computation, so
+        # the cache is already populated by the signature stage)
+        gram_src = grams_all.join(F.broadcast(cand_ids), ["_id"], "left_semi")
+    else:
+        cand_docs = docs.join(cand_ids, docs[id_col] == cand_ids["_id"], "left_semi")
+        gram_src = word_gram_rows(cand_docs, id_col, text_col, n)
+    grams = gram_src.dropDuplicates(["_id", "_g"])
     if persist:
         from pyspark import StorageLevel
 
