@@ -75,31 +75,39 @@ def main() -> None:
     # warm the JVM/codegen/broadcast machinery so the first timed query
     # doesn't absorb session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    materialize(QUERIES["denorm_inner"](spark, sf_dir).limit(1000))
+    try:
+        materialize(QUERIES["denorm_inner"](spark, sf_dir).limit(1000))
+    except Exception:
+        pass
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     extra = [n for n in QUERIES if n not in names and n in _EXTRA_BENCH]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names + extra:
         fn = QUERIES[name]
-        # warm the input file listing/schema inference, then time execution
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # per-query fault isolation: one broken query must not zero out the
+        # timings for the healthy ones — record its error and keep going
+        try:
+            # warm the input file listing/schema inference, then time execution
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            materialize(df)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 _EXTRA_BENCH: set[str] = set()  # extension queries opt in here as they land

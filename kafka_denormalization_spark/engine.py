@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -74,20 +75,35 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the ``events`` stream table.
 
-    Its ``ts`` is parquet TIMESTAMP(NANOS), which Spark only reads via the
-    ``nanosAsLong`` legacy conf (set here at session level — effective at
-    scan time, so it also works inside a driver-owned session). Exposes:
+    The driver's testdata has shipped ``ts`` under two parquet encodings
+    across rounds — TIMESTAMP(NANOS) (readable only as BIGINT via the
+    ``nanosAsLong`` legacy conf) and TIMESTAMP_MICROS (reads as
+    Timestamp/TimestampNTZ). Dispatch on the scanned dtype so the engine
+    works under either generation; anything else fails with a one-line
+    schema-drift diagnosis instead of a deep Catalyst trace. Exposes:
 
-    - ``ts_us``  — BIGINT epoch microseconds (truncated; equals DuckDB's
-      ``epoch_us(ts)``, since DuckDB truncates ns→µs on read) — use for
-      oracle-checked outputs/ordering;
+    - ``ts_us``  — BIGINT epoch microseconds (equals DuckDB's
+      ``epoch_us(ts)`` under either encoding; DuckDB truncates ns→µs on
+      read) — use for oracle-checked outputs/ordering;
     - ``ts``     — proper TimestampType (µs), for library use.
     """
+    # harmless no-op for MICROS columns; required to scan legacy NANOS ones
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = table(spark, sf_dir, "events")
-    # integer division — ts is ~1.7e18 ns, beyond double's 53-bit mantissa,
-    # so float division here would corrupt low-order digits
-    ts_us = F.expr("ts DIV 1000")
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # legacy NANOS-as-long: integer division — ts is ~1.7e18 ns, beyond
+        # double's 53-bit mantissa, so float division would corrupt low digits
+        ts_us = F.expr("ts DIV 1000")
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ→timestamp cast is wall-clock-preserving under the pinned UTC
+        # session, so unix_micros matches DuckDB's naive-as-UTC epoch_us
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    else:
+        raise TypeError(
+            f"testdata schema changed: events.ts is {ts_type.simpleString()}, "
+            "expected bigint (legacy nanos) or timestamp/timestamp_ntz (micros)"
+        )
     return (
         df.withColumn("ts_us", ts_us)
         .withColumn("ts", F.timestamp_micros(F.col("ts_us")))

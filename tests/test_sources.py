@@ -202,6 +202,49 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "click" in pf
 
 
+def test_events_table_dtype_dispatch(spark, tmp_path):
+    """events.ts has shipped as TIMESTAMP(NANOS)-as-long AND as
+    TIMESTAMP_MICROS across driver rounds; the loader must handle both and
+    fail with a one-line drift diagnosis on anything else."""
+    import pytest
+
+    from kafka_denormalization_spark.engine import events_table
+
+    base = (
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, "
+        "props STRING"
+    )
+
+    # (a) legacy: ts is BIGINT epoch-nanos (what nanosAsLong yields)
+    legacy = tmp_path / "legacy"
+    spark.createDataFrame(
+        [(1, 1_704_067_200_123_456_789, 7, "click", 1.0, "{}")],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).write.parquet(str(legacy / "events.parquet"))
+    ev = events_table(spark, str(legacy))
+    assert ev.select("ts_us").first()[0] == 1_704_067_200_123_456
+
+    # (b) current: ts is timestamp (µs) — written as TIMESTAMP_MICROS
+    micros = tmp_path / "micros"
+    spark.sql(
+        "SELECT 1L AS event_id, TIMESTAMP'2024-01-01 00:00:00.123456' AS ts, "
+        "7L AS user_id, 'click' AS event_type, 1.0D AS value, '{}' AS props"
+    ).write.parquet(str(micros / "events.parquet"))
+    ev = events_table(spark, str(micros))
+    assert ev.select("ts_us").first()[0] == 1_704_067_200_123_456
+
+    # (c) drift: ts as STRING must raise a clean one-line diagnosis
+    drifted = tmp_path / "drifted"
+    spark.createDataFrame(
+        [(1, "2024-01-01", 7, "click", 1.0, "{}")],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).write.parquet(str(drifted / "events.parquet"))
+    with pytest.raises(TypeError, match="testdata schema changed"):
+        events_table(spark, str(drifted))
+
+
 def test_observe_metrics_single_pass(spark):
     from kafka_denormalization_spark.operators.observe import observe_corpus_metrics
 
