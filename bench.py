@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "session_window",
     "big_orders",
     "stats_agg",
+    # round-4 pipeline operators
+    "temperature_sample",
+    "pii_scrub",
+    "gram_novelty",
+    "incremental_dedup",
+    "percentile_profile",
 ]
 
 

@@ -311,6 +311,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def gram_novelty(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams that appear in no other document. A standard curation
+    signal — low novelty marks boilerplate/templated text, high novelty
+    marks unique content worth keeping.
+
+    Topology: distinct (doc, gram-digest) rows -> document frequency as
+    ``count() OVER (PARTITION BY gram)`` (the rows are distinct per doc, so
+    the partition count IS the doc frequency) -> per-doc ratio. One LINEAR
+    pipeline — a groupBy-then-self-join formulation would recompute the
+    whole tokenize/shingle subtree twice and broadcast a corpus-sized
+    frequency table; the window reuses the single gram table in place.
+    Grams shuffle as md5 digests (32 hex chars regardless of gram length —
+    and the digest is engine-portable, so the DuckDB oracle groups on
+    identical keys). Three digest/id-keyed shuffles, no recompute.
+    Documents shorter than ``n`` tokens have no grams and drop out.
+
+    Output: (doc_id, n_grams, novel_frac) — novel_frac is one int/int
+    division (correctly-rounded IEEE, oracle-exact without decimal routing).
+    """
+    grams = (
+        word_gram_rows(docs, id_col, text_col, n)
+        .select("_id", F.md5(F.col("_g")).alias("_gd"))
+        .dropDuplicates()
+    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("_gd"))
+    return (
+        grams.withColumn("_df", dfreq)
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novel_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

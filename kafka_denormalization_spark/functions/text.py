@@ -182,6 +182,28 @@ def clean_text(text: Column | str) -> Column:
     return F.trim(t)
 
 
+# PII patterns restricted to the syntax subset Java regex and RE2 share
+# (no lookarounds, no backrefs), so the DuckDB oracle replays them verbatim.
+# Order matters: emails before phones (an email's digit run must not be
+# half-eaten by the phone pattern first).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d .-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact common PII shapes (emails, IPv4 addresses, phone-like digit
+    runs) with typed placeholders — the standard pre-training scrub pass.
+    A chain of codegen ``regexp_replace`` (replace-all), narrow and fully
+    pipelined with the scan; no shuffle, no Python."""
+    t = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
 def repetition_score(text: Column | str, n: int = 2) -> Column:
     """Repetition quality signal: 1 - distinct n-grams / total n-grams
     (0 = no repetition, ->1 = highly repetitive boilerplate). A standard

@@ -56,6 +56,31 @@ def near_dedup_keep_min(
     return df.join(losers, [id_col], "left_anti")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus: drop
+    new rows whose content hash already exists in ``base_df``, and keep
+    one representative (min ``id_col``) per duplicated content WITHIN the
+    batch. The continuous-ingest analog of ``exact_dedup_content`` — every
+    nightly crawl drop is deduped against the accumulated corpus without
+    rereading corpus text: the base side reduces to a 32-byte digest set
+    before the anti-join (at scale, a pre-computed digest table / bloom
+    filter; here derived inline).
+    """
+    h = F.sha2(F.col(content_col).cast("string"), 256)
+    within = exact_dedup_content(new_df, content_col, id_col)
+    seen = base_df.select(h.alias("_h")).dropDuplicates()
+    return (
+        within.withColumn("_h", h)
+        .join(seen, ["_h"], "left_anti")
+        .drop("_h")
+    )
+
+
 def exact_dedup_content(
     df: DataFrame,
     content_col: str,

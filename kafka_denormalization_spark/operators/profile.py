@@ -41,6 +41,38 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def percentile_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation) of an integer
+    column — length/size distribution profiling for corpus curation.
+
+    Uses the EXACT ``percentile`` aggregate, not ``approx_percentile``:
+    the oracle comparison needs bit-identical values, and with integer
+    inputs at dyadic quantiles (k/4, k/2) the interpolated result
+    ``a + (b - a) * frac`` is exactly representable in double, so Spark
+    and DuckDB's ``quantile_cont`` agree bit-for-bit. (At 100 TB you'd
+    flip to ``approx_percentile`` — same single-aggregation shape, sketch
+    mergeable map-side; the exact variant holds per-group sorted buffers.)
+    """
+    for q in quantiles:
+        if (q * 4) != int(q * 4):
+            raise ValueError(
+                f"quantile {q} is not dyadic (k/4): exact cross-engine "
+                "float equality is only guaranteed at k/4 grid points"
+            )
+    aggs = [
+        F.expr(f"percentile({value_col}, {q})").alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"), *aggs
+    )
+
+
 def check_constraints(
     df: DataFrame, constraints: dict[str, Column]
 ) -> DataFrame:

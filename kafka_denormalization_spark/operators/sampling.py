@@ -70,3 +70,86 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(fraction_threshold(frac))
         ).otherwise(thr)
     return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    budget: float | None = None,
+    alpha: float = 0.5,
+    budget_frac: float | None = None,
+) -> DataFrame:
+    """Temperature-rebalanced mixture fractions (mT5 / CC multilingual
+    sampling, arXiv:1910.10683 §3.4.3-style): a stratum with weight share
+    ``q_l`` is sampled toward share ``q_l^alpha / sum_m q_m^alpha`` —
+    ``alpha < 1`` up-weights low-resource strata. Returns one row per
+    stratum: (stratum, keep fraction, fixed-width hex draw threshold).
+
+    The keep fraction is ``least(1, budget * p_l / w_l)`` with ``w_l`` the
+    stratum's total weight. It is rounded to 6 decimals BEFORE the hex
+    threshold is derived: the upstream doubles (sqrt + aggregate sums) can
+    differ across engines in the last ulp, and rounding collapses both to
+    the same grid point, so the DuckDB oracle lands on bit-identical
+    thresholds. One aggregation over ~|strata| rows; the unpartitioned
+    window runs on that tiny aggregate, never on the corpus.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget / budget_frac")
+    from pyspark.sql import Window
+
+    w = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("_w")
+    )
+    # alpha=0.5 routes through sqrt (IEEE-exact, engine-portable); other
+    # alphas use pow, which is correctly rounded on both JVMs/DuckDB libms
+    # for the magnitudes here — the round-to-6 grid absorbs any ulp skew.
+    powed = F.sqrt(F.col("_w")) if alpha == 0.5 else F.pow(F.col("_w"), F.lit(alpha))
+    whole = Window.partitionBy()
+    w = w.withColumn("_pw", powed).withColumn(
+        "_p", F.col("_pw") / F.sum("_pw").over(whole)
+    )
+    b = (
+        F.lit(float(budget))
+        if budget is not None
+        else F.lit(float(budget_frac)) * F.sum("_w").over(whole)
+    )
+    frac = F.round(F.least(F.lit(1.0), b * F.col("_p") / F.col("_w")), 6)
+    thr = F.format_string(
+        f"%0{_HEX_WIDTH}x",
+        F.least(
+            (frac * F.lit(float(16**_HEX_WIDTH))).cast("long"),
+            F.lit(16**_HEX_WIDTH - 1),
+        ),
+    )
+    return w.select(
+        F.col(strata_col), frac.alias("keep_frac"), thr.alias("_thr")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    key_col: str,
+    budget: float | None = None,
+    alpha: float = 0.5,
+    salt: str = "temp",
+    budget_frac: float | None = None,
+) -> DataFrame:
+    """Deterministic temperature sampling: rebalance strata toward the
+    ``alpha``-tempered distribution under a total ``weight_col`` budget
+    (absolute, or relative via ``budget_frac``). Two tiny aggregations +
+    a broadcast join of |strata| rows against the corpus — the per-row
+    keep decision stays a pure hash function, so re-runs, backfills, and
+    the oracle agree row-for-row."""
+    fr = temperature_fractions(
+        df, strata_col, weight_col, budget, alpha, budget_frac=budget_frac
+    )
+    return (
+        df.join(F.broadcast(fr), [strata_col])
+        .filter(sample_hash(F.col(key_col), salt) < F.col("_thr"))
+        .drop("keep_frac", "_thr")
+    )

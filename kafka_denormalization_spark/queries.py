@@ -308,6 +308,16 @@ _GRAMS2_SQL = (
 ).format(t=_TOKS_SQL)
 
 
+def _pii_chain_sql(col: str) -> str:
+    """Nested DuckDB regexp_replace chain generated from the SAME pattern
+    list the Spark side applies (functions/text.py PII_PATTERNS) — one
+    source of truth, so the two engines cannot drift."""
+    expr = col
+    for pat, repl in text_fns.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
 def _mix_threshold_sql() -> str:
     """CASE expression mirroring operators/sampling.py's per-stratum hex
     thresholds (same fraction_threshold constants on both engines)."""
@@ -476,6 +486,69 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "source", MIX_FRACTIONS, "doc_id", MIX_DEFAULT, MIX_SALT
     ).select("doc_id", "source", "lang")
+
+
+TEMP_SALT = "temp1"
+TEMP_BUDGET_FRAC = 0.4  # keep ~40% of total chars, rebalanced by sqrt-share
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced multilingual sample (mT5-style, alpha=0.5):
+    low-resource languages keep a larger share of the char budget than
+    their raw share. Deterministic hash membership; the oracle recomputes
+    the per-lang thresholds from the same rounded-fraction grid."""
+    from kafka_denormalization_spark.operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "lang", "n_chars", "doc_id",
+        alpha=0.5, salt=TEMP_SALT, budget_frac=TEMP_BUDGET_FRAC,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (functions/text.py scrub_pii): emails, IPv4,
+    phone-like runs -> typed placeholders. The patterns are restricted to
+    the Java-regex/RE2 shared subset so the oracle replays them verbatim."""
+    docs = table(spark, sf_dir, "documents")
+    scrubbed = text_fns.scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        (scrubbed != F.col("text")).alias("changed"),
+    )
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty score (functions/similarity.py
+    gram_novelty): fraction of a doc's distinct grams unique to it
+    corpus-wide — the boilerplate-vs-unique-content curation signal."""
+    docs = table(spark, sf_dir, "documents")
+    return sim_fns.gram_novelty(docs, "doc_id", "text", n=3)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (operators/dedup.py incremental_dedup): the
+    'src0' slice plays the incoming crawl batch, the rest the accumulated
+    corpus; new docs whose sha256 digest already exists anywhere (or
+    earlier in the batch) are dropped."""
+    docs = table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("source") == "src0")
+    base = docs.filter(F.col("source") != "src0")
+    return dedup_ops.incremental_dedup(new_batch, base, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (operators/profile.py
+    percentile_profile) — corpus length-distribution profiling; dyadic
+    quantiles keep the interpolated doubles bit-identical to DuckDB's
+    quantile_cont."""
+    from kafka_denormalization_spark.operators.profile import percentile_profile
+
+    docs = table(spark, sf_dir, "documents")
+    return percentile_profile(docs, "lang", "n_chars", (0.25, 0.5, 0.75))
 
 
 def q_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,6 +1902,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_scan": q_contamination_scan,
     "contamination_scan_join": q_contamination_scan_join,
     "stratified_sample": q_stratified_sample,
+    "temperature_sample": q_temperature_sample,
+    "pii_scrub": q_pii_scrub,
+    "gram_novelty": q_gram_novelty,
+    "incremental_dedup": q_incremental_dedup,
+    "percentile_profile": q_percentile_profile,
     "anti_join_orphans": q_anti_join_orphans,
     "fingerprint": q_fingerprint,
     "winnowing": q_winnowing,
@@ -1909,10 +1987,10 @@ _DRIVER_HEAD = [
     # text analysis / quality / decontamination
     "text_stats", "lang_id", "quality_filter", "canonical_dedup",
     "contamination_scan_join",
-    # sampling + anti-join
-    "stratified_sample", "anti_join_orphans",
-    # near-duplicate detection
-    "minhash_lsh_dedup", "near_dup_clusters",
+    # sampling (fixed-mix + temperature-rebalanced) + anti-join
+    "stratified_sample", "temperature_sample", "anti_join_orphans",
+    # near-duplicate detection + continuous-ingest dedup
+    "minhash_lsh_dedup", "near_dup_clusters", "incremental_dedup",
     # chunking / packing / composed pipeline
     "doc_chunks", "sequence_packing", "corpus_pipeline",
     # embeddings / ANN
@@ -1928,8 +2006,7 @@ _DRIVER_HEAD = [
     # set ops, grouping sets, pivot
     "set_ops", "grouping_sets", "pivot_event_counts",
     # TPC-H representative shapes
-    "shipping_priority", "local_supplier_volume", "waiting_suppliers",
-    "market_share",
+    "shipping_priority", "local_supplier_volume",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -2182,6 +2259,67 @@ ORACLE_SQL: dict[str, str] = {
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
     )
+    """,
+    "temperature_sample": f"""
+    WITH w AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY lang
+    ), p AS (
+      SELECT lang, wt,
+             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ), t AS (
+      SELECT lang,
+             printf('%08x', least(
+               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM p
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN t ON d.lang = t.lang
+    WHERE substr(md5(concat('{TEMP_SALT}', '|', CAST(d.doc_id AS VARCHAR))), 1, 8)
+          < t.thr
+    """,
+    "pii_scrub": f"""
+    WITH s AS (
+      SELECT doc_id, text, {_pii_chain_sql("text")} AS text_scrubbed
+      FROM documents
+    )
+    SELECT doc_id, text_scrubbed, text_scrubbed <> text AS changed FROM s
+    """,
+    "gram_novelty": f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(0, greatest(CAST(len({_TOKS_SQL}) AS BIGINT) - 2, 0)),
+        i -> md5(array_to_string(({_TOKS_SQL})[i+1:i+3], ' '))))) AS gd
+      FROM documents
+    ), dfq AS (
+      SELECT gd, count(DISTINCT doc_id) AS dfreq FROM g GROUP BY gd
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novel_frac
+    FROM g JOIN dfq ON g.gd = dfq.gd
+    GROUP BY g.doc_id
+    """,
+    "incremental_dedup": """
+    WITH newb AS (SELECT * FROM documents WHERE source = 'src0'),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM newb GROUP BY sha256(text)),
+    base AS (SELECT DISTINCT sha256(text) AS h
+             FROM documents WHERE source <> 'src0')
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM newb d
+    JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE sha256(d.text) NOT IN (SELECT h FROM base)
+    """,
+    "percentile_profile": """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75
+    FROM documents GROUP BY lang
     """,
     "winnowing": f"""
     WITH t1 AS (

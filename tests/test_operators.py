@@ -196,3 +196,39 @@ def test_profile_and_constraints(spark):
     assert checks["v_positive"]["n_violations"] == 1
     assert not checks["v_positive"]["passed"]
     assert checks["tag_present"]["n_violations"] == 1
+
+
+def test_incremental_dedup_against_base_and_within_batch(spark):
+    from kafka_denormalization_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dup of base doc 1 -> dropped
+            (11, "beta"),    # fresh -> kept
+            (12, "gamma"),   # within-batch dup: min id 12 kept...
+            (13, "gamma"),   # ...13 dropped
+        ],
+        "doc_id long, text string",
+    )
+    base = spark.createDataFrame([(1, "alpha"), (2, "delta")], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in incremental_dedup(new, base, "text", "doc_id").collect())
+    assert kept == [11, 12]
+
+
+def test_percentile_profile_exact_quantiles(spark):
+    import pytest
+
+    from kafka_denormalization_spark.operators.profile import percentile_profile
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 10]] + [("b", v) for v in [5, 5, 5]],
+        "g string, v long",
+    )
+    out = {r["g"]: r for r in percentile_profile(df, "g", "v").collect()}
+    assert out["a"]["n_rows"] == 4
+    assert out["a"]["p25"] == 1.75
+    assert out["a"]["p50"] == 2.5
+    assert out["a"]["p75"] == 4.75
+    assert out["b"]["p50"] == 5.0
+    with pytest.raises(ValueError, match="dyadic"):
+        percentile_profile(df, "g", "v", (0.9,))

@@ -54,3 +54,51 @@ def test_stratified_rates(spark):
     assert abs(rates["a"] - 0.8) < 0.03
     assert abs(rates["b"] - 0.2) < 0.03
     assert abs(rates.get("c", 0.0) - 0.05) < 0.03
+
+
+def test_temperature_fractions_rebalance(spark):
+    from kafka_denormalization_spark.operators.sampling import temperature_fractions
+
+    # stratum "big" has 16x the weight of "small": sqrt-tempering gives
+    # small a 4x larger share of the budget relative to its size
+    df = spark.createDataFrame(
+        [("big", 1600) for _ in range(10)] + [("small", 100) for _ in range(10)],
+        "lang string, w long",
+    )
+    fr = {
+        r["lang"]: r["keep_frac"]
+        for r in temperature_fractions(df, "lang", "w", budget_frac=0.4).collect()
+    }
+    # sqrt shares: 4/5 vs 1/5 of budget 0.4*17000=6800 -> big 5440/16000=0.34,
+    # small 1360/1000 -> capped at 1.0
+    assert abs(fr["big"] - 0.34) < 1e-6
+    assert fr["small"] == 1.0
+
+
+def test_temperature_sample_deterministic_and_rebalanced(spark):
+    from kafka_denormalization_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 9000 else "small", 10) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "k long, lang string, w long")
+    out = temperature_sample(df, "lang", "w", "k", budget_frac=0.3)
+    again = temperature_sample(df.repartition(13), "lang", "w", "k", budget_frac=0.3)
+    ids = {r["k"] for r in out.collect()}
+    assert ids == {r["k"] for r in again.collect()}
+    n_small = sum(1 for i in ids if i >= 9000)
+    n_big = len(ids) - n_small
+    # tempered: the small stratum keeps a ~3x larger fraction of itself
+    assert n_small / 1000 > 2.5 * (n_big / 9000)
+
+
+def test_temperature_sample_arg_validation(spark):
+    import pytest
+
+    from kafka_denormalization_spark.operators.sampling import temperature_fractions
+
+    df = spark.createDataFrame([("a", 1)], "lang string, w long")
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_fractions(df, "lang", "w")
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_fractions(df, "lang", "w", budget=10, budget_frac=0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(df, "lang", "w", budget=10, alpha=0.0)

@@ -225,3 +225,26 @@ def test_embedding_centroid_matches_numpy(spark):
             c, n = got[(label, pos)]
             assert n == len(grp)
             assert abs(c - mean[pos]) < 2 ** -36 + 1e-9
+
+
+def test_gram_novelty_exact_fractions(spark):
+    from kafka_denormalization_spark.functions.similarity import gram_novelty
+
+    # doc 1 and 2 share the prefix "a b c d" (grams: "a b c", "b c d");
+    # doc 3 is entirely unique; doc 4 is too short for any 3-gram
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "p q r s"),
+            (4, "t u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gram_novelty(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 has no grams
+    # doc 1 grams: "a b c","b c d","c d e" -> shared, shared, unique
+    assert out[1]["n_grams"] == 3
+    assert abs(out[1]["novel_frac"] - 1 / 3) < 1e-12
+    assert abs(out[2]["novel_frac"] - 1 / 3) < 1e-12
+    assert out[3]["novel_frac"] == 1.0

@@ -194,3 +194,24 @@ def test_contamination_scan_join_token_boundaries(spark):
         ).collect()
     )
     assert got == [(1, "hash join"), (3, "hash join"), (4, "query")]
+
+
+def test_scrub_pii(spark):
+    from kafka_denormalization_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 192.168.1.100 responded"),
+            (3, "call +1 555-123-4567 or 8005551234"),
+            (4, "clean text, no pii at all"),
+            (5, "a@b.io and 10.0.0.1 and +44 20 7946 0958"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", scrub_pii("text").alias("s")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> responded"
+    assert out[3] == "call <PHONE> or <PHONE>"
+    assert out[4] == "clean text, no pii at all"
+    assert out[5] == "<EMAIL> and <IP> and <PHONE>"
