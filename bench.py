@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "gram_novelty",
     "incremental_dedup",
     "percentile_profile",
+    "oov_rate",
 ]
 
 

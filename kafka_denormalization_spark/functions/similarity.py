@@ -319,16 +319,20 @@ def gram_novelty(
     signal — low novelty marks boilerplate/templated text, high novelty
     marks unique content worth keeping.
 
-    Topology: distinct (doc, gram-digest) rows -> document frequency as
-    ``count() OVER (PARTITION BY gram)`` (the rows are distinct per doc, so
-    the partition count IS the doc frequency) -> per-doc ratio. One LINEAR
-    pipeline — a groupBy-then-self-join formulation would recompute the
-    whole tokenize/shingle subtree twice and broadcast a corpus-sized
-    frequency table; the window reuses the single gram table in place.
-    Grams shuffle as md5 digests (32 hex chars regardless of gram length —
-    and the digest is engine-portable, so the DuckDB oracle groups on
-    identical keys). Three digest/id-keyed shuffles, no recompute.
-    Documents shorter than ``n`` tokens have no grams and drop out.
+    Topology: distinct (doc, gram-digest) rows feed TWO combine-able
+    aggregations — per-doc gram counts, and per-gram (doc_frequency,
+    min-owner) where a gram with frequency 1 is credited to its single
+    owner — joined per-doc at the end. Deliberately NOT a
+    ``count() OVER (PARTITION BY gram)`` window: a hot gram (a stopword
+    trigram) would funnel its every occurrence into one window task with
+    no AQE mitigation, while hash aggregates collapse hot keys map-side
+    (measured: the aggregate formulation wins 7.3 s -> 5.2 s at 32x
+    corpus and the gap widens with skew; docs/SCALE_NOTES.md). Grams
+    shuffle as md5 digests (32 hex chars regardless of gram length — and
+    the digest is engine-portable, so the DuckDB oracle groups on
+    identical keys). The final join's both sides arrive hash-partitioned
+    on the doc id, so it adds no exchange. Documents shorter than ``n``
+    tokens have no grams and drop out.
 
     Output: (doc_id, n_grams, novel_frac) — novel_frac is one int/int
     division (correctly-rounded IEEE, oracle-exact without decimal routing).
@@ -338,17 +342,21 @@ def gram_novelty(
         .select("_id", F.md5(F.col("_g")).alias("_gd"))
         .dropDuplicates()
     )
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("_gd"))
-    return (
-        grams.withColumn("_df", dfreq)
-        .groupBy(F.col("_id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            (
-                F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("novel_frac"),
-        )
+    per_doc = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        grams.groupBy("_gd")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min("_id").alias("_owner"))
+        .filter(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias("_id"))
+        .agg(F.count(F.lit(1)).alias("_novel"))
+    )
+    return per_doc.join(novel, ["_id"], "left").select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        (
+            F.coalesce(F.col("_novel"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("novel_frac"),
     )
 
 

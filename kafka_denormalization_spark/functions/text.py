@@ -333,6 +333,36 @@ def vocab_table(docs, text_col: str, k: int = 50):
     )
 
 
+def oov_rate_table(docs, id_col: str, text_col: str, k: int = 50):
+    """Per-document out-of-vocabulary rate against the corpus top-``k``
+    vocabulary — the tokenizer-coverage curation signal (docs full of
+    tokens a fixed vocab can't represent are poor training material).
+
+    Scale: the vocab is k rows — broadcast to every executor, so the
+    per-token membership probe is a broadcast left join on the exploded
+    token stream (no shuffle of the tokens themselves); the only exchange
+    is the final per-doc aggregation, map-side combined. The vocab
+    derivation reuses ``vocab_table`` (distinct-token-bounded shuffle).
+
+    Output: (id, n_tokens, oov_frac) — oov_frac is one int/int division
+    (correctly-rounded IEEE, oracle-exact)."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = vocab_table(docs, text_col, k).select("token", F.lit(1).alias("_in"))
+    return (
+        tok.join(F.broadcast(vocab), ["token"], "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("oov_frac"),
+        )
+    )
+
+
 def contamination_scan(docs, id_col: str, text_col: str, patterns: list[str]):
     """Benchmark-decontamination primitive: (doc, pattern) pairs for every
     document containing any needle substring.

@@ -551,6 +551,14 @@ def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_profile(docs, "lang", "n_chars", (0.25, 0.5, 0.75))
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus top-50 vocabulary
+    (functions/text.py oov_rate_table): tokenizer-coverage curation
+    signal; the tiny vocab is broadcast, tokens never shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.oov_rate_table(docs, "doc_id", "text", k=50)
+
+
 def q_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join coverage: customers with no URGENT order (left_anti with a
     pushed-down filter on the right side — non-empty at every SF)."""
@@ -1907,6 +1915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gram_novelty": q_gram_novelty,
     "incremental_dedup": q_incremental_dedup,
     "percentile_profile": q_percentile_profile,
+    "oov_rate": q_oov_rate,
     "anti_join_orphans": q_anti_join_orphans,
     "fingerprint": q_fingerprint,
     "winnowing": q_winnowing,
@@ -2320,6 +2329,22 @@ ORACLE_SQL: dict[str, str] = {
            quantile_cont(n_chars, 0.50) AS p50,
            quantile_cont(n_chars, 0.75) AS p75
     FROM documents GROUP BY lang
+    """,
+    "oov_rate": f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS n FROM tok
+        GROUP BY token ORDER BY n DESC, token LIMIT 50
+      )
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_frac
+    FROM tok LEFT JOIN vocab v ON tok.token = v.token
+    GROUP BY tok.doc_id
     """,
     "winnowing": f"""
     WITH t1 AS (

@@ -215,3 +215,22 @@ def test_scrub_pii(spark):
     assert out[3] == "call <PHONE> or <PHONE>"
     assert out[4] == "clean text, no pii at all"
     assert out[5] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_oov_rate_table(spark):
+    from kafka_denormalization_spark.functions.text import oov_rate_table
+
+    # top-2 vocab over this corpus is {"a", "b"} (a:5, b:4); "x"/"y" are OOV
+    df = spark.createDataFrame(
+        [
+            (1, "a a b x"),
+            (2, "a b b y"),
+            (3, "a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in oov_rate_table(df, "doc_id", "text", k=2).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["oov_frac"] - 0.25) < 1e-12
+    assert abs(out[2]["oov_frac"] - 0.25) < 1e-12
+    assert out[3]["oov_frac"] == 0.0
