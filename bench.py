@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "percentile_profile",
     "oov_rate",
+    "corpus_pipeline_v2",
 ]
 
 

@@ -721,6 +721,40 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "n_chars")
 
 
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 composed curation pipeline, ONE lazy plan: Gopher
+    quality rules -> transitive near-dedup (shared LSH pair memo ->
+    connected components -> min-id representative) -> temperature-
+    rebalanced language mix over the SURVIVING corpus -> PII scrub on the
+    shipped text. Ordering is the reproducible-build standard: dedup on
+    raw text (scrubbing can collapse distinct docs), mix fractions from
+    the post-dedup survivor weights, scrub last so only shipped rows pay
+    the regex chain."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    flags = text_fns.gopher_quality_flags(F.col("text"))
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    quality = docs.filter(keep)
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    dropped = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = quality.join(F.broadcast(dropped), ["doc_id"], "left_anti")
+    mixed = temperature_sample(
+        kept, "lang", "n_chars", "doc_id",
+        alpha=0.5, salt=TEMP_SALT, budget_frac=TEMP_BUDGET_FRAC,
+    )
+    return mixed.select(
+        "doc_id", "lang", "source", "n_chars",
+        text_fns.scrub_pii(F.col("text")).alias("text_scrubbed"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (pigeonhole-bucketed). Engine-specific hash —
     rows-only driver check; recall covered by pytest."""
@@ -1927,6 +1961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "sequence_packing": q_sequence_packing,
     "corpus_pipeline": q_corpus_pipeline,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_centroid": q_embedding_centroid,
@@ -2216,6 +2251,48 @@ ORACLE_SQL: dict[str, str] = {
     WHERE d.doc_id NOT IN (SELECT node FROM dropped)
       AND substr(md5(concat('{MIX_SALT}', '|', CAST(d.doc_id AS VARCHAR))), 1, 8)
           < {_mix_threshold_sql()}
+    """,
+    "corpus_pipeline_v2": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM clusters WHERE node <> cluster),
+    {_GOPHER_STATS_SQL},
+    quality AS (SELECT doc_id FROM gq_stats WHERE {_GOPHER_KEEP_SQL}),
+    surv AS (
+      SELECT d.* FROM documents d
+      JOIN quality USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+    ),
+    w AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS wt FROM surv GROUP BY lang
+    ), p AS (
+      SELECT lang, wt,
+             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ), t AS (
+      SELECT lang,
+             printf('%08x', least(
+               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM p
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_chars,
+           {_pii_chain_sql("s.text")} AS text_scrubbed
+    FROM surv s JOIN t ON s.lang = t.lang
+    WHERE substr(md5(concat('{TEMP_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
+          < t.thr
     """,
     "value_histogram": """
     SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,

@@ -276,3 +276,46 @@ def test_streaming_dedup_within_watermark(spark, tmpdir):
     tss = sorted(r.ts.minute * 60 + r.ts.second for r in rows)
     # the in-window duplicate of ts=10 was suppressed
     assert tss == [10, 60, 1200]
+
+
+def test_streaming_content_digest_dedup(spark, tmpdir):
+    """Continuous-ingest content dedup: the streaming twin of
+    operators/dedup.py incremental_dedup — key the watermark-bounded dedup
+    on a sha256 CONTENT digest, so an identical document arriving in a
+    later micro-batch (different doc_id) is suppressed while its digest is
+    inside the watermark. State holds one 64-hex-char row per distinct
+    content, never the text."""
+    src = os.path.join(tmpdir, "src")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, _ts(s), t) for (i, s, t) in rows],
+            "doc_id long, ts string, text string",
+        ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+
+    _feed(
+        spark,
+        src,
+        [
+            docs([(1, 10, "alpha"), (2, 20, "beta")]),
+            # doc 3 repeats doc 1's content inside the watermark -> dropped;
+            # doc 4 is fresh content -> kept
+            docs([(3, 30, "alpha"), (4, 40, "gamma")]),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).withColumn("digest", F.sha2("text", 256))
+    out = drop_duplicates_within_watermark(stream, ["digest"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("digest_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ck_dd"))
+        .start()
+    )
+    _drain(q)
+    kept = sorted(r.doc_id for r in spark.sql("select doc_id from digest_dedup").collect())
+    assert kept == [1, 2, 4]
