@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "percentile_profile",
     "oov_rate",
     "corpus_pipeline_v2",
+    "quantize_embeddings",
 ]
 
 

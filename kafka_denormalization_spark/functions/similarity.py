@@ -597,6 +597,39 @@ def cosine_dup_pairs(
     return pairs
 
 
+def quantize_embeddings(
+    emb: DataFrame, id_col: str, vec_col: str, bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int quantization of a float embedding column —
+    the memory-bound ANN primitive (an int8 corpus is 4x smaller than
+    float32, so 4x more vectors fit in executor/page cache before any
+    recall trade-off from the index itself).
+
+    Each vector is scaled by ``qmax / max(|v_i|)`` (qmax = 2^(bits-1)-1,
+    127 for int8) and rounded half-away-from-zero — the same rounding
+    DuckDB uses, and the scale arithmetic is a fixed expression order of
+    IEEE doubles, so the oracle lands on identical codes. All-zero vectors
+    quantize to all zeros with scale 0. Narrow per-row expression — no
+    shuffle, fully pipelined with the scan.
+
+    Output: (id, qvec array<int>, scale double) where
+    dequant ≈ qvec / scale, max abs error = max|v| / qmax / 2.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    scale = F.when(amax > 0, F.lit(qmax) / amax).otherwise(F.lit(0.0))
+    qvec = F.transform(
+        v, lambda x: F.round(x.cast("double") * F.lit(qmax) / amax).cast("int")
+    )
+    qvec = F.when(amax > 0, qvec).otherwise(
+        F.transform(v, lambda x: F.lit(0))
+    )
+    return emb.select(
+        F.col(id_col), qvec.alias("qvec"), scale.alias("scale")
+    )
+
+
 def _probe_masks(num_planes: int, probe: int) -> list[int]:
     """All XOR masks over ``num_planes`` bits with popcount <= probe."""
     masks = [m for m in range(1 << num_planes) if bin(m).count("1") <= probe]

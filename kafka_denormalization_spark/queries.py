@@ -755,6 +755,22 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding corpus
+    (functions/similarity.py quantize_embeddings): 4x memory reduction for
+    ANN serving; codes + scales are oracle-exact (fixed IEEE expression
+    order, half-away-from-zero rounding on both engines). The code vector
+    ships as a canonical CSV string — same convention as
+    denorm_nested_struct's to_json — so both comparators hash a scalar."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = sim_fns.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("qvec"), ",").alias("qvec_csv"),
+        "scale",
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (pigeonhole-bucketed). Engine-specific hash —
     rows-only driver check; recall covered by pytest."""
@@ -1962,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "quantize_embeddings": q_quantize_embeddings,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_centroid": q_embedding_centroid,
@@ -2293,6 +2310,22 @@ ORACLE_SQL: dict[str, str] = {
     FROM surv s JOIN t ON s.lang = t.lang
     WHERE substr(md5(concat('{TEMP_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
           < t.thr
+    """,
+    "quantize_embeddings": """
+    SELECT vec_id,
+           CASE WHEN amax > 0 THEN
+             array_to_string(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amax) AS INTEGER)), ',')
+           ELSE
+             array_to_string(list_transform(embedding, x -> 0), ',')
+           END AS qvec_csv,
+           CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+    FROM (
+      SELECT vec_id, embedding,
+             CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max')
+                  AS DOUBLE) AS amax
+      FROM embeddings
+    )
     """,
     "value_histogram": """
     SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,

@@ -248,3 +248,24 @@ def test_gram_novelty_exact_fractions(spark):
     assert abs(out[1]["novel_frac"] - 1 / 3) < 1e-12
     assert abs(out[2]["novel_frac"] - 1 / 3) < 1e-12
     assert out[3]["novel_frac"] == 1.0
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
+    from kafka_denormalization_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    # max-abs element maps to +/-qmax; dequant error bounded by amax/127/2
+    assert out[1]["qvec"] == [64, -127, 32, 0]
+    for orig, q in zip([0.5, -1.0, 0.25, 0.0], out[1]["qvec"]):
+        assert abs(orig - q / out[1]["scale"]) <= 1.0 / 127 / 2 + 1e-12
+    assert out[2]["qvec"] == [0, 0, 0, 0]
+    assert out[2]["scale"] == 0.0
+    assert out[3]["qvec"] == [127]
