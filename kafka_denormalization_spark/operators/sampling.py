@@ -91,15 +91,15 @@ def temperature_fractions(
     threshold is derived: the upstream doubles (sqrt + aggregate sums) can
     differ across engines in the last ulp, and rounding collapses both to
     the same grid point, so the DuckDB oracle lands on bit-identical
-    thresholds. One aggregation over ~|strata| rows; the unpartitioned
-    window runs on that tiny aggregate, never on the corpus.
+    thresholds. One aggregation over ~|strata| rows, then a 1-row global
+    aggregate of the per-stratum totals broadcast back via cross-join —
+    no unpartitioned window anywhere, so plans stay free of
+    ``WindowExec: No Partition Defined`` warnings even on the tiny side.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if (budget is None) == (budget_frac is None):
         raise ValueError("pass exactly one of budget / budget_frac")
-    from pyspark.sql import Window
-
     w = df.groupBy(strata_col).agg(
         F.sum(F.col(weight_col)).cast("double").alias("_w")
     )
@@ -107,14 +107,21 @@ def temperature_fractions(
     # alphas use pow, which is correctly rounded on both JVMs/DuckDB libms
     # for the magnitudes here — the round-to-6 grid absorbs any ulp skew.
     powed = F.sqrt(F.col("_w")) if alpha == 0.5 else F.pow(F.col("_w"), F.lit(alpha))
-    whole = Window.partitionBy()
-    w = w.withColumn("_pw", powed).withColumn(
-        "_p", F.col("_pw") / F.sum("_pw").over(whole)
+    w = w.withColumn("_pw", powed)
+    totals = w.agg(
+        F.sum("_pw").alias("_tpw"), F.sum("_w").alias("_tw")
+    )
+    # 1-row broadcast cross join (a constant-key equi-join constant-folds
+    # back to exactly this plan): one comparison-free probe per stratum
+    # row. Allow-listed in the repo-wide BNLJ sweep alongside the other
+    # 1-row scalar-aggregate cross joins (tests/test_plans.py).
+    w = w.crossJoin(F.broadcast(totals)).withColumn(
+        "_p", F.col("_pw") / F.col("_tpw")
     )
     b = (
         F.lit(float(budget))
         if budget is not None
-        else F.lit(float(budget_frac)) * F.sum("_w").over(whole)
+        else F.lit(float(budget_frac)) * F.col("_tw")
     )
     frac = F.round(F.least(F.lit(1.0), b * F.col("_p") / F.col("_w")), 6)
     thr = F.format_string(

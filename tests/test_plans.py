@@ -173,6 +173,11 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "ann_cosine_topk",          # documented brute-force ANN baseline
         "ann_ivf_topk",             # <=2^planes centroid rows, broadcast cross
         "idle_rich_customers",      # 1-row scalar aggregate cross join
+        "temperature_sample",       # 1-row strata-totals aggregate broadcast
+                                    # back over |languages| rows (replaced the
+                                    # r04 unpartitioned-window formulation)
+        "corpus_pipeline_v2",       # same temperature_fractions stage inside
+                                    # the composed pipeline
     }
     from kafka_denormalization_spark.plans import explain_str
 
