@@ -98,9 +98,12 @@ def main() -> None:
         # per-query fault isolation: one broken query must not zero out the
         # timings for the healthy ones — record its error and keep going
         try:
-            # warm the input file listing/schema inference, then time execution
-            df = fn(spark, sf_dir)
+            # time construction + execution together: some builders perform
+            # bounded eager work (e.g. the LSH family materializes its
+            # memoized pair table at build time since round 5's
+            # eager_cleanup) and excluding it would under-report the query
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             materialize(df)
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
@@ -115,6 +118,10 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        # a failing query is dropped from `timings`, so the total covers
+        # fewer queries than a healthy run — flag it so totals are never
+        # compared across runs with different coverage
+        out["valid"] = False
         out["errors"] = errors
     print(json.dumps(out))
 

@@ -73,7 +73,11 @@ def incremental_dedup(
     """
     h = F.sha2(F.col(content_col).cast("string"), 256)
     within = exact_dedup_content(new_df, content_col, id_col)
-    seen = base_df.select(h.alias("_h")).dropDuplicates()
+    # NULL content hashes to NULL; drop those from the seen-set explicitly
+    # (a NULL key never matches a left_anti probe anyway, so new NULL-text
+    # rows are kept — the oracle mirrors this with NOT EXISTS + h IS NOT
+    # NULL, keeping both engines symmetric if testdata ever ships NULLs).
+    seen = base_df.select(h.alias("_h")).filter(F.col("_h").isNotNull()).dropDuplicates()
     return (
         within.withColumn("_h", h)
         .join(seen, ["_h"], "left_anti")
