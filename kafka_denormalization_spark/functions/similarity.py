@@ -57,6 +57,11 @@ def jaccard(a: Column, b: Column) -> Column:
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 
+# 56-bit prime field for the derived MinHash family (h1 + k*h2) mod P:
+# largest prime below 2^56, so k*h2 + h1 stays under 2^63 for k < 128 —
+# long arithmetic never overflows (ANSI-mode safe on vanilla sessions).
+_MH_P = 2**56 - 5
+
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: element h = min over shingles of xxhash64(h, s).
@@ -118,22 +123,35 @@ def minhash_signature_table(
     num_hashes: int = 32,
 ) -> DataFrame:
     """Columnar MinHash: codegen'd gram rows, then ``num_hashes`` codegen'd
-    ``min(xxhash64(seed, gram64))`` aggregations (map-side combine).
+    derived-family min aggregations (map-side combine).
 
-    The variable-length gram string is hashed ONCE to an 8-byte digest;
-    the K-member hash family is derived by re-hashing that fixed-width
-    long with per-member seeds. K fixed-8-byte hashes beat K O(len)
-    string hashes — measured 2.5x faster on the signature stage at sf0.1
-    (0.51s vs 1.28s warm, 64 hashes), and the gap widens with gram
-    length. Still no interpreted array lambdas anywhere.
+    The variable-length gram string is hashed ONCE to an 8-byte digest,
+    twice more to (h1, h2) in the 56-bit prime field, and the K-member
+    family is ``(h1 + k*h2) mod P`` (Kirsch–Mitzenmacher double hashing;
+    same scheme as ``minhash_lsh_pairs``). 3 fixed-width hashes + K
+    multiply-add-mods per gram beat K O(len) string hashes — the earlier
+    seeded-rehash variant already measured 2.5x faster than string
+    hashing on the signature stage at sf0.1, and the arithmetic family
+    drops the remaining K-1 hashes too. Still no interpreted array
+    lambdas anywhere.
     Output: (_id, _h0.._hN). Docs with no grams drop out (no signature,
     no candidates) instead of colliding on a sentinel bucket.
     """
-    ex = word_gram_rows(docs, id_col, text_col, n).withColumn(
-        "_g64", F.xxhash64(F.col("_g"))
+    if num_hashes >= 128:
+        raise ValueError("num_hashes must be < 128 (k*h2 overflow bound)")
+    ex = (
+        word_gram_rows(docs, id_col, text_col, n)
+        .withColumn("_g64", F.xxhash64(F.col("_g")))
+        .select(
+            "_id",
+            F.pmod(F.xxhash64(F.lit(1), F.col("_g64")), F.lit(_MH_P)).alias("_h1"),
+            F.pmod(F.xxhash64(F.lit(2), F.col("_g64")), F.lit(_MH_P)).alias("_h2"),
+        )
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(h), F.col("_g64"))).alias(f"_h{h}")
+        F.min(
+            F.pmod(F.col("_h1") + F.lit(h).cast("long") * F.col("_h2"), F.lit(_MH_P))
+        ).alias(f"_h{h}")
         for h in range(num_hashes)
     ]
     return ex.groupBy("_id").agg(*aggs)
@@ -149,9 +167,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     persist: bool = True,
     share_grams: bool = True,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH candidate generation + exact
     n-gram Jaccard verification.
+
+    ``eager_cleanup``: materialize the verified pairs (persisted) and
+    unpersist the pipeline's intermediate caches before returning — for
+    callers that keep the result for the rest of the session.
 
     Output: (id_a, id_b, jaccard_sim) with id_a < id_b, jaccard_sim >= threshold.
 
@@ -178,32 +201,48 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         grams_all = grams_all.persist(StorageLevel.MEMORY_AND_DISK)
-    # NARROW signature aggregation: explode the seed range instead of
-    # emitting num_hashes wide min-columns. Hash values are identical to
-    # the wide formulation (seed h = min over grams of xxhash64(h, g64);
-    # band hash = xxhash64 of that band's mins in seed order), but the
-    # generated aggregate has 2 tiny buffers instead of 64 — the wide
-    # HashAggregate's generated class took multiple seconds of first-run
-    # JIT, which a one-shot query pays in full. Map-side combine keys are
-    # (_id, band): docs x bands entries per partition, and the band
-    # bucket rows come straight out of the aggregation — no second
-    # explode over a wide signature row.
+    # NARROW signature aggregation: explode the band range instead of
+    # emitting num_hashes wide min-columns (the wide HashAggregate's
+    # generated class took multiple seconds of first-run JIT, which a
+    # one-shot query pays in full). Map-side combine keys are (_id, band):
+    # docs x bands entries per partition, and the band bucket rows come
+    # straight out of the aggregation — no second explode over a wide
+    # signature row.
+    #
+    # Hash family: each gram is xxhash64'd TWICE (h1, h2 reduced into the
+    # 56-bit prime field _MH_P), and family member k is derived
+    # arithmetically as (h1 + k*h2) mod P — Kirsch–Mitzenmacher double
+    # hashing. vs the previous per-(gram, seed) xxhash64: 2 hashes + K
+    # multiply-add-mods per gram instead of K full hashes, and exploding
+    # by band rather than seed halves the row volume through the partial
+    # aggregate at rows_per_band=2. P < 2^56 bounds k*h2 + h1 < 2^63 for
+    # k < 128, so the arithmetic never overflows a long — safe under the
+    # ANSI mode a vanilla Spark 4 session runs with.
+    if num_hashes >= 128:
+        raise ValueError("num_hashes must be < 128 (k*h2 overflow bound)")
     ex = (
         grams_all.withColumn("_g64", F.xxhash64(F.col("_g")))
         .select(
             "_id",
-            "_g64",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_seed"),
+            F.pmod(F.xxhash64(F.lit(1), F.col("_g64")), F.lit(_MH_P)).alias("_h1"),
+            F.pmod(F.xxhash64(F.lit(2), F.col("_g64")), F.lit(_MH_P)).alias("_h2"),
         )
         .select(
             "_id",
-            (F.col("_seed") % rows_per_band).alias("_r"),
-            F.floor(F.col("_seed") / rows_per_band).cast("int").alias("_band"),
-            F.xxhash64(F.col("_seed"), F.col("_g64")).alias("_hv"),
+            "_h1",
+            "_h2",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
         )
     )
     row_mins = [
-        F.min(F.when(F.col("_r") == i, F.col("_hv"))).alias(f"_m{i}")
+        F.min(
+            F.pmod(
+                F.col("_h1")
+                + (F.col("_band") * F.lit(rows_per_band) + F.lit(i)).cast("long")
+                * F.col("_h2"),
+                F.lit(_MH_P),
+            )
+        ).alias(f"_m{i}")
         for i in range(rows_per_band)
     ]
     buckets = (
@@ -288,6 +327,24 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    if eager_cleanup and persist:
+        from pyspark import StorageLevel
+
+        # Materialize the (tiny) verified pair set now, then release the
+        # session-lifetime caches the pipeline pinned (corpus gram rows,
+        # band buckets, candidate grams). Callers that memoize the result
+        # for the rest of the session (queries._lsh_pairs_shared) want the
+        # pairs hot but NOT hundreds of MB of intermediate gram cache
+        # stealing executor storage memory from every later query — at
+        # cluster scale that pressure evicts other cached state; on the
+        # bench it inflates unrelated queries that run after the family.
+        verified = verified.persist(StorageLevel.MEMORY_AND_DISK)
+        verified.count()
+        for frame in (grams, buckets, grams_all):
+            try:
+                frame.unpersist()
+            except Exception:  # pragma: no cover - defensive
+                pass
     return verified
 
 
