@@ -30,6 +30,39 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
+def _configure_tws_protocol(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """When ``google.protobuf`` is absent, route Python workers through the
+    vendored daemon wrapper (vendor/pb_daemon.py) so the
+    ``transformWithStateInPandas`` state protocol runs on the miniproto
+    shim (vendor/state_message_shim.py). No-op when the real runtime is
+    installed or the shim cannot build; every other workload is untouched
+    (the wrapper delegates to the stock pyspark daemon)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return builder  # real runtime present — generated pb2 wins
+    except ImportError:
+        pass
+    try:
+        from kafka_denormalization_spark.vendor import state_message_shim
+
+        if not state_message_shim.install():  # pragma: no cover - paranoia
+            return builder
+    except Exception:  # pragma: no cover - shim must never block sessions
+        return builder
+    # workers must import the daemon wrapper: make the repo root reachable
+    # on the worker PYTHONPATH (inherited by the gateway JVM -> daemon)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+    return builder.config(
+        "spark.python.daemon.module", "kafka_denormalization_spark.vendor.pb_daemon"
+    )
+
+
 def get_spark(app_name: str = "kafka-denormalization-spark") -> SparkSession:
     """Build a SparkSession for local runs (tests / bench).
 
@@ -51,6 +84,7 @@ def get_spark(app_name: str = "kafka-denormalization-spark") -> SparkSession:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    builder = _configure_tws_protocol(builder)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -556,8 +556,10 @@ def test_incremental_bug_parity_mode_keeps_stale_pair(spark, tmpdir):
 
 
 # -- transformWithStateInPandas twin (streaming/tws_join.py) ----------------
-# e2e runs need the protobuf runtime (Spark's TWS state protocol); absent
-# from this container -> skip e2e, unit-test the processor with fake state.
+# e2e runs need a protobuf runtime for Spark's TWS state protocol: the real
+# google.protobuf, or the vendored miniproto shim (vendor/state_message_shim)
+# that engine.get_spark + sitecustomize activate in every worker flavor.
+# The skip below only fires if NEITHER is usable.
 
 from kafka_denormalization_spark.streaming.tws_join import (  # noqa: E402
     UpsertJoinProcessor,
@@ -566,7 +568,7 @@ from kafka_denormalization_spark.streaming.tws_join import (  # noqa: E402
 
 _tws_e2e = pytest.mark.skipif(
     not tws_available(),
-    reason="google.protobuf not installed (transformWithState protocol needs it)",
+    reason="no protobuf runtime (neither google.protobuf nor the miniproto shim)",
 )
 
 _ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
