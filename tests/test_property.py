@@ -221,3 +221,89 @@ def test_fuzzy_join_randomized_vs_bruteforce(spark):
         if i < j and lev(a, b) <= 1
     }
     assert got == want
+
+
+# -- transformWithStateInPandas twin: randomized convergence ---------------
+# Same invariant as test_incremental_converges_to_latest_join, replayed
+# through the REAL transformWithStateInPandas path (executable since the
+# vendored miniproto shim, round 5). Emission values per key are monotone
+# in (left_seq, right_seq) — state only moves forward and this run has no
+# tombstones — so the final state is the per-key max over both seqs, which
+# sidesteps the memory sink's lack of cross-batch ordering.
+
+
+def test_tws_converges_to_latest_join_randomized(spark, tmp_path):
+    import os
+
+    from kafka_denormalization_spark.streaming.tws_join import (
+        tws_available,
+        upsert_join_tws,
+    )
+
+    if not tws_available():
+        import pytest
+
+        pytest.skip("no protobuf runtime")
+
+    rng = _random.Random(7)
+    updates = []
+    for _ in range(18):
+        if rng.random() < 0.6:
+            updates.append(("left", rng.choice(LEFT_KEYS), rng.randrange(100)))
+        else:
+            updates.append(("right", rng.choice(FKS), rng.randrange(100)))
+
+    rows = []
+    for seq, (side, key, val) in enumerate(updates):
+        fk = fk_of(key) if side == "left" else key
+        rows.append((seq, side, key, fk, json.dumps({"v": val, "s": seq})))
+    cuts = sorted(rng.sample(range(1, len(rows)), 3)) + [len(rows)]
+    batches, start = [], 0
+    for b in cuts:
+        if b > start:
+            batches.append(rows[start:b])
+            start = b
+
+    src = str(tmp_path / "updates")
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, UPDATE_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(UPDATE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = "twsprop"
+        q = (
+            upsert_join_tws(stream, how="inner")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        emitted = [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    final: dict[str, tuple] = {}
+    for r in emitted:
+        lv, rv = json.loads(r["left_value"]), json.loads(r["right_value"])
+        cur = final.get(r["key"])
+        if cur is None or (lv["s"], rv["s"]) >= cur[0]:
+            final[r["key"]] = ((lv["s"], rv["s"]), (lv["v"], rv["v"]))
+    got = {k: v for k, (_, v) in final.items()}
+    assert got == expected_final(updates)
