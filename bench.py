@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "simhash_pairs",
     "ann_cosine_topk",
+    "ann_int8_topk",
     "text_stats",
     "fingerprint",
     "window_running_total",

@@ -567,7 +567,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, 0.0 for zero-norm inputs. The explicit guard
+    matters under ANSI mode (vanilla Spark 4 sessions): a bare division
+    would throw DIVIDE_BY_ZERO on the first all-zero vector instead of
+    degrading gracefully."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_topk(
@@ -684,6 +689,79 @@ def quantize_embeddings(
     )
     return emb.select(
         F.col(id_col), qvec.alias("qvec"), scale.alias("scale")
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED codes — the serving
+    path for a memory-bound ANN corpus (4x more vectors per executor/page
+    cache than float32; integer dot products vectorize better too).
+
+    Cosine is scale-invariant, so the per-vector quantization scales
+    cancel: score = int_dot(qa, qb) / sqrt(|qa|² · |qb|²), computed
+    entirely from EXACT integer aggregates with one sqrt + one division
+    at the end. For int8 codes and dims ≤ ~30k the product |qa|²·|qb|²
+    is exactly representable in a double, so the similarity is bitwise
+    identical across engines — unlike float-accumulation cosine, which
+    is order-sensitive (cf. ``cosine_topk``'s rank-only contract).
+
+    Output: (query_id, neighbor_id, rank, qsim), rank 1..k by qsim desc
+    (neighbor_id tiebreak), self-match excluded. Same broadcast-queries
+    topology as ``cosine_topk``: the corpus ships codes once and is never
+    shuffled; only scored tuples reach the top-k window.
+    """
+    zero = F.lit(0).cast("long")
+    n2 = lambda col: F.aggregate(  # noqa: E731
+        col, zero, lambda acc, x: acc + x.cast("long") * x.cast("long")
+    )
+    c = quantize_embeddings(corpus, id_col, vec_col, bits).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("_cq"),
+        n2(F.col("qvec")).alias("_cn2"),
+    )
+    q = quantize_embeddings(queries, id_col, vec_col, bits).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        n2(F.col("qvec")).alias("_qn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_qq"), F.col("_cq"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(
+            (F.col("_qn2") > 0) & (F.col("_cn2") > 0),
+            dot.cast("double")
+            / F.sqrt((F.col("_qn2") * F.col("_cn2")).cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qsim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"), "qsim",
+        )
     )
 
 

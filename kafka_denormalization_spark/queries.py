@@ -798,6 +798,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-5 (functions/similarity.py
+    quantized_cosine_topk): the memory-bound ANN serving path over
+    quantize_embeddings codes. Scales cancel in cosine, so the similarity
+    is computed from exact integer dot products / norms — bitwise
+    identical across engines (the qsim column ships in the hash, unlike
+    float-accumulation cosine which is rank-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_fns.quantized_cosine_topk(emb, queries, k=5)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (scale path). Approximate by design —
     rows-only driver check; recall vs brute force covered by pytest."""
@@ -881,10 +893,17 @@ _JACCARD_PAIRS_SQL = f"""
     SELECT id_a, id_b, jaccard_sim FROM p WHERE jaccard_sim >= 0.5
 """
 
+# zero-norm guard mirrors functions/similarity.cosine (Spark returns 0.0
+# there; an unguarded DuckDB division would yield inf/nan and break parity
+# if testdata ever ships an all-zero vector)
 _COS_SQL = (
-    "(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    "(CASE WHEN"
+    " sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))) > 0"
+    " THEN (list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
     " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
+    " ELSE 0.0 END)"
 )
 
 # ---------------------------------------------------------------------------
@@ -1990,6 +2009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_int8_topk": q_ann_int8_topk,
     "embedding_centroid": q_embedding_centroid,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2076,8 +2096,9 @@ _DRIVER_HEAD = [
     "text_stats", "quality_filter", "contamination_scan_join",
     # chunking / packing / composed pipeline
     "sequence_packing", "corpus_pipeline",
-    # embeddings / ANN / multimodal
-    "ann_cosine_topk", "cosine_dedup", "multimodal_metadata",
+    # embeddings / ANN / multimodal (ann_int8_topk is new this round —
+    # driver-check it immediately; cosine_dedup rotates back next round)
+    "ann_cosine_topk", "ann_int8_topk", "multimodal_metadata",
     # temporal joins/windows
     "asof_join", "session_window",
     # stats / profiling / graph / funnel / fuzzy / grouping
@@ -2548,6 +2569,42 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
     FROM s
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """,
+    "ann_int8_topk": """
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0 THEN
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+      FROM (
+        SELECT vec_id, embedding,
+               CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max')
+                    AS DOUBLE) AS amax
+        FROM embeddings
+      )
+    ), n AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM base
+    ), qs AS (
+      SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 10
+    ), s AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             CASE WHEN qn2 > 0 AND n2 > 0 THEN
+               CAST(list_sum(list_transform(range(1, len(qq) + 1),
+                                            i -> qq[i] * q[i])) AS DOUBLE)
+                 / sqrt(CAST(qn2 * n2 AS DOUBLE))
+             ELSE 0.0 END AS qsim
+      FROM qs, n WHERE query_id <> n.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qsim DESC, neighbor_id) AS BIGINT) AS rank,
+           qsim
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY qsim DESC, neighbor_id) <= 5
     """,
     "join_key_digest": """
     SELECT md5(CAST(l_orderkey AS VARCHAR)) AS right_digest,

@@ -171,6 +171,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "contamination_scan_join",  # short-needle fallback only; probes are broadcast
         "ngram_jaccard_pairs",      # documented O(n^2) baseline for the LSH path
         "ann_cosine_topk",          # documented brute-force ANN baseline
+        "ann_int8_topk",            # same brute-force topology over int8 codes
+                                    # (the quantized serving baseline)
         "ann_ivf_topk",             # <=2^planes centroid rows, broadcast cross
         "idle_rich_customers",      # 1-row scalar aggregate cross join
         "temperature_sample",       # 1-row strata-totals aggregate broadcast

@@ -269,3 +269,42 @@ def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
     assert out[2]["qvec"] == [0, 0, 0, 0]
     assert out[2]["scale"] == 0.0
     assert out[3]["qvec"] == [127]
+
+
+def test_quantized_topk_recall_and_edge_cases(spark):
+    """Int8-quantized cosine top-k (quantized_cosine_topk): high recall vs
+    exact float cosine on random vectors, and zero vectors never rank."""
+    import random
+
+    from kafka_denormalization_spark.functions.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ] + [(60, [0.0] * 16)]  # zero vector: qsim 0 against everything
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id < 8")
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_cosine_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.85, recall  # int8 on dim-16 randoms: near-exact ranks
+
+    # the zero vector scores 0 against everything -> it can only appear
+    # after all positive-sim neighbors; with 60 candidates it never makes
+    # top-5 unless a query has <5 positive sims (impossible here)
+    assert all(n != 60 for _, n in quant)
+
+    # zero-vector QUERY: all sims are exactly 0, ranks fill by id tiebreak
+    zq = quantized_cosine_topk(emb, emb.filter("vec_id = 60"), k=3).collect()
+    assert [r["neighbor_id"] for r in sorted(zq, key=lambda r: r["rank"])] == [0, 1, 2]
+    assert all(r["qsim"] == 0.0 for r in zq)
