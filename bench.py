@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "gram_novelty",
     "incremental_dedup",
+    "incremental_near_dedup",
     "percentile_profile",
     "oov_rate",
     "corpus_pipeline_v2",

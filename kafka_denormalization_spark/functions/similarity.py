@@ -157,6 +157,188 @@ def minhash_signature_table(
     return ex.groupBy("_id").agg(*aggs)
 
 
+def minhash_band_buckets(
+    grams: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(_id, _g) gram rows -> (_id, _band, _h) LSH band-bucket rows.
+
+    NARROW signature aggregation: explode the band range instead of
+    emitting num_hashes wide min-columns (the wide HashAggregate's
+    generated class took multiple seconds of first-run JIT, which a
+    one-shot query pays in full). Map-side combine keys are (_id, band):
+    docs x bands entries per partition, and the band bucket rows come
+    straight out of the aggregation — no second explode over a wide
+    signature row.
+
+    Hash family: each gram is xxhash64'd TWICE (h1, h2 reduced into the
+    56-bit prime field _MH_P), and family member k is derived
+    arithmetically as (h1 + k*h2) mod P — Kirsch–Mitzenmacher double
+    hashing. vs a per-(gram, seed) xxhash64: 2 hashes + K
+    multiply-add-mods per gram instead of K full hashes, and exploding
+    by band rather than seed halves the row volume through the partial
+    aggregate at rows_per_band=2. P < 2^56 bounds k*h2 + h1 < 2^63 for
+    k < 128, so the arithmetic never overflows a long — safe under the
+    ANSI mode a vanilla Spark 4 session runs with.
+    """
+    if num_hashes >= 128:
+        raise ValueError("num_hashes must be < 128 (k*h2 overflow bound)")
+    rows_per_band = num_hashes // bands
+    ex = (
+        grams.withColumn("_g64", F.xxhash64(F.col("_g")))
+        .select(
+            "_id",
+            F.pmod(F.xxhash64(F.lit(1), F.col("_g64")), F.lit(_MH_P)).alias("_h1"),
+            F.pmod(F.xxhash64(F.lit(2), F.col("_g64")), F.lit(_MH_P)).alias("_h2"),
+        )
+        .select(
+            "_id",
+            "_h1",
+            "_h2",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
+        )
+    )
+    row_mins = [
+        F.min(
+            F.pmod(
+                F.col("_h1")
+                + (F.col("_band") * F.lit(rows_per_band) + F.lit(i)).cast("long")
+                * F.col("_h2"),
+                F.lit(_MH_P),
+            )
+        ).alias(f"_m{i}")
+        for i in range(rows_per_band)
+    ]
+    return (
+        ex.groupBy("_id", "_band")
+        .agg(*row_mins)
+        .select(
+            "_id",
+            "_band",
+            F.xxhash64(*[F.col(f"_m{i}") for i in range(rows_per_band)]).alias("_h"),
+        )
+    )
+
+
+def exact_jaccard_pairs(candidates: DataFrame, grams: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (id_a, id_b) pairs, from a
+    DISTINCT (_id, _g) gram-row frame covering every candidate id.
+
+    Gram-row joins, not array expressions: two equi-joins count the
+    intersection, a per-id count supplies the sizes — all codegen hash
+    joins and counting aggregates, work bounded by pairs x doc_grams.
+    Output: (id_a, id_b, jaccard_sim)."""
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        candidates.join(grams.select(F.col("_id").alias("id_a"), "_g"), ["id_a"])
+        .join(grams.select(F.col("_id").alias("id_b"), "_g"), ["id_b", "_g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        candidates.join(inter, ["id_a", "id_b"], "left_outer")
+        .na.fill({"_inter": 0})
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), ["id_a"])
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), ["id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard_sim"),
+        )
+    )
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup dedup of an incoming batch against an accumulated corpus —
+    the MinHash-LSH analog of ``operators.dedup.incremental_dedup``
+    (which is exact-hash only). Drops a new doc when its exact n-gram
+    Jaccard is >= ``threshold`` against (a) ANY base doc, or (b) an
+    earlier (smaller-``id_col``) doc in the same batch (greedy min-id
+    keep, same convention as ``near_dedup_keep_min``; within-batch pairs
+    are considered regardless of the base outcome, so the kept set is
+    deterministic and batch-order-free).
+
+    Topology (what survives 100 TB): signatures for the NEW batch are
+    computed fresh; the base side reduces to its band-bucket table before
+    any join — at scale that table is PRECOMPUTED and appended per ingest
+    (it is exactly ``minhash_band_buckets`` output, ~bands rows of
+    (id, band, hash8) per doc — the index a nightly-crawl pipeline keeps,
+    analogous to incremental_dedup's digest table). Candidate pairs come
+    from bucket equi-joins only; exact verification joins gram rows for
+    candidate docs only, so base text is re-read just for verified-
+    candidate ids, never rescanned wholesale.
+    """
+    from pyspark import StorageLevel
+
+    new_grams = word_gram_rows(new_df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    new_buckets = minhash_band_buckets(new_grams, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    base_grams = word_gram_rows(base_df, id_col, text_col, n)
+    base_buckets = minhash_band_buckets(base_grams, num_hashes, bands)
+
+    nb, bb = new_buckets.alias("a"), base_buckets.alias("b")
+    cross_cand = (
+        nb.join(
+            bb,
+            (F.col("a._band") == F.col("b._band")) & (F.col("a._h") == F.col("b._h")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    wa, wb = new_buckets.alias("a"), new_buckets.alias("b")
+    within_cand = (
+        wa.join(
+            wb,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._h") == F.col("b._h"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+    # verify grams: new-batch grams from the cache; base grams re-derived
+    # for candidate ids only (semi-join pushed below the gram explode)
+    cand_base_ids = cross_cand.select(F.col("id_b").alias("_id")).dropDuplicates()
+    base_cand_docs = base_df.join(
+        cand_base_ids, base_df[id_col] == cand_base_ids["_id"], "left_semi"
+    )
+    verify_grams = (
+        new_grams.unionByName(word_gram_rows(base_cand_docs, id_col, text_col, n))
+        .dropDuplicates(["_id", "_g"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    thr = F.col("jaccard_sim") >= threshold
+    dup_vs_base = (
+        exact_jaccard_pairs(cross_cand, verify_grams)
+        .filter(thr)
+        .select(F.col("id_a").alias(id_col))
+        .dropDuplicates()
+    )
+    dup_within = (
+        exact_jaccard_pairs(within_cand, verify_grams)
+        .filter(thr)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    dropped = dup_vs_base.unionByName(dup_within).dropDuplicates()
+    return new_df.join(dropped, [id_col], "left_anti")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -195,65 +377,12 @@ def minhash_lsh_pairs(
     verify then re-tokenizes candidate documents only, with the semi-join
     pushed below the explode.
     """
-    rows_per_band = num_hashes // bands
     grams_all = word_gram_rows(docs, id_col, text_col, n)
     if share_grams and persist:
         from pyspark import StorageLevel
 
         grams_all = grams_all.persist(StorageLevel.MEMORY_AND_DISK)
-    # NARROW signature aggregation: explode the band range instead of
-    # emitting num_hashes wide min-columns (the wide HashAggregate's
-    # generated class took multiple seconds of first-run JIT, which a
-    # one-shot query pays in full). Map-side combine keys are (_id, band):
-    # docs x bands entries per partition, and the band bucket rows come
-    # straight out of the aggregation — no second explode over a wide
-    # signature row.
-    #
-    # Hash family: each gram is xxhash64'd TWICE (h1, h2 reduced into the
-    # 56-bit prime field _MH_P), and family member k is derived
-    # arithmetically as (h1 + k*h2) mod P — Kirsch–Mitzenmacher double
-    # hashing. vs the previous per-(gram, seed) xxhash64: 2 hashes + K
-    # multiply-add-mods per gram instead of K full hashes, and exploding
-    # by band rather than seed halves the row volume through the partial
-    # aggregate at rows_per_band=2. P < 2^56 bounds k*h2 + h1 < 2^63 for
-    # k < 128, so the arithmetic never overflows a long — safe under the
-    # ANSI mode a vanilla Spark 4 session runs with.
-    if num_hashes >= 128:
-        raise ValueError("num_hashes must be < 128 (k*h2 overflow bound)")
-    ex = (
-        grams_all.withColumn("_g64", F.xxhash64(F.col("_g")))
-        .select(
-            "_id",
-            F.pmod(F.xxhash64(F.lit(1), F.col("_g64")), F.lit(_MH_P)).alias("_h1"),
-            F.pmod(F.xxhash64(F.lit(2), F.col("_g64")), F.lit(_MH_P)).alias("_h2"),
-        )
-        .select(
-            "_id",
-            "_h1",
-            "_h2",
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
-        )
-    )
-    row_mins = [
-        F.min(
-            F.pmod(
-                F.col("_h1")
-                + (F.col("_band") * F.lit(rows_per_band) + F.lit(i)).cast("long")
-                * F.col("_h2"),
-                F.lit(_MH_P),
-            )
-        ).alias(f"_m{i}")
-        for i in range(rows_per_band)
-    ]
-    buckets = (
-        ex.groupBy("_id", "_band")
-        .agg(*row_mins)
-        .select(
-            "_id",
-            "_band",
-            F.xxhash64(*[F.col(f"_m{i}") for i in range(rows_per_band)]).alias("_h"),
-        )
-    )
+    buckets = minhash_band_buckets(grams_all, num_hashes, bands)
     if persist:
         # the bucket table is referenced by both sides of the self-join and
         # is tiny (id + band + hash per row); persisting avoids recomputing
@@ -301,31 +430,10 @@ def minhash_lsh_pairs(
     if persist:
         from pyspark import StorageLevel
 
-        # referenced 3x below (two intersection sides + sizes)
+        # referenced 3x in the verify (two intersection sides + sizes)
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    inter = (
-        candidates.join(
-            grams.select(F.col("_id").alias("id_a"), "_g"), ["id_a"]
-        )
-        .join(grams.select(F.col("_id").alias("id_b"), "_g"), ["id_b", "_g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    verified = (
-        candidates.join(inter, ["id_a", "id_b"], "left_outer")
-        .na.fill({"_inter": 0})
-        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), ["id_a"])
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), ["id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("_inter").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
-            ).alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") >= threshold)
+    verified = exact_jaccard_pairs(candidates, grams).filter(
+        F.col("jaccard_sim") >= threshold
     )
     if eager_cleanup and persist:
         from pyspark import StorageLevel

@@ -531,6 +531,21 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_fns.gram_novelty(docs, "doc_id", "text", n=3)
 
 
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest NEAR-dedup (functions/similarity.py
+    incremental_near_dedup): the 'src0' slice plays the incoming crawl
+    batch; new docs whose exact 3-gram Jaccard reaches 0.5 against any
+    accumulated-corpus doc — or against an earlier doc in the batch
+    (greedy min-id keep) — are dropped. LSH band buckets generate the
+    candidates; the oracle is the brute-force cross/within Jaccard."""
+    docs = table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("source") == "src0")
+    base = docs.filter(F.col("source") != "src0")
+    return sim_fns.incremental_near_dedup(
+        new_batch, base, "doc_id", "text", threshold=0.5
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup (operators/dedup.py incremental_dedup): the
     'src0' slice plays the incoming crawl batch, the rest the accumulated
@@ -1992,6 +2007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "gram_novelty": q_gram_novelty,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_near_dedup": q_incremental_near_dedup,
     "percentile_profile": q_percentile_profile,
     "oov_rate": q_oov_rate,
     "anti_join_orphans": q_anti_join_orphans,
@@ -2458,6 +2474,30 @@ ORACLE_SQL: dict[str, str] = {
              / CAST(count(*) AS DOUBLE) AS novel_frac
     FROM g JOIN dfq ON g.gd = dfq.gd
     GROUP BY g.doc_id
+    """,
+    "incremental_near_dedup": f"""
+    WITH d AS (SELECT doc_id, source, {_SHINGLES_SQL} AS sh FROM documents),
+    newb AS (SELECT * FROM d WHERE source = 'src0'),
+    base AS (SELECT * FROM d WHERE source <> 'src0'),
+    cross_dup AS (
+      SELECT DISTINCT n.doc_id
+      FROM newb n JOIN base b ON
+        len(list_distinct(list_concat(n.sh, b.sh))) > 0
+        AND CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(n.sh, b.sh))) AS DOUBLE) >= 0.5
+    ),
+    within_dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM newb a JOIN newb b ON a.doc_id < b.doc_id
+        AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+    )
+    SELECT doc.doc_id, doc.lang, doc.source, doc.n_chars
+    FROM documents doc
+    WHERE doc.source = 'src0'
+      AND doc.doc_id NOT IN (SELECT doc_id FROM cross_dup)
+      AND doc.doc_id NOT IN (SELECT doc_id FROM within_dup)
     """,
     "incremental_dedup": """
     WITH newb AS (SELECT * FROM documents WHERE source = 'src0'),

@@ -308,3 +308,29 @@ def test_quantized_topk_recall_and_edge_cases(spark):
     zq = quantized_cosine_topk(emb, emb.filter("vec_id = 60"), k=3).collect()
     assert [r["neighbor_id"] for r in sorted(zq, key=lambda r: r["rank"])] == [0, 1, 2]
     assert all(r["qsim"] == 0.0 for r in zq)
+
+
+def test_incremental_near_dedup_semantics(spark):
+    """Constructed batch-vs-corpus cases: a near-copy of a base doc drops,
+    a within-batch near-pair keeps only the min id, unrelated and
+    too-short (gram-less) docs always survive."""
+    from kafka_denormalization_spark.functions.similarity import (
+        incremental_near_dedup,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows_base = [(100, base_text), (101, "completely different corpus text here entirely")]
+    rows_new = [
+        (1, base_text + " today"),              # near-dup of base 100 -> drop
+        (2, "unrelated fresh content that matches nothing in the corpus"),
+        (3, "some brand new sentence shared by two batch documents exactly"),
+        (4, "some brand new sentence shared by two batch documents exactly ok"),  # near-dup of 3 -> drop (greater id)
+        (5, "tiny"),                            # no 3-grams -> no candidates -> keep
+    ]
+    base = spark.createDataFrame(rows_base, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_near_dedup(new, base, "doc_id", "text", threshold=0.5).collect()
+    )
+    assert kept == [2, 3, 5]
