@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "keyword_extraction",
     "contamination_scan_join",
+    "bm25_search",
     "funnel_counts",
     "shipping_priority",
     "local_supplier_volume",

@@ -378,3 +378,81 @@ def contamination_scan(docs, id_col: str, text_col: str, patterns: list[str]):
         docs.join(F.broadcast(pats), F.contains(F.col(text_col), F.col("pat")))
         .select(F.col(id_col), F.col("pat"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed (small) query-term list —
+    Okapi BM25 (Robertson et al., TREC-3), the classic relevance score a
+    training-data pipeline uses for corpus search / quality probes.
+
+    score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl·N/T))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene-style
+    non-negative idf, so documents matching a very common term (df > N/2)
+    still outrank documents matching nothing (raw Robertson idf goes
+    negative there and inverts that). dl is the doc token count, N docs,
+    T total tokens (avgdl = T/N folded in to keep every input an exact
+    integer until a fixed-order float expression).
+
+    Plan shape (scale-first): per-term tf via array expressions — the
+    token stream is NEVER exploded or shuffled. One 1-row corpus-stats
+    aggregate (N, T, df per term) broadcast back (allow-listed 1-row
+    cross join), then a narrow per-doc score and a global
+    ORDER BY/LIMIT k top-k (no unpartitioned window; Spark's TakeOrdered
+    does per-partition heaps + a k-row driver merge).
+
+    The emitted score is rounded to 9 decimals: ln() is correctly-rounded
+    on neither engine (≤1 ulp each), and the grid absorbs the skew so the
+    DuckDB oracle hashes identically — same convention as
+    temperature_fractions.
+
+    Output: (id_col, score_r) — the top-k docs by rounded score,
+    ``id_col`` ascending as the tiebreak.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+
+    def _matches(term: str):
+        # NB: a two-parameter lambda would be interpreted by pyspark as
+        # (element, index) — close over the term instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _matches(t))).alias(f"_tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = docs.select(F.col(id_col), F.size(toks).alias("_dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.sum("_dl").alias("_T"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    n = F.col("_N").cast("double")
+    total = F.col("_T").cast("double")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        df = F.col(f"_df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl").cast("double") * n / total
+        )
+        term = idf * tf * F.lit(k1 + 1.0) / denom
+        score = term if score is None else score + term
+    return (
+        scored.select(F.col(id_col), F.round(score, 9).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -510,6 +510,17 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+BM25_QUERY = ["hash", "join", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (functions/text.py bm25_topk) for a fixed
+    three-term query. Scores round to the 9-decimal grid so both engines'
+    ln() land on identical hashes; id ascending breaks ties."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=20)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (functions/text.py scrub_pii): emails, IPv4,
     phone-like runs -> typed placeholders. The patterns are restricted to
@@ -2008,6 +2019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gram_novelty": q_gram_novelty,
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dedup": q_incremental_near_dedup,
+    "bm25_search": q_bm25_search,
     "percentile_profile": q_percentile_profile,
     "oov_rate": q_oov_rate,
     "anti_join_orphans": q_anti_join_orphans,
@@ -2100,13 +2112,16 @@ _DRIVER_HEAD = [
     "disjunctive_revenue", "copurchase_degree", "user_journeys",
     "moving_average", "forecast_revenue", "top_supplier",
     "idle_rich_customers",
-    # family representatives (28), round-5-touched paths first
-    "temperature_sample", "stratified_sample",          # sampling rewrite
+    # family representatives (28), round-5-touched paths first.
+    # stratified_sample / denorm_full_outer (driver-checked r01-r04) give
+    # their slots to the two operators ADDED this round so they get
+    # driver rows immediately.
+    "temperature_sample", "incremental_near_dedup",     # sampling rewrite + new op
     "minhash_lsh_dedup", "near_dup_clusters",           # LSH rewrite
     "cluster_dedup_docs", "incremental_dedup",          # LSH + oracle fix
     "agg_pricing_summary",                              # perf watch-list
     # reference core: denormalization DSL, latest, serde, dedup
-    "denorm_inner", "denorm_full_outer", "denorm_nested_struct",
+    "denorm_inner", "bm25_search", "denorm_nested_struct",
     "latest_per_key", "json_parse", "dedup_exact",
     # text analysis / quality / decontamination
     "text_stats", "quality_filter", "contamination_scan_join",
@@ -2474,6 +2489,38 @@ ORACLE_SQL: dict[str, str] = {
              / CAST(count(*) AS DOUBLE) AS novel_frac
     FROM g JOIN dfq ON g.gd = dfq.gd
     GROUP BY g.doc_id
+    """,
+    "bm25_search": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = '{BM25_QUERY[0]}')) AS tf0,
+             len(list_filter(toks, x -> x = '{BM25_QUERY[1]}')) AS tf1,
+             len(list_filter(toks, x -> x = '{BM25_QUERY[2]}')) AS tf2
+      FROM t
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS tt,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM base
+    )
+    SELECT doc_id,
+           round(
+               ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * 2.2
+                 / (CAST(tf0 AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / tt))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * 2.2
+                 / (CAST(tf1 AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / tt))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * 2.2
+                 / (CAST(tf2 AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * n / tt)),
+           9) AS score_r
+    FROM base, stats
+    ORDER BY score_r DESC, doc_id
+    LIMIT 20
     """,
     "incremental_near_dedup": f"""
     WITH d AS (SELECT doc_id, source, {_SHINGLES_SQL} AS sh FROM documents),

@@ -234,3 +234,28 @@ def test_oov_rate_table(spark):
     assert abs(out[1]["oov_frac"] - 0.25) < 1e-12
     assert abs(out[2]["oov_frac"] - 0.25) < 1e-12
     assert out[3]["oov_frac"] == 0.0
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 retrieval: matching docs outrank non-matching, tf monotonic
+    within equal lengths, k bound respected, non-negative idf keeps
+    common-term matches above zero."""
+    from kafka_denormalization_spark.functions.text import bm25_topk
+
+    rows = [
+        (1, "spark spark spark engine engine"),   # tf(spark)=3
+        (2, "spark engine engine engine other"),  # tf(spark)=1
+        (3, "totally unrelated words here now"),  # tf=0
+        (4, "spark spark engine other other"),    # tf(spark)=2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", "text", ["spark"], k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 4, 2]  # tf desc, equal dl
+    assert all(r["score_r"] > 0 for r in out)
+    assert len(out) == 3  # doc 3 (score 0) cut by k
+
+    # common term (df = 3/4 docs): Lucene idf stays positive, so matches
+    # still beat the non-matching doc
+    out2 = bm25_topk(df, "doc_id", "text", ["engine"], k=4).collect()
+    assert [r["doc_id"] for r in out2][-1] == 3
+    assert out2[-1]["score_r"] == 0.0
