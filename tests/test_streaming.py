@@ -902,3 +902,68 @@ def test_idempotent_foreach_batch_end_to_end(spark, tmp_path):
     # simulate the crash-window replay of the last epoch
     body(spark.read.parquet(src), 0)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_tws_ttl_expires_left_state(spark, tmpdir):
+    """TTL e2e through the real TWS path (timeMode=ProcessingTime): a left
+    indexed longer ago than ttl_ms must NOT fan out when its right finally
+    arrives; a generous TTL on the same flow must. The 2 s wall gap is 4x
+    the short TTL, so expiry is deterministic."""
+    import time as _time
+
+    from kafka_denormalization_spark.streaming.tws_join import (
+        tws_available,
+        upsert_join_tws,
+    )
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime")
+
+    def run(ttl_ms, tag):
+        src = os.path.join(tmpdir, f"ttl_src_{tag}")
+        spark.createDataFrame(
+            [(1, "left", "c1", "100", '{"t":"a"}')], UPDATE_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        # ProcessingTime time mode: no-data micro-batches would keep the
+        # query busy forever and processAllAvailable() would never return
+        # (same guard as test_continuous_ttl_evicts_state)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+        try:
+            name = f"ttl_{tag}_" + uuid.uuid4().hex[:6]
+            stream = (
+                spark.readStream.schema(UPDATE_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                upsert_join_tws(stream, how="inner", ttl_ms=ttl_ms)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option(
+                    "checkpointLocation", os.path.join(tmpdir, f"ttl_ckpt_{tag}")
+                )
+                .start()
+            )
+            q.processAllAvailable()  # batch 1: index the left
+            _time.sleep(2.0)         # wall gap: 4x the short TTL
+            spark.createDataFrame(
+                [(2, "right", "100", "100", '{"s":"x"}')], UPDATE_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()  # batch 2: right arrives
+            q.stop()
+            return [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+
+    # short TTL: the left expired before the right arrived -> no join
+    assert run(500, "short") == []
+    # generous TTL: normal fan-out
+    out = run(600_000, "long")
+    assert {(r["key"], r["fk"]) for r in out} == {("c1", "100")}
