@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "stats_agg",
     # round-4 pipeline operators
     "temperature_sample",
+    "epoch_mixture",
     "pii_scrub",
     "gram_novelty",
     "incremental_dedup",

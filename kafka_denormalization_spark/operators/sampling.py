@@ -160,3 +160,108 @@ def temperature_sample(
         .filter(sample_hash(F.col(key_col), salt) < F.col("_thr"))
         .drop("keep_frac", "_thr")
     )
+
+
+def epoch_mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    target_shares: Mapping[str, float],
+    budget_frac: float,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Epoch-aware mixture plan (UniMax-style, Chung et al. 2023): given
+    TARGET mixture shares and a total budget of ``budget_frac`` x the
+    corpus weight, a stratum whose share of the budget exceeds its corpus
+    weight REPEATS (multiple epochs) instead of being silently
+    under-served — capped at ``max_epochs`` to bound memorization.
+
+    Per stratum: effective epochs E = min(budget * share / w, max_epochs);
+    emit (stratum, full_epochs = floor(E), tail fraction = E - floor(E)
+    rounded to the 6-decimal grid, and its fixed-width hex draw
+    threshold). One aggregation over |strata| rows + a 1-row corpus total
+    broadcast back; every float step is a single correctly-rounded op on
+    exact integers, so both engines land on identical plans.
+    """
+    if budget_frac <= 0:
+        raise ValueError(f"budget_frac must be > 0, got {budget_frac}")
+    w = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("_w")
+    )
+    totals = w.agg(F.sum("_w").alias("_tw"))
+    share: Column = F.lit(0.0)
+    for stratum, s in target_shares.items():
+        share = F.when(F.col(strata_col) == stratum, F.lit(float(s))).otherwise(share)
+    # round the effective-epoch count to the 6-decimal grid BEFORE floor:
+    # an unrounded eff sitting 1 ulp either side of an integer would flip
+    # full_epochs (and swing the tail fraction by ~1) between engines
+    eff = F.round(
+        F.least(
+            F.lit(float(budget_frac)) * F.col("_tw") * share / F.col("_w"),
+            F.lit(float(max_epochs)),
+        ),
+        6,
+    )
+    full = F.floor(eff).cast("long")
+    tail = F.round(eff - F.floor(eff), 6)
+    thr = F.format_string(
+        f"%0{_HEX_WIDTH}x",
+        F.least(
+            (tail * F.lit(float(16**_HEX_WIDTH))).cast("long"),
+            F.lit(16**_HEX_WIDTH - 1),
+        ),
+    )
+    return (
+        w.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(strata_col),
+            full.alias("full_epochs"),
+            tail.alias("tail_frac"),
+            thr.alias("_thr"),
+        )
+    )
+
+
+def epoch_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    key_col: str,
+    target_shares: Mapping[str, float],
+    budget_frac: float,
+    max_epochs: float = 4.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Materialize the epoch-aware mixture: every row of a stratum appears
+    ``full_epochs`` times (epoch = 0..full_epochs-1) plus once more in the
+    tail epoch when its deterministic hash draw falls under the tail
+    fraction. The per-row draw is salted with the tail epoch index, so
+    re-runs, backfills, and the oracle agree row-for-row; rows never
+    shuffle — the plan is broadcast-join + generator + filter, fully
+    pipelined with the scan.
+
+    Output: input columns + ``epoch`` (long).
+    """
+    plan = epoch_mixture_plan(
+        df, strata_col, weight_col, target_shares, budget_frac, max_epochs
+    )
+    joined = df.join(F.broadcast(plan), [strata_col])
+    epoch = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("full_epochs"))
+    ).alias("epoch")
+    out = joined.select("*", epoch)
+    tail_draw = sample_hash(
+        F.concat_ws(
+            "#",
+            F.col(key_col).cast("string"),
+            F.col("full_epochs").cast("string"),
+        ),
+        salt,
+    )
+    return (
+        out.filter(
+            (F.col("epoch") < F.col("full_epochs"))
+            | ((F.col("epoch") == F.col("full_epochs")) & (tail_draw < F.col("_thr")))
+        )
+        .drop("full_epochs", "tail_frac", "_thr")
+    )

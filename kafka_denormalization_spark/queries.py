@@ -512,6 +512,29 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_QUERY = ["hash", "join", "window"]
 
+# epoch-aware mixture: uniform target shares push the small languages
+# past 1 epoch under a 2x-corpus budget (en stays fractional)
+EPOCH_SHARES = {"en": 0.2, "zh": 0.2, "es": 0.2, "fr": 0.2, "de": 0.2}
+EPOCH_BUDGET_FRAC = 2.0
+EPOCH_MAX = 3.0
+EPOCH_SALT = "epoch1"
+
+
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware mixture materialization (operators/sampling.py
+    epoch_mixture_sample, UniMax-style): under a 2x-corpus char budget at
+    uniform per-language target shares, low-resource languages repeat
+    (epoch column > 0) while the dominant language samples fractionally —
+    capped at 3 epochs. Deterministic per-row tail draws; the oracle
+    recomputes the plan from the same rounded grid."""
+    from kafka_denormalization_spark.operators.sampling import epoch_mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return epoch_mixture_sample(
+        docs, "lang", "n_chars", "doc_id",
+        EPOCH_SHARES, EPOCH_BUDGET_FRAC, EPOCH_MAX, salt=EPOCH_SALT,
+    ).select("doc_id", "lang", "source", "n_chars", "epoch")
+
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 retrieval (functions/text.py bm25_topk) for a fixed
@@ -2020,6 +2043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dedup": q_incremental_near_dedup,
     "bm25_search": q_bm25_search,
+    "epoch_mixture": q_epoch_mixture,
     "percentile_profile": q_percentile_profile,
     "oov_rate": q_oov_rate,
     "anti_join_orphans": q_anti_join_orphans,
@@ -2489,6 +2513,35 @@ ORACLE_SQL: dict[str, str] = {
              / CAST(count(*) AS DOUBLE) AS novel_frac
     FROM g JOIN dfq ON g.gd = dfq.gd
     GROUP BY g.doc_id
+    """,
+    "epoch_mixture": f"""
+    WITH w AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(wt) AS tw FROM w),
+    plan AS (
+      SELECT lang,
+             round(least({EPOCH_BUDGET_FRAC} * tw *
+               (CASE lang {' '.join(f"WHEN '{s}' THEN {v}" for s, v in EPOCH_SHARES.items())} ELSE 0.0 END)
+               / wt, {EPOCH_MAX}), 6) AS eff
+      FROM w, tot
+    ), p2 AS (
+      SELECT lang, CAST(floor(eff) AS BIGINT) AS full_epochs,
+             printf('%08x', least(
+               CAST(floor(round(eff - floor(eff), 6) * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM plan
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.epoch
+    FROM documents d
+    JOIN p2 ON d.lang = p2.lang
+    CROSS JOIN LATERAL (
+      SELECT unnest(range(p2.full_epochs + 1)) AS epoch
+    ) e
+    WHERE e.epoch < p2.full_epochs
+       OR (e.epoch = p2.full_epochs AND
+           substr(md5(concat('{EPOCH_SALT}', '|',
+                  concat(CAST(d.doc_id AS VARCHAR), '#',
+                         CAST(p2.full_epochs AS VARCHAR)))), 1, 8) < p2.thr)
     """,
     "bm25_search": f"""
     WITH t AS (

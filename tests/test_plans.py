@@ -182,6 +182,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # the composed pipeline
         "bm25_search",              # 1-row corpus-stats aggregate broadcast
                                     # back over the per-doc score expression
+        "epoch_mixture",            # 1-row corpus-total aggregate broadcast
+                                    # over |languages| plan rows (epoch plan)
     }
     from kafka_denormalization_spark.plans import explain_str
 

@@ -102,3 +102,47 @@ def test_temperature_sample_arg_validation(spark):
         temperature_fractions(df, "lang", "w", budget=10, budget_frac=0.5)
     with pytest.raises(ValueError, match="alpha"):
         temperature_fractions(df, "lang", "w", budget=10, alpha=0.0)
+
+
+def test_epoch_mixture_repeats_low_resource_strata(spark):
+    """UniMax-style epoch mixture: a stratum whose budget share exceeds its
+    corpus weight repeats (epoch > 0), capped at max_epochs; shares absent
+    from the target map drop; tail membership is deterministic."""
+    from kafka_denormalization_spark.operators.sampling import (
+        epoch_mixture_plan,
+        epoch_mixture_sample,
+    )
+
+    rows = [(i, "big", 100) for i in range(90)] + [(100 + i, "small", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    # budget = 1x corpus (10_000 chars), 50/50 target: big needs 5000/9000
+    # (fractional), small needs 5000/1000 = 5 epochs -> capped at 3
+    plan = {r["lang"]: r.asDict() for r in epoch_mixture_plan(
+        df, "lang", "n_chars", {"big": 0.5, "small": 0.5}, 1.0, max_epochs=3.0
+    ).collect()}
+    assert plan["big"]["full_epochs"] == 0
+    assert abs(plan["big"]["tail_frac"] - 5000 / 9000) < 1e-4
+    assert plan["small"]["full_epochs"] == 3
+    assert plan["small"]["tail_frac"] == 0.0
+
+    out = epoch_mixture_sample(
+        df, "lang", "n_chars", "doc_id", {"big": 0.5, "small": 0.5}, 1.0, max_epochs=3.0
+    )
+    small = out.filter("lang = 'small'")
+    assert small.count() == 30  # 10 docs x 3 full epochs, zero tail
+    assert small.groupBy("epoch").count().count() == 3
+    big_frac = out.filter("lang = 'big'").count() / 90
+    assert 0.35 < big_frac < 0.75  # ~5/9 fractional epoch, hash-drawn
+
+    # determinism: the same call returns the identical kept set
+    a = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+    b = {(r["doc_id"], r["epoch"]) for r in epoch_mixture_sample(
+        df, "lang", "n_chars", "doc_id", {"big": 0.5, "small": 0.5}, 1.0, max_epochs=3.0
+    ).collect()}
+    assert a == b
+
+    # unlisted stratum drops entirely
+    out2 = epoch_mixture_sample(
+        df, "lang", "n_chars", "doc_id", {"small": 1.0}, 1.0, max_epochs=3.0
+    )
+    assert out2.filter("lang = 'big'").count() == 0
