@@ -565,6 +565,37 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_fns.gram_novelty(docs, "doc_id", "text", n=3)
 
 
+def q_cluster_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup retention: connected components over the
+    LSH pair graph, keep each component's LONGEST member (n_chars desc,
+    doc_id tiebreak) — production pipelines keep the best duplicate, not
+    the first-seen (`cluster_dedup_docs` keeps min-id for the parity
+    baseline). max_by over a (n_chars, -doc_id) struct picks the
+    representative in one aggregation; singletons never enter the pair
+    graph and survive untouched."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    members = clusters.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), ["node"]
+    )
+    reps = members.groupBy("component").agg(
+        F.max_by(
+            F.col("node"), F.struct(F.col("n_chars"), (-F.col("node")).alias("_t"))
+        ).alias("keep")
+    )
+    dropped = (
+        members.join(reps, ["component"])
+        .filter(F.col("node") != F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(F.broadcast(dropped), ["doc_id"], "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest NEAR-dedup (functions/similarity.py
     incremental_near_dedup): the 'src0' slice plays the incoming crawl
@@ -2042,6 +2073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gram_novelty": q_gram_novelty,
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dedup": q_incremental_near_dedup,
+    "cluster_dedup_best": q_cluster_dedup_best,
     "bm25_search": q_bm25_search,
     "epoch_mixture": q_epoch_mixture,
     "percentile_profile": q_percentile_profile,
@@ -2145,8 +2177,9 @@ _DRIVER_HEAD = [
     "cluster_dedup_docs", "incremental_dedup",          # LSH + oracle fix
     "agg_pricing_summary",                              # perf watch-list
     # reference core: denormalization DSL, latest, serde, dedup
+    # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture)
     "denorm_inner", "bm25_search", "denorm_nested_struct",
-    "latest_per_key", "json_parse", "dedup_exact",
+    "latest_per_key", "epoch_mixture", "dedup_exact",
     # text analysis / quality / decontamination
     "text_stats", "quality_filter", "contamination_scan_join",
     # chunking / packing / composed pipeline
@@ -2697,6 +2730,31 @@ ORACLE_SQL: dict[str, str] = {
     clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
     SELECT doc_id, lang, source, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster)
+    """,
+    "cluster_dedup_best": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    members AS (
+      SELECT c.node, c.cluster, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT node, row_number() OVER (
+        PARTITION BY cluster ORDER BY n_chars DESC, node ASC) AS rn
+      FROM members
+    )
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
     """,
     "ann_cosine_topk": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -71,3 +71,39 @@ def test_string_node_ids(spark):
     )
     got = {(r.node, r.component) for r in connected_components(df).collect()}
     assert got == {("doc_a", "doc_a"), ("doc_b", "doc_a"), ("doc_c", "doc_a")}
+
+
+def test_cluster_retention_keeps_longest_member(spark):
+    """Quality-aware retention (q_cluster_dedup_best shape): within a
+    transitive near-dup component the LONGEST doc survives, not the
+    min-id one; singletons untouched."""
+    from pyspark.sql import functions as F
+
+    from kafka_denormalization_spark.functions.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 10), (11, 10), (99, 5)],
+        "doc_id long, n_chars long",
+    )
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    members = clusters.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), ["node"]
+    )
+    reps = members.groupBy("component").agg(
+        F.max_by(
+            F.col("node"), F.struct(F.col("n_chars"), (-F.col("node")).alias("_t"))
+        ).alias("keep")
+    )
+    dropped = (
+        members.join(reps, ["component"])
+        .filter(F.col("node") != F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = sorted(
+        r["doc_id"] for r in docs.join(dropped, ["doc_id"], "left_anti").collect()
+    )
+    # {1,2,3}: longest is 2 (not min-id 1); {10,11}: tie -> min id 10; 99 untouched
+    assert kept == [2, 10, 99]
