@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "keyword_extraction",
     "contamination_scan_join",
     "bm25_search",
+    "bm25_batch",
+    "dsir_sample",
     "funnel_counts",
     "shipping_priority",
     "local_supplier_volume",

@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A small English stopword list (shared with the DuckDB oracle — keep in
@@ -455,4 +455,108 @@ def bm25_topk(
         scored.select(F.col(id_col), F.round(score, 9).alias("score_r"))
         .orderBy(F.col("score_r").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def bm25_batch(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Table-driven BM25 batch retrieval: ``queries`` is a DataFrame of
+    (query_id, term) rows, and the result is the top-``k`` docs PER query
+    — the batch-retrieval shape a training pipeline uses to pull topical
+    slices for many probes at once (vs :func:`bm25_topk`'s single fixed
+    term list).  Same Okapi/Lucene scoring as bm25_topk.
+
+    Plan shape (scale-first, differs from bm25_topk by design):
+    1. Tokens ARE exploded here — but immediately semi-joined against the
+       broadcast distinct query-term set, so only matching (doc, term)
+       rows survive past the explode; the full token stream never
+       shuffles.  For a 100 TB corpus and a few hundred query terms this
+       prunes ~99.9% of token rows map-side.
+    2. (doc, term) tf via one partial-agg groupBy; per-term df as a
+       count over Window.partitionBy(term) ON THE TF ROWS — a separate
+       df aggregate branch would re-derive the whole corpus explode
+       (column pruning de-canonicalizes the shared exchange, so neither
+       ReuseExchange nor AQE stage reuse collapses it; measured: 0
+       ReusedExchange, 2 corpus scans).  The window partition holds df
+       rows per term — fine for selective retrieval terms; if a caller
+       ships stopword-frequency terms the per-term partition grows with
+       df, and they should pre-filter the query table instead.  Corpus
+       N/T from one 1-row aggregate broadcast back (allow-listed 1-row
+       cross join).
+    3. Query fan-out joins the broadcast query table ON term after the
+       per-(doc, term) contribution is computed, so a term shared by many
+       queries is scored once.
+    4. Per-(query, doc) total = a sorted sequential fold
+       (``aggregate(sort_array(collect_list(c)))``) over per-term
+       contributions each pre-rounded to 9 decimals: identical operand
+       order on both engines makes the IEEE double sum bit-identical, so
+       the DuckDB oracle (list_reduce(list_sort(...))) hashes exactly —
+       a groupBy SUM over doubles would be partition-order-dependent.
+    5. Top-k per query via row_number over (query_id) — candidates are
+       already reduced to matching docs, so the window partition is
+       bounded by matches, not corpus size.
+
+    Docs matching no query term are omitted (score 0) — the batch
+    variant returns matches only, unlike bm25_topk which ranks the whole
+    corpus for one query.
+
+    Output: (query_id, id_col, score_r) — top-k per query, rounded score
+    descending, ``id_col`` ascending tiebreak.
+    """
+    toks = tokens(F.col(text_col))
+    terms = queries.select("term").distinct()
+    base = docs.select(F.col(id_col), F.size(toks).alias("_dl"), toks.alias("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.sum("_dl").cast("double").alias("_T"),
+    )
+    tok_rows = base.select(
+        F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term")
+    ).join(F.broadcast(terms), "term")
+    tf = tok_rows.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl")
+    ).withColumn(
+        "_df",
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double"),
+    )
+    n, total = F.col("_N"), F.col("_T")
+    tfd = F.col("_tf").cast("double")
+    dfd = F.col("_df")
+    idf = F.log(F.lit(1.0) + (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl").cast("double") * n / total
+    )
+    contrib = (
+        tf.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("term"),
+            F.col(id_col),
+            F.round(idf * tfd * F.lit(k1 + 1.0) / denom, 9).alias("_c"),
+        )
+        .join(F.broadcast(queries), "term")
+    )
+    scores = contrib.groupBy("query_id", id_col).agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("_c")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("score_r")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col(id_col)
+    )
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col, "score_r")
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_WIDTH = 8  # compare 32 bits of the digest: granularity 1/2^32
@@ -264,4 +264,197 @@ def epoch_mixture_sample(
             | ((F.col("epoch") == F.col("full_epochs")) & (tail_draw < F.col("_thr")))
         )
         .drop("full_epochs", "tail_frac", "_thr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al., NeurIPS 2023).
+# Select raw-corpus documents whose hashed-n-gram profile looks like a small
+# target domain: per-doc importance weight = log p_target(features) -
+# log p_raw(features) under bucketed unigram+bigram models, then Gumbel
+# top-k resampling. The standard "make 100 TB of web text look like the
+# target corpus" primitive.
+# ---------------------------------------------------------------------------
+
+_DSIR_U32 = 4294967296.0  # 2^32: md5-prefix draws map to (0,1) as (v+0.5)/2^32
+
+
+def _dsir_gram_rows(
+    docs: DataFrame, id_col: str, text_col: str, flag: Column
+) -> DataFrame:
+    """(_id, _tgt, _g) rows: whitespace unigrams AND bigrams from ONE
+    posexplode pass (bigram via window ``lead`` over token position — the
+    word_gram_rows trick, shared exchange, rather than a second scan for
+    each gram order). Duplicates kept: DSIR weights are count-weighted."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        flag.cast("int").alias("_tgt"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    # window expressions can't live inside a Generate — project the lead
+    # first, then explode the (unigram, optional-bigram) pair
+    with_next = toks.select(
+        "_id", "_tgt", "_t", F.lead("_t", 1).over(w).alias("_nxt")
+    )
+    grams = F.array_compact(
+        F.array(
+            F.col("_t"),
+            F.when(
+                F.col("_nxt").isNotNull(),
+                F.concat_ws(" ", F.col("_t"), F.col("_nxt")),
+            ),
+        )
+    )
+    return with_next.select("_id", "_tgt", F.explode(grams).alias("_g"))
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    num_buckets: int = 64,
+    salt: str = "dsir",
+    persist: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight
+    ``logw(d) = Σ_b count_d(b) · (ln p̂_tgt(b) − ln p̂_raw(b))`` over
+    ``num_buckets`` hashed unigram+bigram feature buckets, with Laplace
+    0.5 smoothing. ``target_pred`` marks the in-domain rows (evaluated on
+    ``docs`` columns); the raw model is the whole input.
+
+    Deterministic cross-engine arithmetic: the per-bucket log-ratio is
+    rounded to the repo's 9-decimal grid (absorbs ln() ulp skew), the
+    per-doc sum is a sequential fold over contributions ordered by bucket
+    id (IEEE order-identical to the DuckDB ``list(c ORDER BY b)`` +
+    ``list_reduce`` oracle), and everything upstream is exact integer
+    counting.
+
+    Plan shape (100 TB): ONE corpus pass — posexplode + per-doc window
+    (the only big exchange, hash(id)); the (id, bucket) count groupBy and
+    the final per-doc fold both reuse that partitioning (subset rule), so
+    tokens shuffle once as md5-bucketed gram rows and never again. The
+    (id, bucket) count frame has TWO consumers (the bucket model and the
+    per-doc contributions) and Spark will not collapse the shared subtree
+    (pruning de-canonicalizes it, cf. bm25_batch), so ``persist=True``
+    caches it MEMORY_AND_DISK — it is the corpus reduced to ≤
+    ``num_buckets`` small rows per doc, and the broadcast (model) side
+    materializes first, so the probe side reads the cache. Pass
+    ``persist=False`` to trade the cache for a second gram pass. The
+    bucket model is a ``num_buckets``-row aggregate joined back broadcast;
+    bucket counts are skew-free by construction (md5 is uniform). No
+    wide pivot: weights fold from (bucket, contrib) lists, so
+    ``num_buckets`` can be the paper's 10k without a 10k-column row.
+
+    Output: (id_col, logw_r) — one row per input doc; docs with no
+    tokens weigh 0.0.
+    """
+    feats = _dsir_gram_rows(docs, id_col, text_col, target_pred)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col("_g"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(num_buckets),
+    )
+    counts = (
+        feats.select("_id", "_tgt", bucket.alias("_b"))
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"), F.max("_tgt").alias("_t"))
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_stats = counts.groupBy("_b").agg(
+        F.sum("_c").alias("_raw"),
+        F.sum(F.col("_c") * F.col("_t")).alias("_tgt_c"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("_raw").alias("_raw_tot"), F.sum("_tgt_c").alias("_tgt_tot")
+    )
+    half_b = F.lit(0.5 * num_buckets)
+    ratio = F.round(
+        F.log(
+            (F.col("_tgt_c").cast("double") + F.lit(0.5))
+            / (F.col("_tgt_tot").cast("double") + half_b)
+        )
+        - F.log(
+            (F.col("_raw").cast("double") + F.lit(0.5))
+            / (F.col("_raw_tot").cast("double") + half_b)
+        ),
+        9,
+    )
+    ratios = (
+        bucket_stats.crossJoin(F.broadcast(totals))
+        .select("_b", ratio.alias("_r"))
+    )
+    contribs = counts.join(F.broadcast(ratios), "_b").select(
+        "_id", "_b", (F.col("_c").cast("double") * F.col("_r")).alias("_cr")
+    )
+    folded = contribs.groupBy("_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_b").alias("b"), F.col("_cr").alias("c")))
+                    ),
+                    lambda s: s.getField("c"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("logw_r")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(folded.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(id_col, F.coalesce(F.col("logw_r"), F.lit(0.0)).alias("logw_r"))
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    k: int,
+    num_buckets: int = 64,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection proper: Gumbel-top-k over the log weights —
+    equivalent to sampling k docs WITHOUT replacement proportionally to
+    exp(logw) (Gumbel-max trick), but fully deterministic: the Gumbel
+    noise ``g = −ln(−ln(u))`` draws u from the stable md5 hash of the doc
+    id (``(v32 + 0.5)/2^32`` — never exactly 0 or 1). One global
+    ORDER BY/LIMIT k (TakeOrdered: per-partition heaps + k-row merge),
+    score rounded to the 9-decimal grid before ranking, id ascending as
+    the tiebreak.
+
+    Output: (id_col, score_r) — the k selected docs.
+    """
+    weights = dsir_log_weights(
+        docs, id_col, text_col, target_pred, num_buckets, salt
+    )
+    v32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt + "-gumbel"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v32.cast("double") + F.lit(0.5)) / F.lit(_DSIR_U32)
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.select(
+            F.col(id_col),
+            F.round(F.col("logw_r") + gumbel, 9).alias("score_r"),
+        )
+        .orderBy(F.col("score_r").desc(), F.col(id_col))
+        .limit(k)
     )

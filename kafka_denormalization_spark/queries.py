@@ -510,6 +510,39 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+DSIR_BUCKETS = 64
+DSIR_SALT = "dsir1"
+DSIR_K = 200
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights (operators/sampling.py
+    dsir_log_weights; Xie et al., NeurIPS 2023): hashed unigram+bigram
+    bucket models, target = lang='en' docs, raw = whole corpus. Bucket
+    log-ratios round to the 9-decimal grid and per-doc sums fold in
+    bucket order, so the DuckDB oracle hashes identically."""
+    from kafka_denormalization_spark.operators.sampling import dsir_log_weights
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        num_buckets=DSIR_BUCKETS, salt=DSIR_SALT,
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection (operators/sampling.py dsir_resample):
+    200 docs drawn without replacement proportionally to exp(logw),
+    deterministic via md5-hash Gumbel draws."""
+    from kafka_denormalization_spark.operators.sampling import dsir_resample
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, "doc_id", "text", F.col("lang") == "en", k=DSIR_K,
+        num_buckets=DSIR_BUCKETS, salt=DSIR_SALT,
+    )
+
+
 BM25_QUERY = ["hash", "join", "window"]
 
 # epoch-aware mixture: uniform target shares push the small languages
@@ -542,6 +575,28 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() land on identical hashes; id ascending breaks ties."""
     docs = table(spark, sf_dir, "documents")
     return text_fns.bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=20)
+
+
+# Table-driven batch retrieval: four probe queries, one shared term
+# ("join" appears in q1 and q4 — scored once, fanned out by the query
+# join). Kept literal so the DuckDB oracle can VALUES the same table.
+BM25_BATCH_QUERIES: list[tuple[int, str]] = [
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "stream"),
+    (3, "vector"), (3, "scan"), (3, "batch"),
+    (4, "join"), (4, "merge"),
+]
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-driven BM25 batch retrieval (functions/text.py bm25_batch):
+    queries as a (query_id, term) DataFrame, top-10 docs PER query.
+    Contributions round to the 9-decimal grid and sum via a sorted
+    sequential fold so the per-(query, doc) double is bit-identical to
+    the DuckDB list_reduce(list_sort(...)) oracle."""
+    docs = table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(BM25_BATCH_QUERIES, "query_id int, term string")
+    return text_fns.bm25_batch(docs, "doc_id", "text", qdf, k=10)
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2075,6 +2130,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_near_dedup": q_incremental_near_dedup,
     "cluster_dedup_best": q_cluster_dedup_best,
     "bm25_search": q_bm25_search,
+    "bm25_batch": q_bm25_batch,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
     "epoch_mixture": q_epoch_mixture,
     "percentile_profile": q_percentile_profile,
     "oov_rate": q_oov_rate,
@@ -2180,17 +2238,24 @@ _DRIVER_HEAD = [
     # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture)
     "denorm_inner", "bm25_search", "denorm_nested_struct",
     "latest_per_key", "epoch_mixture", "dedup_exact",
-    # text analysis / quality / decontamination
-    "text_stats", "quality_filter", "contamination_scan_join",
-    # chunking / packing / composed pipeline
-    "sequence_packing", "corpus_pipeline",
+    # text analysis / quality / decontamination (text_stats, driver-
+    # checked r01-r04, gives its slot to dsir_weights — added this round;
+    # quality_filter keeps the text family covered)
+    "dsir_weights", "quality_filter", "contamination_scan_join",
+    # chunking / packing / composed pipeline (corpus_pipeline, driver-
+    # checked r01-r04 and superseded by _v2 above, gives its slot to
+    # cluster_dedup_best — added late in round 4, never driver-checked)
+    "sequence_packing", "cluster_dedup_best",
     # embeddings / ANN / multimodal (ann_int8_topk is new this round —
     # driver-check it immediately; cosine_dedup rotates back next round)
     "ann_cosine_topk", "ann_int8_topk", "multimodal_metadata",
     # temporal joins/windows
     "asof_join", "session_window",
     # stats / profiling / graph / funnel / fuzzy / grouping
-    "stats_agg", "profile_orders", "funnel_counts", "fuzzy_name_pairs",
+    # (profile_orders and stats_agg, driver-checked before, give their
+    # slots to bm25_batch and dsir_sample — added this round;
+    # percentile_profile above keeps stats/profiling covered)
+    "dsir_sample", "bm25_batch", "funnel_counts", "fuzzy_name_pairs",
     "grouping_sets",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
@@ -2225,6 +2290,51 @@ _GOPHER_KEEP_SQL = """(wc BETWEEN 50 AND 100000)
              AND (5 * alpha_wc >= 4 * wc)
              AND (stop_hits >= 2)"""
 
+
+# Shared DSIR weight-model prefix (dsir_weights / dsir_sample): mirrors
+# operators/sampling.py dsir_log_weights 1:1 — uni+bigram grams, md5
+# bucket hash, Laplace-0.5 bucket log-ratios on the 9-decimal grid,
+# per-doc sequential fold in bucket order.
+_DSIR_WEIGHTS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, tgt,
+             unnest(list_concat(
+               toks,
+               list_transform(
+                 range(0, greatest(CAST(len(toks) AS BIGINT) - 1, 0)),
+                 i -> array_to_string(toks[i+1:i+2], ' '))
+             )) AS g
+      FROM d
+    ), counts AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(concat('{DSIR_SALT}', '|', g)), 1, 8))
+                  AS BIGINT) % {DSIR_BUCKETS} AS b,
+             count(*) AS c,
+             max(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
+      FROM grams GROUP BY doc_id, b
+    ), bstats AS (
+      SELECT b, sum(c) AS raw, sum(c * t) AS tgtc FROM counts GROUP BY b
+    ), tot AS (
+      SELECT sum(raw) AS raw_tot, sum(tgtc) AS tgt_tot FROM bstats
+    ), ratios AS (
+      SELECT b,
+             round(ln((CAST(tgtc AS DOUBLE) + 0.5)
+                      / (CAST(tgt_tot AS DOUBLE) + {0.5 * DSIR_BUCKETS}))
+                   - ln((CAST(raw AS DOUBLE) + 0.5)
+                        / (CAST(raw_tot AS DOUBLE) + {0.5 * DSIR_BUCKETS})),
+                   9) AS r
+      FROM bstats, tot
+    ), contrib AS (
+      SELECT doc_id, counts.b, CAST(c AS DOUBLE) * r AS cr
+      FROM counts JOIN ratios USING (b)
+    ), folded AS (
+      SELECT doc_id,
+             round(list_reduce(list_prepend(0.0, list(cr ORDER BY b)),
+                               (x, y) -> x + y), 9) AS logw_r
+      FROM contrib GROUP BY doc_id
+    )"""
 
 ORACLE_SQL: dict[str, str] = {
     "denorm_inner": _denorm_sql("JOIN", right_filter=False),
@@ -2607,6 +2717,71 @@ ORACLE_SQL: dict[str, str] = {
     FROM base, stats
     ORDER BY score_r DESC, doc_id
     LIMIT 20
+    """,
+    "dsir_weights": f"""
+    {_DSIR_WEIGHTS_SQL}
+    SELECT doc.doc_id, coalesce(f.logw_r, 0.0) AS logw_r
+    FROM documents doc LEFT JOIN folded f USING (doc_id)
+    """,
+    "dsir_sample": f"""
+    {_DSIR_WEIGHTS_SQL},
+    scored AS (
+      SELECT doc.doc_id,
+             round(
+               coalesce(f.logw_r, 0.0)
+               + (-ln(-ln(
+                   (CAST(('0x' || substr(md5(concat('{DSIR_SALT}-gumbel', '|',
+                          CAST(doc.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                    + 0.5) / 4294967296.0))),
+             9) AS score_r
+      FROM documents doc LEFT JOIN folded f USING (doc_id)
+    )
+    SELECT doc_id, score_r FROM scored
+    ORDER BY score_r DESC, doc_id LIMIT {DSIR_K}
+    """,
+    "bm25_batch": f"""
+    WITH q(query_id, term) AS (VALUES {", ".join(
+        f"({i}, '{t}')" for i, t in BM25_BATCH_QUERIES
+    )}),
+    base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), lens AS (
+      SELECT doc_id, len(toks) AS dl, toks FROM base
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS tt
+      FROM lens
+    ), tok AS (
+      SELECT l.doc_id, l.dl, u.term
+      FROM lens l, unnest(l.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ), tf AS (
+      SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dfx AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             round(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                 * CAST(tf AS DOUBLE) * 2.2
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75
+                             + 0.75 * CAST(dl AS DOUBLE) * n / tt)),
+             9) AS c
+      FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN stats
+    ), scores AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(list_prepend(0.0, list_sort(list(c))),
+                               (x, y) -> x + y), 9) AS score_r
+      FROM contrib GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, score_r,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score_r DESC, doc_id
+             ) AS rn
+      FROM scores
+    )
+    SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= 10
     """,
     "incremental_near_dedup": f"""
     WITH d AS (SELECT doc_id, source, {_SHINGLES_SQL} AS sh FROM documents),

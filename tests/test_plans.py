@@ -182,6 +182,11 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # the composed pipeline
         "bm25_search",              # 1-row corpus-stats aggregate broadcast
                                     # back over the per-doc score expression
+        "bm25_batch",               # same 1-row corpus-stats broadcast over
+                                    # the (doc, term) contribution rows
+        "dsir_weights",             # 1-row bucket-model totals broadcast
+                                    # over the 64 bucket rows
+        "dsir_sample",              # same (embeds dsir_weights)
         "epoch_mixture",            # 1-row corpus-total aggregate broadcast
                                     # over |languages| plan rows (epoch plan)
     }

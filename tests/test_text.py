@@ -259,3 +259,50 @@ def test_bm25_topk_semantics(spark):
     out2 = bm25_topk(df, "doc_id", "text", ["engine"], k=4).collect()
     assert [r["doc_id"] for r in out2][-1] == 3
     assert out2[-1]["score_r"] == 0.0
+
+
+def test_bm25_batch_per_query_topk(spark):
+    """Table-driven BM25: per-query top-k, shared terms scored once,
+    only matching docs returned, per-query ordering matches bm25_topk's
+    ranking for the same terms."""
+    from kafka_denormalization_spark.functions.text import bm25_batch, bm25_topk
+
+    rows = [
+        (1, "spark spark spark engine engine"),
+        (2, "spark engine engine engine other"),
+        (3, "totally unrelated words here now"),
+        (4, "spark spark engine other other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(10, "spark"), (20, "engine"), (20, "unrelated")],
+        "query_id int, term string",
+    )
+    out = bm25_batch(df, "doc_id", "text", qdf, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q10: docs 1,4,2 match 'spark'; doc 3 omitted (no match, unlike topk)
+    assert [r["doc_id"] for r in by_q[10]] == [1, 4, 2]
+    assert all(r["score_r"] > 0 for r in by_q[10])
+    # q20 ('engine' OR 'unrelated'): all four docs match >=1 term; k=3 cuts
+    assert len(by_q[20]) == 3
+    # single-term query ranking agrees with bm25_topk on the same corpus
+    topk = bm25_topk(df, "doc_id", "text", ["spark"], k=3).collect()
+    match_ids = [r["doc_id"] for r in by_q[10]]
+    assert match_ids == [r["doc_id"] for r in topk if r["score_r"] > 0]
+    # scores agree to the shared 9-decimal grid
+    topk_scores = {r["doc_id"]: r["score_r"] for r in topk}
+    for r in by_q[10]:
+        assert abs(r["score_r"] - topk_scores[r["doc_id"]]) < 1e-9
+
+
+def test_bm25_batch_k_and_ties(spark):
+    """k=1 keeps exactly the best doc per query; doc_id breaks score ties."""
+    from kafka_denormalization_spark.functions.text import bm25_batch
+
+    rows = [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qdf = spark.createDataFrame([(7, "alpha")], "query_id int, term string")
+    out = bm25_batch(df, "doc_id", "text", qdf, k=1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1  # tie -> lower id
