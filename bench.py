@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "bm25_batch",
     "dsir_sample",
+    "span_dedup",
+    "kmeans_clusters",
     "funnel_counts",
     "shipping_priority",
     "local_supplier_volume",

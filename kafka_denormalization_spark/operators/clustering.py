@@ -1,0 +1,155 @@
+"""Deterministic embedding k-means (Lloyd's iterations) — corpus
+clustering for training-data curation (topic balancing, per-cluster
+sampling quotas, semantic dedup seeds; cf. the IVF coarse quantizer in
+functions/similarity.py, which uses random-projection buckets instead of
+learned centroids).
+
+No analog in the reference (SURVEY §2.3 — no value-level compute at
+all); this is a north-star extension alongside ANN/similarity.
+
+Spark-first: the whole `iters`-round loop is ONE lazy DataFrame plan —
+assignment is a k-row broadcast cross join + fixed-order fold per
+vector, centroid recomputation is a partial-agg groupBy over exploded
+(cluster, dim) component rows. No driver round-trips at all (centroids
+stay distributed; contrast graph.py, which pulls one scalar per round
+for convergence checks).
+
+Cross-engine determinism (the DuckDB oracle replays the same rounds):
+- centroid components route through the embedding_centroid fixed-point
+  convention — scale by 2^36 (exact exponent shift), FLOOR to BIGINT,
+  sum exactly, divide once as doubles — so both engines hold
+  bit-identical centroids after every round;
+- squared distances fold over dimensions IN ARRAY ORDER with the same
+  (x-c)*(x-c) operand shapes, so IEEE evaluation is bit-identical;
+- assignment ties break on cluster id via min(struct(dist, cid)).
+
+Scale notes (100 TB): per round, the corpus shuffles ONCE as exploded
+(cluster, dim, fixed-point component) triples with map-side combine —
+shuffle volume after combine is k x dims rows, never the corpus. The
+k-row centroid table broadcasts. Iteration count is a compile-time
+constant (plans nest linearly, like graph.py's bounded label rounds);
+``persist=True`` caches the projected input once so each round rereads
+columnar cache, not the source scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^36: exact binary scale for the fixed-point centroid sums (shared
+# convention with queries.py embedding_centroid oracle).
+_FP_SCALE = 68719476736.0
+
+
+def _sq_dist(vec, carr):
+    """Σ_i (vec_i − carr_i)² as a sequential fold in array order."""
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """Lloyd's k-means, ``iters`` assignment rounds with ``iters - 1``
+    centroid updates between them. Seeds are the ``k`` vectors with the
+    smallest ids (deterministic; cluster labels ARE the seed ids, which
+    avoids an unpartitioned row-number window just to mint 0..k-1).
+    Clusters that lose all members disappear for later rounds (standard
+    Lloyd behavior; deterministic here, so both engines agree).
+
+    Output: (id_col, cluster_id, dist_r) — every vector's final cluster
+    and squared distance on the 9-decimal grid.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("need k >= 1 and iters >= 1")
+    vecs = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    centroids = (
+        vecs.orderBy("_vid")
+        .limit(k)
+        .select(F.col("_vid").alias("_cid"), F.col("_v").alias("_carr"))
+    )
+    assigned = None
+    for rnd in range(iters):
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            "_vid",
+            "_v",
+            "_cid",
+            _sq_dist(F.col("_v"), F.col("_carr")).alias("_d"),
+        )
+        assigned = (
+            scored.groupBy("_vid")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("_d").alias("d"),
+                        F.col("_cid").alias("cid"),
+                        F.col("_v").alias("v"),
+                    )
+                ).alias("_m")
+            )
+            .select(
+                "_vid",
+                F.col("_m.cid").alias("_cid"),
+                F.col("_m.d").alias("_d"),
+                F.col("_m.v").alias("_v"),
+            )
+        )
+        if rnd == iters - 1:
+            break
+        comps = (
+            assigned.select(
+                "_cid", F.posexplode("_v").alias("_pos", "_x")
+            )
+            .groupBy("_cid", "_pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_x") * F.lit(_FP_SCALE)).cast("long")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        centroids = (
+            comps.select(
+                "_cid",
+                "_pos",
+                (
+                    F.col("_s").cast("double")
+                    / (F.col("_n") * F.lit(_FP_SCALE))
+                ).alias("_mean"),
+            )
+            .groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_pos").alias("p"),
+                                F.col("_mean").alias("m"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("_carr")
+            )
+        )
+    return assigned.select(
+        F.col("_vid").alias(id_col),
+        F.col("_cid").alias("cluster_id"),
+        F.round(F.col("_d"), 9).alias("dist_r"),
+    )

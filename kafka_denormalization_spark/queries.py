@@ -515,6 +515,36 @@ DSIR_SALT = "dsir1"
 DSIR_K = 200
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic embedding k-means (operators/clustering.py
+    kmeans_assign): 8 clusters, 3 Lloyd rounds, min-id seeds. Centroids
+    route through the 2^36 fixed-point convention and distances fold in
+    dimension order, so the unrolled DuckDB oracle lands on identical
+    assignments AND identical 9-decimal distances."""
+    from kafka_denormalization_spark.operators.clustering import kmeans_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact-substring dedup (operators/chunking.py
+    span_dedup; Lee et al. 2021 ExactSubstr at 16-token chunk
+    boundaries): repeated spans survive only at their globally-first
+    occurrence, docs reassembled from the survivors. Pure integer/string
+    arithmetic — bitwise oracle match."""
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", chunk_tokens=16)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights (operators/sampling.py
     dsir_log_weights; Xie et al., NeurIPS 2023): hashed unigram+bigram
@@ -2146,6 +2176,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_dedup_docs": q_cluster_dedup_docs,
     "doc_chunks": q_doc_chunks,
     "sequence_packing": q_sequence_packing,
+    "span_dedup": q_span_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "quantize_embeddings": q_quantize_embeddings,
@@ -2246,11 +2278,13 @@ _DRIVER_HEAD = [
     # checked r01-r04 and superseded by _v2 above, gives its slot to
     # cluster_dedup_best — added late in round 4, never driver-checked)
     "sequence_packing", "cluster_dedup_best",
-    # embeddings / ANN / multimodal (ann_int8_topk is new this round —
-    # driver-check it immediately; cosine_dedup rotates back next round)
-    "ann_cosine_topk", "ann_int8_topk", "multimodal_metadata",
-    # temporal joins/windows
-    "asof_join", "session_window",
+    # embeddings / ANN / clustering (multimodal_metadata, driver-checked
+    # r04, gives its slot to kmeans_clusters — added this round)
+    "ann_cosine_topk", "ann_int8_topk", "kmeans_clusters",
+    # temporal joins/windows (session_window, driver-checked before,
+    # gives its slot to span_dedup — added this round; sliding/rollup
+    # windows keep the family covered in the FULL artifact)
+    "asof_join", "span_dedup",
     # stats / profiling / graph / funnel / fuzzy / grouping
     # (profile_orders and stats_agg, driver-checked before, give their
     # slots to bm25_batch and dsir_sample — added this round;
@@ -2289,6 +2323,56 @@ _GOPHER_KEEP_SQL = """(wc BETWEEN 50 AND 100000)
              AND (10 * (hash_count + ellipsis_count) <= wc)
              AND (5 * alpha_wc >= 4 * wc)
              AND (stop_hits >= 2)"""
+
+
+def _kmeans_oracle_sql(k: int, iters: int, dims: int = 64) -> str:
+    """Unrolled Lloyd's rounds as chained CTEs mirroring
+    operators/clustering.py kmeans_assign: per-round assignment =
+    min(struct(d, cid)) over the k-row cross join with the distance
+    folded in dimension order; centroid update = 2^36 fixed-point
+    component sums. Iteration count is a compile-time constant in both
+    engines."""
+    fp = "68719476736.0"
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, {dims1}), "
+        "j -> (e.v[j] - c._carr[j]) * (e.v[j] - c._carr[j]))), "
+        "(x, y) -> x + y)"
+    ).format(dims1=dims + 1)
+    parts = [
+        "WITH e AS (SELECT vec_id AS _vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "cent0 AS (SELECT _vid AS _cid, v AS _carr FROM e "
+        f"ORDER BY _vid LIMIT {k})",
+    ]
+    for rnd in range(iters):
+        parts.append(
+            f"asg{rnd} AS (SELECT _vid, (m)._cid AS _cid, (m)._d AS _d, "
+            f"(m)._v AS _v FROM ("
+            f"SELECT e._vid, min({{'_d': {dist}, '_cid': c._cid, "
+            f"'_v': e.v}}) AS m "
+            f"FROM e, cent{rnd} c GROUP BY e._vid))"
+        )
+        if rnd == iters - 1:
+            break
+        parts.append(
+            f"comp{rnd} AS (SELECT _cid, j AS _pos, "
+            f"SUM(CAST(FLOOR(_v[j] * {fp}) AS BIGINT)) AS _s, "
+            f"count(*) AS _n "
+            f"FROM asg{rnd}, generate_series(1, {dims}) t(j) "
+            f"GROUP BY _cid, j)"
+        )
+        parts.append(
+            f"cent{rnd + 1} AS (SELECT _cid, "
+            f"list(CAST(_s AS DOUBLE) / (_n * {fp}) ORDER BY _pos) AS _carr "
+            f"FROM comp{rnd} GROUP BY _cid)"
+        )
+    body = ",\n    ".join(parts)
+    return (
+        f"{body}\n"
+        f"    SELECT _vid AS vec_id, _cid AS cluster_id, "
+        f"round(_d, 9) AS dist_r FROM asg{iters - 1}"
+    )
 
 
 # Shared DSIR weight-model prefix (dsir_weights / dsir_sample): mirrors
@@ -2717,6 +2801,37 @@ ORACLE_SQL: dict[str, str] = {
     FROM base, stats
     ORDER BY score_r DESC, doc_id
     LIMIT 20
+    """,
+    "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+    "span_dedup": """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(greatest(1, (len(w) + 15) // 16))) AS chunk_id
+      FROM t
+    ), ch AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(list_slice(w, chunk_id * 16 + 1,
+                                        chunk_id * 16 + 16), ' ') AS chunk_text
+      FROM c
+    ), ranked AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             row_number() OVER (
+               PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
+             ) AS rn
+      FROM ch
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             array_to_string(list(chunk_text ORDER BY chunk_id), ' ') AS text_dedup
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(greatest(1, (len(w) + 15) // 16) AS BIGINT) AS n_chunks,
+           CAST(greatest(1, (len(w) + 15) // 16) - coalesce(r.n_kept, 0)
+                AS BIGINT) AS n_dropped
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
     """,
     "dsir_weights": f"""
     {_DSIR_WEIGHTS_SQL}

@@ -232,3 +232,24 @@ def test_percentile_profile_exact_quantiles(spark):
     assert out["b"]["p50"] == 5.0
     with pytest.raises(ValueError, match="dyadic"):
         percentile_profile(df, "g", "v", (0.9,))
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """Repeated chunks survive only at min (doc_id, chunk_id); docs
+    rebuild in chunk order; unique docs pass through untouched."""
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+
+    a = "a b c d"   # chunk of doc 1 and (shifted copy) chunk 0 of doc 2
+    rows = [
+        (1, f"{a} e f g h"),          # chunks: 'a b c d', 'e f g h'
+        (2, f"{a} x y z w"),          # 'a b c d' repeated -> dropped here
+        (3, "p q r s"),               # unique single chunk
+        (4, f"{a}"),                  # exactly the repeated chunk -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", chunk_tokens=4).collect()}
+    assert out[1]["text_dedup"] == "a b c d e f g h" and out[1]["n_dropped"] == 0
+    assert out[2]["text_dedup"] == "x y z w" and out[2]["n_dropped"] == 1
+    assert out[3]["text_dedup"] == "p q r s" and out[3]["n_dropped"] == 0
+    assert out[4]["text_dedup"] == "" and out[4]["n_dropped"] == 1
+    assert out[4]["n_chunks"] == 1

@@ -187,6 +187,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "dsir_weights",             # 1-row bucket-model totals broadcast
                                     # over the 64 bucket rows
         "dsir_sample",              # same (embeds dsir_weights)
+        "kmeans_clusters",          # k-row centroid table broadcast cross
+                                    # join, once per Lloyd round
         "epoch_mixture",            # 1-row corpus-total aggregate broadcast
                                     # over |languages| plan rows (epoch plan)
     }

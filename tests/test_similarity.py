@@ -334,3 +334,29 @@ def test_incremental_near_dedup_semantics(spark):
         for r in incremental_near_dedup(new, base, "doc_id", "text", threshold=0.5).collect()
     )
     assert kept == [2, 3, 5]
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two well-separated blobs end in two clusters regardless of seed
+    labels; assignments are deterministic across invocations."""
+    from kafka_denormalization_spark.operators.clustering import kmeans_assign
+
+    blob_a = [[0.0, 0.0, 0.1], [0.1, 0.0, 0.0], [0.0, 0.1, 0.1], [0.1, 0.1, 0.0]]
+    blob_b = [[5.0, 5.0, 5.1], [5.1, 5.0, 5.0], [5.0, 5.1, 5.1], [5.1, 5.1, 5.0]]
+    # interleave ids so the two min-id seeds straddle the blobs (min-id
+    # seeding is deliberately dumb; Lloyd can't merge a bad same-blob
+    # seed pair in 3 rounds and isn't expected to)
+    rows = [(2 * i, v) for i, v in enumerate(blob_a)] + [
+        (2 * i + 1, v) for i, v in enumerate(blob_b)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, "vec_id", "embedding", k=2, iters=3, persist=False)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    again = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == again and len(got) == 8
+    a_labels = {got[i] for i in got if i % 2 == 0}
+    b_labels = {got[i] for i in got if i % 2 == 1}
+    assert len(a_labels) == 1 and len(b_labels) == 1 and a_labels != b_labels
+    # distances are tight within the blob scale
+    dists = {r["vec_id"]: r["dist_r"] for r in out.collect()}
+    assert all(d < 0.1 for d in dists.values())
