@@ -1,0 +1,113 @@
+"""Synthetic scale-up rows for docs/SCALE_NOTES.md: replicate the sf0.1
+documents/embeddings tables xN (id-shifted, same value distribution) and
+time an operator warm through the noop sink — the harness behind the
+"documents x N" tables in SCALE_NOTES (rounds 4-5, previously ad hoc).
+
+Usage: python tools/bench_scaleup.py [op ...]   (default: the round-5 ops)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.engine import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+SCALES = (1, 8, 32)
+ID_SHIFT = 10_000_000
+
+
+def replicate(df, id_col: str, n: int):
+    if n == 1:
+        return df
+    parts = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * ID_SHIFT))
+        for i in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+# each op: name -> (table, id_col, builder(frame) -> DataFrame)
+def _bm25_batch(docs):
+    from kafka_denormalization_spark.functions.text import bm25_batch
+    from kafka_denormalization_spark.queries import BM25_BATCH_QUERIES
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(BM25_BATCH_QUERIES, "query_id int, term string")
+    return bm25_batch(docs, "doc_id", "text", qdf, k=10)
+
+
+def _dsir_sample(docs):
+    from kafka_denormalization_spark.operators.sampling import dsir_resample
+    from kafka_denormalization_spark.queries import DSIR_BUCKETS, DSIR_SALT
+
+    return dsir_resample(
+        docs, "doc_id", "text", F.col("lang") == "en", k=200,
+        num_buckets=DSIR_BUCKETS, salt=DSIR_SALT,
+    )
+
+
+def _span_dedup(docs):
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+
+    return span_dedup(docs, "doc_id", "text", chunk_tokens=16)
+
+
+def _kmeans(emb):
+    from kafka_denormalization_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
+
+
+OPS = {
+    "bm25_batch": ("documents", "doc_id", _bm25_batch),
+    "dsir_sample": ("documents", "doc_id", _dsir_sample),
+    "span_dedup": ("documents", "doc_id", _span_dedup),
+    "kmeans_clusters": ("embeddings", "vec_id", _kmeans),
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(OPS)
+    spark = get_spark("bench-scaleup")
+    results: dict[str, dict[int, float]] = {n: {} for n in names}
+    for n_rep in SCALES:
+        for name in names:
+            table, id_col, builder = OPS[name]
+            base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+            reps = replicate(base, id_col, n_rep).persist()
+            reps.count()
+            materialize(builder(reps))          # warm-up (JIT, code cache)
+            spark.catalog.clearCache()          # drop op-internal persists
+            reps.persist(); reps.count()
+            t0 = time.perf_counter()
+            materialize(builder(reps))
+            dt = time.perf_counter() - t0
+            results[name][n_rep] = dt
+            print(f"{name:20s} x{n_rep:<3d} {dt:7.2f}s", flush=True)
+            spark.catalog.clearCache()
+    print("\n| operator | x1 | x8 | x32 | 32x/1x |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        r = results[name]
+        print(
+            f"| {name} | {r[1]:.2f} s | {r[8]:.2f} s | {r[32]:.2f} s "
+            f"| {r[32] / r[1]:.1f}x |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
