@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "dsir_sample",
     "span_dedup",
     "kmeans_clusters",
+    "lm_perplexity",
+    "containment_dedup",
     "funnel_counts",
     "shipping_priority",
     "local_supplier_volume",

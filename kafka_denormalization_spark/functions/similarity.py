@@ -1060,3 +1060,115 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    persist: bool = True,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: emit (id_a, id_b) where
+    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ ``threshold`` — the
+    "A is mostly inside B" duplicates (quoted articles, page-plus-nav
+    wrappers, excerpt reposts) that Jaccard-based MinHash-LSH
+    structurally MISSES when |A| ≪ |B| (the subset pair's Jaccard is
+    |A|/|B|, arbitrarily small, so no LSH band agrees).
+
+    Candidate generation is prefix filtering (the PPJoin/SSJoin family,
+    Chaudhuri et al. ICDE'06): order every doc's gram set globally by
+    (document frequency, gram) ascending — rarest first — and take each
+    PROBE doc's first ``⌊(1-t)·|A|⌋ + 1`` grams as its prefix. If A is
+    t-contained in B, B must hold ≥ t·|A| of A's grams, so it cannot
+    miss ALL of A's prefix: joining prefix rows against the full gram
+    table has zero false negatives. Because prefixes are the RAREST
+    grams, the candidate join keys are low-df by construction — the hot
+    boilerplate grams that would explode a naive shared-gram join never
+    appear on the probe side.
+
+    Exact verification then counts intersections only for candidate
+    pairs (gram-row equi-joins, work bounded by candidates x doc grams).
+    Containment is an int/int double division — engine-exact, no
+    rounding grid needed (cf. cosine's same convention).
+
+    Scale notes (100 TB): one gram pass; df table and per-doc ranks are
+    gram-bounded aggregations/windows (the per-doc rank window partitions
+    on the doc id — bounded by a doc's grams, never corpus-wide); all
+    joins are equi-joins on gram strings or ids. Short docs (no grams)
+    drop out naturally.
+
+    Output: (id_a, id_b, containment) — ordered pairs, both directions
+    when both clear the threshold.
+
+    ``persist=True`` caches the distinct gram rows MEMORY_AND_DISK: the
+    frame has five consumers (df table, ranks, candidate probe, sizes,
+    intersection counts) and would otherwise re-tokenize the corpus per
+    consumer (same rationale as the LSH memo persists).
+    """
+    grams = word_gram_rows(docs, id_col, text_col, n).distinct()
+    if persist:
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    df_tab = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = grams.join(df_tab, "_g").select(
+        "_id",
+        "_g",
+        F.row_number()
+        .over(Window.partitionBy("_id").orderBy("_df", "_g"))
+        .alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_sz"),
+    )
+    prefix_len = (
+        F.floor(F.lit(1.0 - threshold) * F.col("_sz").cast("double")) + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("_r") <= prefix_len).select(
+        F.col("_id").alias("id_a"), "_g"
+    )
+    candidates = (
+        prefix.join(grams.select(F.col("_id").alias("id_b"), "_g"), ["_g"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    # size bound: |A∩B| ≤ |B|, so C(A→B) ≥ t needs |B| ≥ t·|A| — a cheap
+    # broadcast-able filter that kills size-skewed candidates before the
+    # expensive intersection count
+    candidates = (
+        candidates.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_sa")),
+            ["id_a"],
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_sb")),
+            ["id_b"],
+        )
+        .filter(
+            F.col("_sb").cast("double")
+            >= F.lit(threshold) * F.col("_sa").cast("double")
+        )
+        .select("id_a", "id_b")
+    )
+    inter = (
+        candidates.join(grams.select(F.col("_id").alias("id_a"), "_g"), ["id_a"])
+        .join(grams.select(F.col("_id").alias("id_b"), "_g"), ["id_b", "_g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
+            ["id_a"],
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_inter").cast("double") / F.col("_na").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )

@@ -560,3 +560,136 @@ def bm25_batch(
         .filter(F.col("_rn") <= k)
         .select("query_id", id_col, "score_r")
     )
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    lam: float = 0.5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    per-document mean negative log-likelihood under an interpolated
+    bigram model trained on the ``target_pred`` subset — the "does this
+    raw document read like the curated corpus" filter (low nll = fluent /
+    in-domain, high = gibberish or off-domain). Complements
+    ``dsir_log_weights``: that is a target-vs-raw contrast, this is an
+    absolute fluency score under the target model alone.
+
+    Per bigram position: P = lam * (c2 + a)/(c1_prev + a*V)
+    + (1 - lam) * (c1_cur + a)/(T + a*V), with c2/c1 target bigram and
+    unigram counts, V the target vocabulary size, T target token count
+    (additive smoothing everywhere, so unseen words/bigrams stay finite).
+    nll = -(Σ ln P)/n_bigrams.
+
+    Deterministic cross-engine: counts/V/T are exact integers; each
+    ln(P) rounds to the 9-decimal grid; the per-doc sum folds in token
+    POSITION order; the final mean rounds again.
+
+    Plan shape (100 TB): the model is built from TWO narrow passes over
+    only the target subset (the predicate pushes into the scan, and the
+    curated target is small next to the raw corpus) — deliberately NOT
+    shared with the scoring pass, so nothing corpus-sized needs a
+    persist. Scoring is one corpus pass: posexplode + per-doc lead
+    window, then three lookups (bigram, prev-unigram, cur-unigram
+    counts) against the model tables, each bounded by target vocabulary
+    — AQE broadcasts them when they fit, and its skew-join covers the
+    stopword hot keys when they don't. The per-doc fold reuses the
+    window's hash(id) partitioning (subset rule).
+
+    Output: (id_col, n_bigrams, nll_r); docs with < 2 tokens carry NULL
+    nll_r (no bigram evidence) and n_bigrams = 0.
+    """
+    tgt_docs = docs.filter(target_pred)
+    tgt_toks = tgt_docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+    uni = tgt_toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
+    stats = uni.agg(
+        F.sum("_c1").alias("_T"), F.count(F.lit(1)).alias("_V")
+    )
+    tgt_tok_pos = tgt_docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    )
+    w_t = Window.partitionBy("_id").orderBy("_pos")
+    bi_model = (
+        tgt_tok_pos.select(
+            "_t", F.lead("_t", 1).over(w_t).alias("_nxt")
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy("_t", "_nxt")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .select(
+            F.col("_t").alias("_w1m"),
+            F.col("_nxt").alias("_w2m"),
+            "_c2",
+        )
+    )
+    all_tok_pos = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+    )
+    w_a = Window.partitionBy("_id").orderBy("_pos")
+    bi = all_tok_pos.select(
+        "_id",
+        "_pos",
+        F.col("_t").alias("_w1"),
+        F.lead("_t", 1).over(w_a).alias("_w2"),
+    ).filter(F.col("_w2").isNotNull())
+    u1 = uni.select(F.col("_w").alias("_w1"), F.col("_c1").alias("_c1p"))
+    u2 = uni.select(F.col("_w").alias("_w2"), F.col("_c1").alias("_c1c"))
+    joined = (
+        bi.join(
+            bi_model,
+            (F.col("_w1") == F.col("_w1m")) & (F.col("_w2") == F.col("_w2m")),
+            "left",
+        )
+        .drop("_w1m", "_w2m")
+        .join(u1, "_w1", "left")
+        .join(u2, "_w2", "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    av = F.lit(alpha) * F.col("_V").cast("double")
+    p_bi = (F.coalesce(F.col("_c2"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.coalesce(F.col("_c1p"), F.lit(0)).cast("double") + av
+    )
+    p_uni = (F.coalesce(F.col("_c1c"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("_T").cast("double") + av
+    )
+    lnp = F.round(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni), 9)
+    folded = (
+        joined.select("_id", "_pos", lnp.alias("_lnp"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("_pos").alias("p"), F.col("_lnp").alias("l"))
+                        )
+                    ),
+                    lambda s: s.getField("l"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_s"),
+        )
+        .select(
+            "_id",
+            "n_bigrams",
+            F.round(-F.col("_s") / F.col("n_bigrams").cast("double"), 9).alias(
+                "nll_r"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(folded.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("nll_r"),
+        )
+    )

@@ -515,6 +515,31 @@ DSIR_SALT = "dsir1"
 DSIR_K = 200
 
 
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (functions/similarity.py
+    containment_pairs): C(A→B) = |g(A)∩g(B)|/|g(A)| >= 0.8 over distinct
+    4-gram sets, candidates via PPJoin-style rare-gram prefix filtering
+    (4-grams: longer grams are rarer, so prefixes block on near-unique
+    keys; recall at the 0.8 bar is unchanged vs 3-grams on this corpus).
+    Catches subset duplicates Jaccard LSH misses. Containment is an
+    int/int division — engine-exact, oracle = brute-force pairs."""
+    from kafka_denormalization_spark.functions.similarity import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (functions/text.py lm_score,
+    Wenzek et al. 2020): per-doc mean negative log-likelihood under an
+    interpolated bigram model trained on the lang='en' subset. Counts
+    are exact integers, per-position ln rounds to the 9-decimal grid,
+    per-doc sums fold in position order — the oracle hashes
+    identically."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -2178,6 +2203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "span_dedup": q_span_dedup,
     "kmeans_clusters": q_kmeans_clusters,
+    "lm_perplexity": q_lm_perplexity,
+    "containment_dedup": q_containment_dedup,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "quantize_embeddings": q_quantize_embeddings,
@@ -2267,9 +2294,11 @@ _DRIVER_HEAD = [
     "cluster_dedup_docs", "incremental_dedup",          # LSH + oracle fix
     "agg_pricing_summary",                              # perf watch-list
     # reference core: denormalization DSL, latest, serde, dedup
-    # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture)
+    # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture;
+    # dedup_exact, driver-checked r01-r04 with the dedup family deeply
+    # covered elsewhere in this head, gives its slot to containment_dedup)
     "denorm_inner", "bm25_search", "denorm_nested_struct",
-    "latest_per_key", "epoch_mixture", "dedup_exact",
+    "latest_per_key", "epoch_mixture", "containment_dedup",
     # text analysis / quality / decontamination (text_stats, driver-
     # checked r01-r04, gives its slot to dsir_weights — added this round;
     # quality_filter keeps the text family covered)
@@ -2289,8 +2318,11 @@ _DRIVER_HEAD = [
     # (profile_orders and stats_agg, driver-checked before, give their
     # slots to bm25_batch and dsir_sample — added this round;
     # percentile_profile above keeps stats/profiling covered)
+    # (grouping_sets, driver-checked before, gives its slot to
+    # lm_perplexity — added this round; rollup/cube stays covered via
+    # the FULL artifact)
     "dsir_sample", "bm25_batch", "funnel_counts", "fuzzy_name_pairs",
-    "grouping_sets",
+    "lm_perplexity",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -2803,6 +2835,69 @@ ORACLE_SQL: dict[str, str] = {
     LIMIT 20
     """,
     "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+    "containment_dedup": f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    d AS (SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(CAST(len(w) AS BIGINT) - 3, 0)),
+            i -> array_to_string((w)[i+1:i+4], ' '))) AS sh FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) AS DOUBLE) AS containment
+    FROM d a JOIN d b ON a.doc_id != b.doc_id
+    WHERE len(a.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) AS DOUBLE) >= 0.8
+    """,
+    "lm_perplexity": f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks FROM documents
+    ), uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM d WHERE tgt) GROUP BY w
+    ), stats AS (
+      SELECT sum(c1) AS t_tot, count(*) AS v FROM uni
+    ), bim AS (
+      SELECT w1, w2, count(*) AS c2
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}}),
+               recursive := true)
+        FROM d WHERE tgt
+      ) GROUP BY w1, w2
+    ), bi AS (
+      SELECT doc_id, pos, w1, w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> {{'pos': i, 'w1': toks[i], 'w2': toks[i + 1]}}),
+               recursive := true)
+        FROM d
+      )
+    ), scored AS (
+      SELECT bi.doc_id, bi.pos,
+             round(ln(
+               0.5 * (CAST(coalesce(bim.c2, 0) AS DOUBLE) + 0.5)
+                     / (CAST(coalesce(u1.c1, 0) AS DOUBLE)
+                        + 0.5 * CAST(v AS DOUBLE))
+               + 0.5 * (CAST(coalesce(u2.c1, 0) AS DOUBLE) + 0.5)
+                       / (CAST(t_tot AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))
+             ), 9) AS lnp
+      FROM bi
+      LEFT JOIN bim ON bi.w1 = bim.w1 AND bi.w2 = bim.w2
+      LEFT JOIN uni u1 ON bi.w1 = u1.w
+      LEFT JOIN uni u2 ON bi.w2 = u2.w
+      CROSS JOIN stats
+    ), folded AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(-list_reduce(list_prepend(0.0, list(lnp ORDER BY pos)),
+                                (x, y) -> x + y)
+                   / CAST(count(*) AS DOUBLE), 9) AS nll_r
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc.doc_id, CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           f.nll_r
+    FROM documents doc LEFT JOIN folded f USING (doc_id)
+    """,
     "span_dedup": """
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents

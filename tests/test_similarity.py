@@ -360,3 +360,27 @@ def test_kmeans_separates_obvious_clusters(spark):
     # distances are tight within the blob scale
     dists = {r["vec_id"]: r["dist_r"] for r in out.collect()}
     assert all(d < 0.1 for d in dists.values())
+
+
+def test_containment_pairs_catch_subset_dup(spark):
+    """A short doc fully contained in a long doc is found even though
+    the pair's Jaccard is tiny; prefix filtering introduces no false
+    negatives at the threshold; containment is exact |A∩B|/|A|."""
+    from kafka_denormalization_spark.functions.similarity import containment_pairs
+
+    body = " ".join(f"w{i}" for i in range(40))          # 38 grams
+    excerpt = " ".join(f"w{i}" for i in range(10, 18))   # 6 grams, all in body
+    rows = [
+        (1, body),
+        (2, excerpt + " zz yy xx"),   # 8 grams, 6 shared -> C=0.75
+        (3, "completely different tokens here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.5, persist=False).collect()
+    }
+    assert (2, 1) in out and abs(out[(2, 1)] - 6 / 9) < 1e-12
+    # reverse direction: 6/38 < 0.5 -> absent; unrelated doc absent
+    assert (1, 2) not in out
+    assert not any(3 in pair for pair in out)

@@ -306,3 +306,25 @@ def test_bm25_batch_k_and_ties(spark):
     qdf = spark.createDataFrame([(7, "alpha")], "query_id int, term string")
     out = bm25_batch(df, "doc_id", "text", qdf, k=1).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 1  # tie -> lower id
+
+
+def test_lm_score_fluency_ordering(spark):
+    """Docs made of target-corpus bigrams score lower nll than docs of
+    unseen words; short docs carry NULL nll and n_bigrams=0."""
+    from pyspark.sql import functions as F
+    from kafka_denormalization_spark.functions.text import lm_score
+
+    rows = [
+        (1, "the cat sat on the mat", "tgt"),
+        (2, "the dog sat on the rug", "tgt"),
+        (3, "the cat sat on the rug", "raw"),   # in-domain bigrams
+        (4, "zz qq ww ee rr tt", "raw"),        # all unseen
+        (5, "single", "raw"),                   # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: r for r in lm_score(df, "doc_id", "text", F.col("src") == "tgt").collect()}
+    assert len(out) == 5
+    assert out[3]["nll_r"] < out[4]["nll_r"]
+    assert out[1]["nll_r"] < out[4]["nll_r"]
+    assert out[5]["nll_r"] is None and out[5]["n_bigrams"] == 0
+    assert out[1]["n_bigrams"] == 5

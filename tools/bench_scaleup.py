@@ -22,13 +22,23 @@ SCALES = (1, 8, 32)
 ID_SHIFT = 10_000_000
 
 
-def replicate(df, id_col: str, n: int):
+def replicate(df, id_col: str, n: int, salt_text: bool = False):
+    """xN with shifted ids. ``salt_text`` prefixes every TOKEN with a
+    per-replica tag (disjoint vocabulary across replicas) — required for
+    PAIR-EMITTING ops (containment/jaccard/LSH pairs), where same-text
+    replicas are all mutual perfect duplicates and the TRUE result size
+    grows quadratically in N; salting keeps workload shape (same gram
+    counts per doc) while the result scales linearly like real data."""
     if n == 1:
         return df
-    parts = [
-        df.withColumn(id_col, F.col(id_col) + F.lit(i * ID_SHIFT))
-        for i in range(n)
-    ]
+    parts = []
+    for i in range(n):
+        p = df.withColumn(id_col, F.col(id_col) + F.lit(i * ID_SHIFT))
+        if salt_text and i > 0:
+            p = p.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}_$1")
+            )
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -39,7 +49,6 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-# each op: name -> (table, id_col, builder(frame) -> DataFrame)
 def _bm25_batch(docs):
     from kafka_denormalization_spark.functions.text import bm25_batch
     from kafka_denormalization_spark.queries import BM25_BATCH_QUERIES
@@ -71,11 +80,26 @@ def _kmeans(emb):
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
 
 
+def _lm_perplexity(docs):
+    from kafka_denormalization_spark.functions.text import lm_score
+
+    return lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+
+
+def _containment(docs):
+    from kafka_denormalization_spark.functions.similarity import containment_pairs
+
+    return containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
+
+
+# each op: name -> (table, id_col, builder, salt_text)
 OPS = {
-    "bm25_batch": ("documents", "doc_id", _bm25_batch),
-    "dsir_sample": ("documents", "doc_id", _dsir_sample),
-    "span_dedup": ("documents", "doc_id", _span_dedup),
-    "kmeans_clusters": ("embeddings", "vec_id", _kmeans),
+    "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
+    "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
+    "span_dedup": ("documents", "doc_id", _span_dedup, False),
+    "kmeans_clusters": ("embeddings", "vec_id", _kmeans, False),
+    "lm_perplexity": ("documents", "doc_id", _lm_perplexity, False),
+    "containment_dedup": ("documents", "doc_id", _containment, True),
 }
 
 
@@ -85,9 +109,9 @@ def main() -> int:
     results: dict[str, dict[int, float]] = {n: {} for n in names}
     for n_rep in SCALES:
         for name in names:
-            table, id_col, builder = OPS[name]
+            table, id_col, builder, salt_text = OPS[name]
             base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
-            reps = replicate(base, id_col, n_rep).persist()
+            reps = replicate(base, id_col, n_rep, salt_text).persist()
             reps.count()
             materialize(builder(reps))          # warm-up (JIT, code cache)
             spark.catalog.clearCache()          # drop op-internal persists
