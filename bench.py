@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dsir_sample",
     "span_dedup",
     "kmeans_clusters",
+    "semantic_dedup",
     "lm_perplexity",
     "containment_dedup",
     "funnel_counts",

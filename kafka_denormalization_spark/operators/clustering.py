@@ -153,3 +153,59 @@ def kmeans_assign(
         F.col("_cid").alias("cluster_id"),
         F.round(F.col("_d"), 9).alias("dist_r"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedding corpus — k-means cluster first, then drop near-identical
+    vectors WITHIN each cluster (cosine ≥ ``threshold``), keeping the
+    lowest id of every duplicate pair (the repo's deterministic greedy
+    rule, cf. cosine_dedup). Pairwise work is confined to clusters, so
+    the corpus never sees an all-pairs join; at production scale k grows
+    with the corpus (SemDeDup uses tens of thousands of clusters) to
+    keep per-cluster candidate sets bounded, and the within-cluster join
+    shuffles by cluster id with AQE handling stragglers.
+
+    Builds on :func:`kmeans_assign` (same determinism contract — the
+    DuckDB oracle replays the rounds bit-identically, and the exact
+    cosine verify folds dimensions in array order).
+
+    Output: (id_col, cluster_id) — the surviving vectors.
+    """
+    from pyspark import StorageLevel
+
+    from kafka_denormalization_spark.functions.similarity import cosine
+
+    assigned = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters)
+    # one persisted frame feeds the pair join's both sides AND the final
+    # anti-join — otherwise each consumer replays the whole Lloyd plan
+    with_vec = assigned.join(
+        emb.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = with_vec.select(
+        F.col(id_col).alias("_ida"),
+        F.col("cluster_id").alias("_c"),
+        F.col("_v").alias("_va"),
+    )
+    b = with_vec.select(
+        F.col(id_col).alias("_idb"),
+        F.col("cluster_id").alias("_c"),
+        F.col("_v").alias("_vb"),
+    )
+    dropped = (
+        a.join(b, ["_c"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return with_vec.join(dropped, id_col, "left_anti").select(
+        id_col, "cluster_id"
+    )

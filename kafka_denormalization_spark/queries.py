@@ -529,6 +529,24 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
 
 
+SEMDEDUP_T = 0.5
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py semantic_dedup; Abbas et al.
+    2023): k-means cluster the embeddings (same deterministic rounds as
+    kmeans_clusters), drop within-cluster near-identical vectors
+    (cosine >= 0.5, min-id survives). Oracle replays the unrolled rounds
+    plus the within-cluster pair sweep."""
+    from kafka_denormalization_spark.operators.clustering import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding",
+        k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T,
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (functions/text.py lm_score,
     Wenzek et al. 2020): per-doc mean negative log-likelihood under an
@@ -2203,6 +2221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "span_dedup": q_span_dedup,
     "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "lm_perplexity": q_lm_perplexity,
     "containment_dedup": q_containment_dedup,
     "corpus_pipeline": q_corpus_pipeline,
@@ -2307,9 +2326,11 @@ _DRIVER_HEAD = [
     # checked r01-r04 and superseded by _v2 above, gives its slot to
     # cluster_dedup_best — added late in round 4, never driver-checked)
     "sequence_packing", "cluster_dedup_best",
-    # embeddings / ANN / clustering (multimodal_metadata, driver-checked
-    # r04, gives its slot to kmeans_clusters — added this round)
-    "ann_cosine_topk", "ann_int8_topk", "kmeans_clusters",
+    # embeddings / ANN / clustering (multimodal_metadata and
+    # ann_cosine_topk, driver-checked before, give their slots to
+    # kmeans_clusters and semantic_dedup — added this round;
+    # ann_int8_topk has never had a driver row and stays)
+    "semantic_dedup", "ann_int8_topk", "kmeans_clusters",
     # temporal joins/windows (session_window, driver-checked before,
     # gives its slot to span_dedup — added this round; sliding/rollup
     # windows keep the family covered in the FULL artifact)
@@ -2357,7 +2378,9 @@ _GOPHER_KEEP_SQL = """(wc BETWEEN 50 AND 100000)
              AND (stop_hits >= 2)"""
 
 
-def _kmeans_oracle_sql(k: int, iters: int, dims: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int, iters: int, dims: int = 64, tail: str | None = None
+) -> str:
     """Unrolled Lloyd's rounds as chained CTEs mirroring
     operators/clustering.py kmeans_assign: per-round assignment =
     min(struct(d, cid)) over the k-row cross join with the distance
@@ -2400,11 +2423,12 @@ def _kmeans_oracle_sql(k: int, iters: int, dims: int = 64) -> str:
             f"FROM comp{rnd} GROUP BY _cid)"
         )
     body = ",\n    ".join(parts)
-    return (
-        f"{body}\n"
-        f"    SELECT _vid AS vec_id, _cid AS cluster_id, "
-        f"round(_d, 9) AS dist_r FROM asg{iters - 1}"
-    )
+    if tail is None:
+        tail = (
+            f"SELECT _vid AS vec_id, _cid AS cluster_id, "
+            f"round(_d, 9) AS dist_r FROM asg{iters - 1}"
+        )
+    return f"{body}\n    {tail}"
 
 
 # Shared DSIR weight-model prefix (dsir_weights / dsir_sample): mirrors
@@ -2835,6 +2859,19 @@ ORACLE_SQL: dict[str, str] = {
     LIMIT 20
     """,
     "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+    "semantic_dedup": _kmeans_oracle_sql(
+        KMEANS_K,
+        KMEANS_ITERS,
+        tail=(
+            ", dup AS (SELECT b._vid AS idb "
+            f"FROM asg{KMEANS_ITERS - 1} a JOIN asg{KMEANS_ITERS - 1} b "
+            "ON a._cid = b._cid AND a._vid < b._vid "
+            "WHERE " + _COS_SQL.format(a="a._v", b="b._v") + f" >= {SEMDEDUP_T})\n"
+            f"    SELECT _vid AS vec_id, _cid AS cluster_id "
+            f"FROM asg{KMEANS_ITERS - 1} "
+            "WHERE _vid NOT IN (SELECT idb FROM dup)"
+        ),
+    ),
     "containment_dedup": f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
     d AS (SELECT doc_id, list_distinct(list_transform(

@@ -189,6 +189,7 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "dsir_sample",              # same (embeds dsir_weights)
         "kmeans_clusters",          # k-row centroid table broadcast cross
                                     # join, once per Lloyd round
+        "semantic_dedup",           # same (embeds kmeans_clusters)
         "lm_perplexity",            # 1-row vocab-stats aggregate broadcast
                                     # over the bigram probability rows
         "epoch_mixture",            # 1-row corpus-total aggregate broadcast

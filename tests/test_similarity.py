@@ -384,3 +384,23 @@ def test_containment_pairs_catch_subset_dup(spark):
     # reverse direction: 6/38 < 0.5 -> absent; unrelated doc absent
     assert (1, 2) not in out
     assert not any(3 in pair for pair in out)
+
+
+def test_semantic_dedup_drops_within_cluster_near_identicals(spark):
+    """A near-identical pair inside one blob loses its higher id; the
+    cross-blob pair (similar direction, different cluster) both survive
+    when clustered apart."""
+    from kafka_denormalization_spark.operators.clustering import semantic_dedup
+
+    blob_a = [[1.0, 0.0, 0.0], [1.0, 0.001, 0.0], [0.8, 0.6, 0.0]]
+    blob_b = [[0.0, 5.0, 5.0], [0.0, 5.0, 5.001], [0.0, 4.0, 5.5]]
+    rows = [(2 * i, v) for i, v in enumerate(blob_a)] + [
+        (2 * i + 1, v) for i, v in enumerate(blob_b)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"] for r in semantic_dedup(df, "vec_id", "embedding", k=2, iters=3, threshold=0.99).collect()}
+    # within blob a: ids 0,2 are cos≈1 -> 2 dropped; 4 is off-angle enough
+    assert 0 in out and 2 not in out
+    # within blob b: ids 1,3 near-identical -> 3 dropped
+    assert 1 in out and 3 not in out
+    assert 4 in out and 5 in out
