@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "percentile_profile",
     "oov_rate",
     "corpus_pipeline_v2",
+    "corpus_pipeline_v3",
     "quantize_embeddings",
 ]
 

@@ -972,6 +972,57 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_NLL_CUTOFF = 3.42   # keeps ~70% at sf0.01; nll_r is grid-rounded so the
+V3_SALT = "temp3"      # comparison is deterministic on both engines
+
+
+def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 composed curation pipeline — span-level dedup feeding
+    an LM fluency gate: chunk-granular exact-substring dedup over the
+    whole corpus (docs REWRITTEN, not just dropped) -> drop docs that
+    were mostly duplicated spans (2*n_dropped > n_chunks — the span-
+    dedup stats double as a quality signal) -> CCNet LM gate on the
+    DEDUPED text (bigram model trained on surviving en docs; nll_r <=
+    cutoff, >=1 bigram) -> temperature mix over deduped char weights ->
+    PII scrub on shipped rows only. The span-dedup stage has five
+    downstream consumers via lm_score, so its output persists
+    MEMORY_AND_DISK (corpus-bounded rows)."""
+    from pyspark import StorageLevel
+
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+    from kafka_denormalization_spark.operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    sd = span_dedup(docs, "doc_id", "text", chunk_tokens=16)
+    kept = (
+        sd.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .filter(
+            (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
+            & (F.length("text_dedup") > 0)
+        )
+        .select(
+            "doc_id", "lang", "source", "text_dedup",
+            F.length("text_dedup").cast("long").alias("n_chars_dedup"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lm = text_fns.lm_score(kept, "doc_id", "text_dedup", F.col("lang") == "en")
+    surv = kept.join(
+        lm.filter(
+            (F.col("n_bigrams") >= 1) & (F.col("nll_r") <= LM_NLL_CUTOFF)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    mixed = temperature_sample(
+        surv, "lang", "n_chars_dedup", "doc_id",
+        alpha=0.5, salt=V3_SALT, budget_frac=TEMP_BUDGET_FRAC,
+    )
+    return mixed.select(
+        "doc_id", "lang", "source", "n_chars_dedup",
+        text_fns.scrub_pii(F.col("text_dedup")).alias("text_scrubbed"),
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embedding corpus
     (functions/similarity.py quantize_embeddings): 4x memory reduction for
@@ -2223,6 +2274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "lm_perplexity": q_lm_perplexity,
+    "corpus_pipeline_v3": q_corpus_pipeline_v3,
     "containment_dedup": q_containment_dedup,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
@@ -2310,7 +2362,9 @@ _DRIVER_HEAD = [
     # driver rows immediately.
     "temperature_sample", "incremental_near_dedup",     # sampling rewrite + new op
     "minhash_lsh_dedup", "near_dup_clusters",           # LSH rewrite
-    "cluster_dedup_docs", "incremental_dedup",          # LSH + oracle fix
+    # (cluster_dedup_docs, driver-checked before with the dedup family
+    # deeply covered here, gives its slot to corpus_pipeline_v3)
+    "corpus_pipeline_v3", "incremental_dedup",          # LSH + oracle fix
     "agg_pricing_summary",                              # perf watch-list
     # reference core: denormalization DSL, latest, serde, dedup
     # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture;
@@ -2429,6 +2483,88 @@ def _kmeans_oracle_sql(
             f"round(_d, 9) AS dist_r FROM asg{iters - 1}"
         )
     return f"{body}\n    {tail}"
+
+
+# Shared span-dedup CTE chain: per-doc (doc_id, text_dedup, n_chunks,
+# n_dropped) as CTE ``spanout`` — mirrors operators/chunking.py span_dedup.
+_SPAN_CTES_SQL = """spt AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), spc AS (
+      SELECT doc_id, w,
+             unnest(range(greatest(1, (len(w) + 15) // 16))) AS chunk_id
+      FROM spt
+    ), spch AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(list_slice(w, chunk_id * 16 + 1,
+                                        chunk_id * 16 + 16), ' ') AS chunk_text
+      FROM spc
+    ), spranked AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             row_number() OVER (
+               PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
+             ) AS rn
+      FROM spch
+    ), sprebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             array_to_string(list(chunk_text ORDER BY chunk_id), ' ') AS text_dedup
+      FROM spranked WHERE rn = 1 GROUP BY doc_id
+    ), spanout AS (
+      SELECT spt.doc_id,
+             coalesce(r.text_dedup, '') AS text_dedup,
+             CAST(greatest(1, (len(w) + 15) // 16) AS BIGINT) AS n_chunks,
+             CAST(greatest(1, (len(w) + 15) // 16) - coalesce(r.n_kept, 0)
+                  AS BIGINT) AS n_dropped
+      FROM spt LEFT JOIN sprebuilt r USING (doc_id)
+    )"""
+
+
+def _lm_cte_sql(src: str) -> str:
+    """CTE chain computing per-doc (doc_id, n_bigrams, nll_r) as CTE
+    ``lmfold`` from ``src`` with columns (doc_id, tgt BOOLEAN, toks LIST)
+    — mirrors functions/text.py lm_score."""
+    return f"""uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM {src} WHERE tgt) GROUP BY w
+    ), lmstats AS (
+      SELECT sum(c1) AS t_tot, count(*) AS v FROM uni
+    ), bim AS (
+      SELECT w1, w2, count(*) AS c2
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}}),
+               recursive := true)
+        FROM {src} WHERE tgt
+      ) GROUP BY w1, w2
+    ), bi AS (
+      SELECT doc_id, pos, w1, w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> {{'pos': i, 'w1': toks[i], 'w2': toks[i + 1]}}),
+               recursive := true)
+        FROM {src}
+      )
+    ), lmscored AS (
+      SELECT bi.doc_id, bi.pos,
+             round(ln(
+               0.5 * (CAST(coalesce(bim.c2, 0) AS DOUBLE) + 0.5)
+                     / (CAST(coalesce(u1.c1, 0) AS DOUBLE)
+                        + 0.5 * CAST(v AS DOUBLE))
+               + 0.5 * (CAST(coalesce(u2.c1, 0) AS DOUBLE) + 0.5)
+                       / (CAST(t_tot AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))
+             ), 9) AS lnp
+      FROM bi
+      LEFT JOIN bim ON bi.w1 = bim.w1 AND bi.w2 = bim.w2
+      LEFT JOIN uni u1 ON bi.w1 = u1.w
+      LEFT JOIN uni u2 ON bi.w2 = u2.w
+      CROSS JOIN lmstats
+    ), lmfold AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(-list_reduce(list_prepend(0.0, list(lnp ORDER BY pos)),
+                                (x, y) -> x + y)
+                   / CAST(count(*) AS DOUBLE), 9) AS nll_r
+      FROM lmscored GROUP BY doc_id
+    )"""
 
 
 # Shared DSIR weight-model prefix (dsir_weights / dsir_sample): mirrors
@@ -2685,6 +2821,45 @@ ORACLE_SQL: dict[str, str] = {
     WHERE substr(md5(concat('{TEMP_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
           < t.thr
     """,
+    "corpus_pipeline_v3": f"""
+    WITH {_SPAN_CTES_SQL},
+    kept AS (
+      SELECT s.doc_id, d.lang, d.source, s.text_dedup,
+             CAST(length(s.text_dedup) AS BIGINT) AS n_chars_dedup
+      FROM spanout s JOIN documents d USING (doc_id)
+      WHERE 2 * s.n_dropped <= s.n_chunks AND length(s.text_dedup) > 0
+    ),
+    k2 AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
+      FROM kept
+    ),
+    {_lm_cte_sql("k2")},
+    surv AS (
+      SELECT kept.* FROM kept JOIN lmfold f USING (doc_id)
+      WHERE f.n_bigrams >= 1 AND f.nll_r <= {LM_NLL_CUTOFF}
+    ),
+    w AS (
+      SELECT lang, CAST(SUM(n_chars_dedup) AS DOUBLE) AS wt FROM surv GROUP BY lang
+    ), p AS (
+      SELECT lang, wt,
+             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ), t AS (
+      SELECT lang,
+             printf('%08x', least(
+               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM p
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_chars_dedup,
+           {_pii_chain_sql("s.text_dedup")} AS text_scrubbed
+    FROM surv s JOIN t ON s.lang = t.lang
+    WHERE substr(md5(concat('{V3_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
+          < t.thr
+    """,
     "quantize_embeddings": """
     SELECT vec_id,
            CASE WHEN amax > 0 THEN
@@ -2888,82 +3063,14 @@ ORACLE_SQL: dict[str, str] = {
     "lm_perplexity": f"""
     WITH d AS (
       SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks FROM documents
-    ), uni AS (
-      SELECT w, count(*) AS c1
-      FROM (SELECT unnest(toks) AS w FROM d WHERE tgt) GROUP BY w
-    ), stats AS (
-      SELECT sum(c1) AS t_tot, count(*) AS v FROM uni
-    ), bim AS (
-      SELECT w1, w2, count(*) AS c2
-      FROM (
-        SELECT unnest(list_transform(range(1, len(toks)),
-                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}}),
-               recursive := true)
-        FROM d WHERE tgt
-      ) GROUP BY w1, w2
-    ), bi AS (
-      SELECT doc_id, pos, w1, w2
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(toks)),
-                 i -> {{'pos': i, 'w1': toks[i], 'w2': toks[i + 1]}}),
-               recursive := true)
-        FROM d
-      )
-    ), scored AS (
-      SELECT bi.doc_id, bi.pos,
-             round(ln(
-               0.5 * (CAST(coalesce(bim.c2, 0) AS DOUBLE) + 0.5)
-                     / (CAST(coalesce(u1.c1, 0) AS DOUBLE)
-                        + 0.5 * CAST(v AS DOUBLE))
-               + 0.5 * (CAST(coalesce(u2.c1, 0) AS DOUBLE) + 0.5)
-                       / (CAST(t_tot AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))
-             ), 9) AS lnp
-      FROM bi
-      LEFT JOIN bim ON bi.w1 = bim.w1 AND bi.w2 = bim.w2
-      LEFT JOIN uni u1 ON bi.w1 = u1.w
-      LEFT JOIN uni u2 ON bi.w2 = u2.w
-      CROSS JOIN stats
-    ), folded AS (
-      SELECT doc_id, count(*) AS n_bigrams,
-             round(-list_reduce(list_prepend(0.0, list(lnp ORDER BY pos)),
-                                (x, y) -> x + y)
-                   / CAST(count(*) AS DOUBLE), 9) AS nll_r
-      FROM scored GROUP BY doc_id
-    )
+    ), {_lm_cte_sql("d")}
     SELECT doc.doc_id, CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            f.nll_r
-    FROM documents doc LEFT JOIN folded f USING (doc_id)
+    FROM documents doc LEFT JOIN lmfold f USING (doc_id)
     """,
-    "span_dedup": """
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-    ), c AS (
-      SELECT doc_id, w,
-             unnest(range(greatest(1, (len(w) + 15) // 16))) AS chunk_id
-      FROM t
-    ), ch AS (
-      SELECT doc_id, chunk_id,
-             array_to_string(list_slice(w, chunk_id * 16 + 1,
-                                        chunk_id * 16 + 16), ' ') AS chunk_text
-      FROM c
-    ), ranked AS (
-      SELECT doc_id, chunk_id, chunk_text,
-             row_number() OVER (
-               PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
-             ) AS rn
-      FROM ch
-    ), rebuilt AS (
-      SELECT doc_id, count(*) AS n_kept,
-             array_to_string(list(chunk_text ORDER BY chunk_id), ' ') AS text_dedup
-      FROM ranked WHERE rn = 1 GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           coalesce(r.text_dedup, '') AS text_dedup,
-           CAST(greatest(1, (len(w) + 15) // 16) AS BIGINT) AS n_chunks,
-           CAST(greatest(1, (len(w) + 15) // 16) - coalesce(r.n_kept, 0)
-                AS BIGINT) AS n_dropped
-    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    "span_dedup": f"""
+    WITH {_SPAN_CTES_SQL}
+    SELECT doc_id, text_dedup, n_chunks, n_dropped FROM spanout
     """,
     "dsir_weights": f"""
     {_DSIR_WEIGHTS_SQL}

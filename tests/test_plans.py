@@ -180,6 +180,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # r04 unpartitioned-window formulation)
         "corpus_pipeline_v2",       # same temperature_fractions stage inside
                                     # the composed pipeline
+        "corpus_pipeline_v3",       # same 1-row broadcasts via its embedded
+                                    # lm_score + temperature stages
         "bm25_search",              # 1-row corpus-stats aggregate broadcast
                                     # back over the per-doc score expression
         "bm25_batch",               # same 1-row corpus-stats broadcast over
