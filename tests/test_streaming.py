@@ -967,3 +967,71 @@ def test_tws_ttl_expires_left_state(spark, tmpdir):
     # generous TTL: normal fan-out
     out = run(600_000, "long")
     assert {(r["key"], r["fk"]) for r in out} == {("c1", "100")}
+
+
+def test_ingest_dedup_across_batches(spark, tmp_path):
+    """Cross-batch exact dedup with durable digest state: first
+    occurrence wins across batches, min-id wins within a batch, and a
+    fresh instance over the same state dir keeps the memory (restart
+    survival)."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import IngestDedup
+
+    dd = IngestDedup(spark, str(tmp_path / "state"), "doc_id", "text")
+    b1 = spark.createDataFrame(
+        [(5, "alpha"), (2, "alpha"), (3, "beta")], "doc_id long, text string"
+    )
+    out1 = sorted(r["doc_id"] for r in dd.process_batch(b1).collect())
+    assert out1 == [2, 3]  # within-batch: min id keeps 'alpha'
+
+    b2 = spark.createDataFrame(
+        [(7, "alpha"), (8, "gamma"), (9, "beta")], "doc_id long, text string"
+    )
+    out2 = sorted(r["doc_id"] for r in dd.process_batch(b2).collect())
+    assert out2 == [8]  # alpha/beta already seen
+
+    # restart: a NEW instance over the same state dir still remembers
+    dd2 = IngestDedup(spark, str(tmp_path / "state"), "doc_id", "text")
+    b3 = spark.createDataFrame(
+        [(10, "gamma"), (11, "delta")], "doc_id long, text string"
+    )
+    out3 = sorted(r["doc_id"] for r in dd2.process_batch(b3).collect())
+    assert out3 == [11]
+
+
+def test_ingest_dedup_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run: file source, one file per trigger,
+    foreachBatch(IngestDedup) — cross-batch duplicates never reach the
+    sink."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import IngestDedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, "two"), (4, "three")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    dd = IngestDedup(spark, str(tmp_path / "state"), "doc_id", "text")
+    got: list[tuple[int, str]] = []
+
+    def sink(df, epoch_id):
+        got.extend((r["doc_id"], r["text"]) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(dd.foreach_batch(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) in (
+        [(1, "one"), (2, "two"), (4, "three")],          # f1 before f2
+        [(1, "one"), (3, "two"), (4, "three")],          # f2 first
+    )
