@@ -119,3 +119,164 @@ class IngestDedup:
             sink(self.process_batch(batch_df, epoch_id), epoch_id)
 
         return fn
+
+
+class IngestNearDedup:
+    """Continuous-ingest NEAR-dedup — the streaming face of
+    functions/similarity.py ``incremental_near_dedup``: per micro-batch,
+    MinHash-LSH candidates against everything that ever survived, exact
+    Jaccard verify, drop batch docs that near-duplicate the accumulated
+    corpus (or an earlier doc in the same batch, min-id wins).
+
+    Durable state (both hash-bucket-partitioned parquet, each read
+    partition-pruned to the batch's touched partitions):
+
+    - ``band_buckets/``: (_id, _band, _h) LSH rows of every survivor —
+      the persisted index the batch twin's SCALE_NOTES entry calls for;
+      candidate lookup is one equi-join on (_band, _h).
+    - ``gram_digests/``: (_id, _gd) md5 gram digests of every survivor —
+      the exact-verify side. Jaccard over digest sets equals Jaccard
+      over gram sets (md5 collisions are negligible), and 16-byte
+      digests keep state narrow — document text NEVER enters state.
+      Pruned to candidate ids only, so verify reads are bounded by
+      candidates, not corpus history.
+
+    Same exactly-once story as :class:`IngestDedup` (state appends are
+    set-semantics idempotent; wrap the sink for emit dedup).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        text_col: str,
+        n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 32,
+        threshold: float = 0.5,
+        n_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+        self.n_buckets = n_buckets
+        self._buckets_dir = os.path.join(state_dir, "band_buckets")
+        self._grams_dir = os.path.join(state_dir, "gram_digests")
+
+    def _part(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    def _read_state(self, path: str, schema: str, prune: DataFrame) -> DataFrame:
+        try:
+            df = self.spark.read.schema(schema).parquet(path)
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
+        return df.join(
+            F.broadcast(prune.filter(F.col("part") >= 0)), on="part", how="left_semi"
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        from kafka_denormalization_spark.functions.similarity import (
+            exact_jaccard_pairs,
+            minhash_band_buckets,
+            word_gram_rows,
+        )
+
+        id_col = self.id_col
+        grams = word_gram_rows(batch_df, id_col, self.text_col, self.n)
+        gd = (
+            grams.select("_id", F.md5("_g").alias("_gd"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        buckets = minhash_band_buckets(grams, self.num_hashes, self.bands)
+        buckets = buckets.withColumn(
+            "part", self._part(F.concat_ws("#", F.col("_band"), F.col("_h")))
+        ).localCheckpoint(eager=True)
+
+        seen_buckets = self._read_state(
+            self._buckets_dir,
+            "_id long, _band int, _h long, part int",
+            buckets.select("part").distinct(),
+        )
+        nb, bb = buckets.alias("a"), seen_buckets.alias("b")
+        cross_cand = (
+            nb.join(
+                bb,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._h") == F.col("b._h")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates()
+        )
+        wa, wb = buckets.alias("a"), buckets.alias("b")
+        within_cand = (
+            wa.join(
+                wb,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._h") == F.col("b._h"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates()
+        )
+        cross_cand = cross_cand.localCheckpoint(eager=True)
+        within_cand = within_cand.localCheckpoint(eager=True)
+
+        cand_ids = cross_cand.select(F.col("id_b").alias("_id")).dropDuplicates()
+        state_gd = self._read_state(
+            self._grams_dir,
+            "_id long, _gd string, part int",
+            cand_ids.select(self._part(F.col("_id")).alias("part")).distinct(),
+        ).join(cand_ids, "_id", "left_semi")
+        verify = (
+            gd.unionByName(state_gd.select("_id", "_gd"))
+            .dropDuplicates(["_id", "_gd"])
+            .withColumnRenamed("_gd", "_g")
+        )
+        thr = F.col("jaccard_sim") >= self.threshold
+        dup_vs_base = (
+            exact_jaccard_pairs(cross_cand, verify)
+            .filter(thr)
+            .select(F.col("id_a").alias(id_col))
+            .dropDuplicates()
+        )
+        dup_within = (
+            exact_jaccard_pairs(within_cand, verify)
+            .filter(thr)
+            .select(F.col("id_b").alias(id_col))
+            .dropDuplicates()
+        )
+        dropped = dup_vs_base.unionByName(dup_within).dropDuplicates()
+        survivors = batch_df.join(dropped, [id_col], "left_anti").localCheckpoint(
+            eager=True
+        )
+        surv_ids = survivors.select(F.col(id_col).alias("_id"))
+        (
+            buckets.join(surv_ids, "_id", "left_semi")
+            .select("_id", "_band", "_h", "part")
+            .write.mode("append")
+            .partitionBy("part")
+            .parquet(self._buckets_dir)
+        )
+        (
+            gd.join(surv_ids, "_id", "left_semi")
+            .select("_id", "_gd", self._part(F.col("_id")).alias("part"))
+            .write.mode("append")
+            .partitionBy("part")
+            .parquet(self._grams_dir)
+        )
+        return survivors
+
+    def foreach_batch(self, sink):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            sink(self.process_batch(batch_df, epoch_id), epoch_id)
+
+        return fn

@@ -1035,3 +1035,41 @@ def test_ingest_dedup_streaming_e2e(spark, tmp_path):
         [(1, "one"), (2, "two"), (4, "three")],          # f1 before f2
         [(1, "one"), (3, "two"), (4, "three")],          # f2 first
     )
+
+
+def test_ingest_near_dedup_across_batches(spark, tmp_path):
+    """Streaming near-dedup: a batch-2 doc that near-duplicates a
+    batch-1 survivor is dropped (LSH candidates vs accumulated state +
+    exact Jaccard verify); unrelated docs pass; within-batch near-dups
+    keep the min id; restart keeps the memory."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import IngestNearDedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(28)) + " zz yy"   # high Jaccard
+    other = " ".join(f"w{i}" for i in range(30))
+
+    dd = IngestNearDedup(spark, str(tmp_path / "st"), "doc_id", "text", threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    out1 = sorted(r["doc_id"] for r in dd.process_batch(b1).collect())
+    assert out1 == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [(3, near), (4, "totally different words entirely here now friend")],
+        "doc_id long, text string",
+    )
+    out2 = sorted(r["doc_id"] for r in dd.process_batch(b2).collect())
+    assert out2 == [4]  # 3 near-dups batch-1's doc 1
+
+    # within-batch: two near-identical new docs -> min id survives;
+    # restart via a fresh instance still remembers docs 1/2/4
+    dd2 = IngestNearDedup(spark, str(tmp_path / "st"), "doc_id", "text", threshold=0.5)
+    b3 = spark.createDataFrame(
+        [(5, other + " extra"), (6, other + " bonus"), (7, "fresh unique content beyond compare truly")],
+        "doc_id long, text string",
+    )
+    out3 = sorted(r["doc_id"] for r in dd2.process_batch(b3).collect())
+    # 5 and 6 near-dup batch-1's doc 2 (and each other): both dropped
+    # against state; 7 unique
+    assert out3 == [7]
