@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "oov_rate",
     "corpus_pipeline_v2",
     "corpus_pipeline_v3",
+    "corpus_report",
     "quantize_embeddings",
 ]
 

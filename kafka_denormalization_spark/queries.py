@@ -2077,6 +2077,37 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report: ROLLUP over (lang, source) -> (lang) -> () of
+    integer-exact metrics — doc count, char and token
+    totals, Gopher-quality pass count, and a pass rate as an int/int
+    division rounded to 6 (deterministic both engines; no float sums
+    anywhere). The per-mix dashboard a curation run ships next to its
+    output."""
+    docs = table(spark, sf_dir, "documents")
+    flags = text_fns.gopher_quality_flags(F.col("text"))
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    base = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars"),
+        text_fns.token_count(F.col("text")).cast("long").alias("_toks"),
+        keep.cast("long").alias("_q"),
+    )
+    return base.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("_toks").alias("total_tokens"),
+        F.sum("_q").alias("quality_docs"),
+        F.round(
+            F.sum("_q").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("quality_rate"),
+        F.grouping_id("lang", "source").cast("long").alias("gid"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all grouping-set combinations) with grouping ids."""
     li = table(spark, sf_dir, "lineitem")
@@ -2323,6 +2354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles": q_quantiles,
     "approx_stats": q_approx_stats,
     "grouping_sets": q_grouping_sets,
+    "corpus_report": q_corpus_report,
     "window_running_total": q_window_running_total,
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
@@ -2376,10 +2408,11 @@ _DRIVER_HEAD = [
     # checked r01-r04, gives its slot to dsir_weights — added this round;
     # quality_filter keeps the text family covered)
     "dsir_weights", "quality_filter", "contamination_scan_join",
-    # chunking / packing / composed pipeline (corpus_pipeline, driver-
-    # checked r01-r04 and superseded by _v2 above, gives its slot to
-    # cluster_dedup_best — added late in round 4, never driver-checked)
-    "sequence_packing", "cluster_dedup_best",
+    # chunking / packing / reporting (corpus_pipeline and
+    # sequence_packing, driver-checked before, gave their slots to
+    # cluster_dedup_best — added late round 4 — and corpus_report,
+    # added this round)
+    "corpus_report", "cluster_dedup_best",
     # embeddings / ANN / clustering (multimodal_metadata and
     # ann_cosine_topk, driver-checked before, give their slots to
     # kmeans_clusters and semantic_dedup — added this round;
@@ -3776,6 +3809,25 @@ ORACLE_SQL: dict[str, str] = {
            quantile_cont(l_extendedprice, 0.75) AS p75_price,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
+    """,
+    "corpus_report": f"""
+    WITH {_GOPHER_STATS_SQL.strip()},
+    base AS (
+      SELECT d.lang, d.source, d.n_chars,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS toks,
+             CASE WHEN {_GOPHER_KEEP_SQL} THEN 1 ELSE 0 END AS q
+      FROM documents d JOIN gq_stats g ON d.doc_id = g.doc_id
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(q) AS BIGINT) AS quality_docs,
+           round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS quality_rate,
+           CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+    FROM base
+    GROUP BY ROLLUP (lang, source)
     """,
     "grouping_sets": """
     SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -253,3 +253,19 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert out[3]["text_dedup"] == "p q r s" and out[3]["n_dropped"] == 0
     assert out[4]["text_dedup"] == "" and out[4]["n_dropped"] == 1
     assert out[4]["n_chunks"] == 1
+
+
+def test_corpus_report_rollup_consistency(spark):
+    """Rollup invariants: grand total row equals the sum of lang rows;
+    quality_rate = quality_docs/n_docs; gid distinguishes levels."""
+    from kafka_denormalization_spark.queries import q_corpus_report
+
+    rows = q_corpus_report(spark, "/root/testdata/sf0.001").collect()
+    total = [r for r in rows if r["gid"] == 3]
+    langs = [r for r in rows if r["gid"] == 1]
+    assert len(total) == 1
+    assert total[0]["n_docs"] == sum(r["n_docs"] for r in langs)
+    assert total[0]["total_tokens"] == sum(r["total_tokens"] for r in langs)
+    for r in rows:
+        assert 0.0 <= r["quality_rate"] <= 1.0
+        assert abs(r["quality_rate"] - round(r["quality_docs"] / r["n_docs"], 6)) < 1e-12
