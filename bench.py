@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "corpus_pipeline_v2",
     "corpus_pipeline_v3",
     "corpus_report",
+    "promo_revenue",
+    "nation_year_revenue",
     "quantize_embeddings",
 ]
 

@@ -1668,6 +1668,67 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join_dist1(cust, "c_custkey", "c_name")
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of revenue per ship month.
+    Numerator (conditional sum) and denominator accumulate as exact
+    DECIMAL; one final double division on identical operands, so the
+    percentage hashes cross-engine. Part dim broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    vol = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    ).cast("decimal(28,8)")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return (
+        j.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(28,8)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit proxy — the testdata ships no partsupp, so
+    no supplycost term): revenue by supplier nation x order year.
+    lineitem joins orders on the fact key; supplier/nation broadcast.
+    DECIMAL sums, final cast to double."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    vol = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    ).cast("decimal(28,8)")
+    supp_n = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
+        )
+        .agg(
+            F.sum(vol).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' revenue share within ASIA
     customers' orders, by order year. Both the numerator (conditional
@@ -2355,6 +2416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_stats": q_approx_stats,
     "grouping_sets": q_grouping_sets,
     "corpus_report": q_corpus_report,
+    "promo_revenue": q_promo_revenue,
+    "nation_year_revenue": q_nation_year_revenue,
     "window_running_total": q_window_running_total,
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
@@ -2418,10 +2481,10 @@ _DRIVER_HEAD = [
     # kmeans_clusters and semantic_dedup — added this round;
     # ann_int8_topk has never had a driver row and stays)
     "semantic_dedup", "ann_int8_topk", "kmeans_clusters",
-    # temporal joins/windows (session_window, driver-checked before,
-    # gives its slot to span_dedup — added this round; sliding/rollup
-    # windows keep the family covered in the FULL artifact)
-    "asof_join", "span_dedup",
+    # temporal joins/windows -> round-5 additions (session_window and
+    # asof_join, driver-checked before, give their slots to span_dedup
+    # and promo_revenue; sliding/rollup/scd2 keep the family covered)
+    "promo_revenue", "span_dedup",
     # stats / profiling / graph / funnel / fuzzy / grouping
     # (profile_orders and stats_agg, driver-checked before, give their
     # slots to bm25_batch and dsir_sample — added this round;
@@ -2429,7 +2492,7 @@ _DRIVER_HEAD = [
     # (grouping_sets, driver-checked before, gives its slot to
     # lm_perplexity — added this round; rollup/cube stays covered via
     # the FULL artifact)
-    "dsir_sample", "bm25_batch", "funnel_counts", "fuzzy_name_pairs",
+    "dsir_sample", "bm25_batch", "nation_year_revenue", "fuzzy_name_pairs",
     "lm_perplexity",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
@@ -3828,6 +3891,36 @@ ORACLE_SQL: dict[str, str] = {
            CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
     FROM base
     GROUP BY ROLLUP (lang, source)
+    """,
+    "promo_revenue": """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4))
+                             - CAST(l_discount AS DECIMAL(18,4)))
+                          AS DECIMAL(28,8))
+                     ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(28,8))) AS DOUBLE) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    "nation_year_revenue": """
+    SELECT n_name AS supp_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
     """,
     "grouping_sets": """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
