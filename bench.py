@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "promo_revenue",
     "nation_year_revenue",
+    "rolling_zscore",
     "quantize_embeddings",
 ]
 

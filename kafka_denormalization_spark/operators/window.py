@@ -66,3 +66,47 @@ def sessionize(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 8,
+) -> DataFrame:
+    """Per-partition rolling z-score — the streaming-metrics anomaly
+    primitive (is this event's value unusual vs the last N for this
+    user/sensor?). Frame: the trailing ``window_rows`` rows including
+    the current one.
+
+    Cross-engine determinism: the value is quantized to 2^20 fixed point
+    (floor — exact and identical everywhere, unlike a decimal cast whose
+    tie-rounding differs between engines); window sums of the quantized
+    value and its square are exact BIGINT arithmetic (2^20-scaled values
+    square within a long for |value| < ~4e5); mean/variance/z are then a
+    fixed sequence of IEEE double ops on identical operands. The z-score
+    is scale-invariant, so the quantization cancels except for a
+    sub-1e-6 input perturbation. Rounded to the 9-decimal grid.
+
+    Scale: one window over hash(partition) — the same shuffle any
+    per-key sessionization pays; no joins, no state.
+
+    Output: input columns + ``z_r`` (0.0 where the window variance is 0,
+    including every first row).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    v20 = F.floor(F.col(value_col) * F.lit(1048576.0)).cast("long")
+    s1 = F.sum(v20).over(w)
+    s2 = F.sum(v20 * v20).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    var = s2.cast("double") / n.cast("double") - mean * mean
+    z = F.when(
+        var > 0, (v20.cast("double") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("z_r", F.round(z, 9))

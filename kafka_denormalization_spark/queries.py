@@ -2169,6 +2169,18 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-user anomaly score (operators/window.py
+    rolling_zscore): trailing-8 z-score of event values, 2^20 fixed-point
+    quantization keeps both engines' window sums exact-integer."""
+    ev = events_table(spark, sf_dir)
+    from kafka_denormalization_spark.operators.window import rolling_zscore
+
+    return rolling_zscore(
+        ev, "user_id", ["ts", "event_id"], "value", window_rows=8
+    ).select("event_id", "user_id", "z_r")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all grouping-set combinations) with grouping ids."""
     li = table(spark, sf_dir, "lineitem")
@@ -2417,6 +2429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "corpus_report": q_corpus_report,
     "promo_revenue": q_promo_revenue,
+    "rolling_zscore": q_rolling_zscore,
     "nation_year_revenue": q_nation_year_revenue,
     "window_running_total": q_window_running_total,
     "topk_per_group": q_topk_per_group,
@@ -2492,7 +2505,9 @@ _DRIVER_HEAD = [
     # (grouping_sets, driver-checked before, gives its slot to
     # lm_perplexity — added this round; rollup/cube stays covered via
     # the FULL artifact)
-    "dsir_sample", "bm25_batch", "nation_year_revenue", "fuzzy_name_pairs",
+    # (funnel_counts, driver-checked before, gives its slot to
+    # rolling_zscore — added this round)
+    "dsir_sample", "bm25_batch", "nation_year_revenue", "rolling_zscore",
     "lm_perplexity",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
@@ -3891,6 +3906,32 @@ ORACLE_SQL: dict[str, str] = {
            CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
     FROM base
     GROUP BY ROLLUP (lang, source)
+    """,
+    "rolling_zscore": """
+    WITH q AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 1048576.0) AS BIGINT) AS v20,
+             ts
+      FROM events
+    ), win AS (
+      SELECT event_id, user_id, v20,
+             SUM(v20) OVER w AS s1,
+             SUM(v20 * v20) OVER w AS s2,
+             COUNT(*) OVER w AS n
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+             THEN (CAST(v20 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             ELSE 0.0 END, 9) AS z_r
+    FROM win
     """,
     "promo_revenue": """
     SELECT date_trunc('month', l_shipdate) AS ship_month,

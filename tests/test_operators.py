@@ -269,3 +269,20 @@ def test_corpus_report_rollup_consistency(spark):
     for r in rows:
         assert 0.0 <= r["quality_rate"] <= 1.0
         assert abs(r["quality_rate"] - round(r["quality_docs"] / r["n_docs"], 6)) < 1e-12
+
+
+def test_rolling_zscore_flags_outlier(spark):
+    """A spike after a flat run gets a high z; flat windows get z=0;
+    the first row of each partition is 0 (variance undefined)."""
+    from kafka_denormalization_spark.operators.window import rolling_zscore
+
+    rows = [(i, 1, float(10 + (i % 2)), i) for i in range(8)] + [
+        (8, 1, 100.0, 8),          # spike for user 1
+        (20, 2, 5.0, 0), (21, 2, 5.0, 1),   # flat user 2
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double, t long")
+    out = {r["event_id"]: r["z_r"] for r in
+           rolling_zscore(df, "user_id", ["t", "event_id"], "value").collect()}
+    assert out[0] == 0.0           # first row: no variance
+    assert out[8] > 2.0            # spike
+    assert out[20] == 0.0 and out[21] == 0.0   # flat -> zero variance
