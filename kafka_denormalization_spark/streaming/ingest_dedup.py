@@ -120,6 +120,14 @@ class IngestDedup:
 
         return fn
 
+    def compact(self) -> dict[str, int]:
+        """Rewrite the digest state to one file per partition (see
+        :func:`compact_state`); call between batches."""
+        return _compact_all(
+            self.spark,
+            [(self.state_dir, "key string, bucket int", "bucket")],
+        )
+
 
 class IngestNearDedup:
     """Continuous-ingest NEAR-dedup — the streaming face of
@@ -280,3 +288,59 @@ class IngestNearDedup:
             sink(self.process_batch(batch_df, epoch_id), epoch_id)
 
         return fn
+
+    def compact(self) -> dict[str, int]:
+        """Rewrite both state tables to one file per partition (see
+        :func:`compact_state`); call between batches."""
+        return _compact_all(
+            self.spark,
+            [
+                (self._buckets_dir, "_id long, _band int, _h long, part int", "part"),
+                (self._grams_dir, "_id long, _gd string, part int", "part"),
+            ],
+        )
+
+
+def compact_state(
+    spark: SparkSession, path: str, schema: str, part_col: str = "part"
+) -> int:
+    """Maintenance compaction for a bucket-partitioned state table:
+    every ``process_batch`` append adds one small parquet file per
+    touched partition, and a long-running ingest accumulates thousands
+    of tiny files (scan-planning cost grows even with pruning). Rewrite
+    the table to ONE file per partition and swap directories.
+
+    Single-writer contract: call between batches (the same contract the
+    appends already require — foreachBatch serializes batches within a
+    query). The swap is two directory renames; a crash between them is
+    recoverable by hand (the compacted copy is complete before the
+    first rename). Returns the number of rows compacted; no-op (0) if
+    the state doesn't exist yet.
+    """
+    import shutil
+
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        n = df.count()
+    except AnalysisException:
+        return 0
+    tmp = path + ".compact"
+    (
+        df.repartition(part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .option("maxRecordsPerFile", 50_000_000)
+        .parquet(tmp)
+    )
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
+def _compact_all(spark: SparkSession, dirs_schemas) -> dict[str, int]:
+    return {
+        os.path.basename(p): compact_state(spark, p, s, c)
+        for p, s, c in dirs_schemas
+    }

@@ -1073,3 +1073,40 @@ def test_ingest_near_dedup_across_batches(spark, tmp_path):
     # 5 and 6 near-dup batch-1's doc 2 (and each other): both dropped
     # against state; 7 unique
     assert out3 == [7]
+
+
+def test_ingest_dedup_compaction_preserves_decisions(spark, tmp_path):
+    """compact() rewrites state to one file per partition; dedup
+    decisions (and the near-dedup index) are unchanged afterwards."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import (
+        IngestDedup,
+        IngestNearDedup,
+    )
+
+    dd = IngestDedup(spark, str(tmp_path / "s1"), "doc_id", "text")
+    for i, batch in enumerate([[(1, "a"), (2, "b")], [(3, "c")], [(4, "d")]]):
+        dd.process_batch(
+            spark.createDataFrame(batch, "doc_id long, text string")
+        ).collect()
+    import glob
+
+    files_before = len(glob.glob(str(tmp_path / "s1" / "seen_digests" / "**" / "*.parquet"), recursive=True))
+    stats = dd.compact()
+    files_after = len(glob.glob(str(tmp_path / "s1" / "seen_digests" / "**" / "*.parquet"), recursive=True))
+    assert stats["seen_digests"] == 4 and files_after < files_before
+    out = dd.process_batch(
+        spark.createDataFrame([(9, "a"), (10, "new")], "doc_id long, text string")
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [10]
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    nd = IngestNearDedup(spark, str(tmp_path / "s2"), "doc_id", "text", threshold=0.5)
+    nd.process_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string")
+    ).collect()
+    nd.compact()
+    near = " ".join(f"tok{i}" for i in range(28)) + " zz yy"
+    out2 = nd.process_batch(
+        spark.createDataFrame([(2, near), (3, "unrelated words here")], "doc_id long, text string")
+    ).collect()
+    assert sorted(r["doc_id"] for r in out2) == [3]
