@@ -344,3 +344,143 @@ def _compact_all(spark: SparkSession, dirs_schemas) -> dict[str, int]:
         os.path.basename(p): compact_state(spark, p, s, c)
         for p, s, c in dirs_schemas
     }
+
+
+class IngestSpanDedup:
+    """Continuous-ingest SPAN dedup — the streaming face of
+    operators/chunking.py ``span_dedup``: per micro-batch, every
+    16-token (configurable) chunk that was already emitted by ANY
+    earlier batch — or earlier in this batch, min (doc_id, chunk_id)
+    wins — is removed, and each document is re-emitted rebuilt from its
+    surviving chunks. Catches the cross-document boilerplate that
+    arrives incrementally (feeds re-sending the same nav/footer spans
+    around fresh content).
+
+    State: the emitted span-digest set, hash-bucketed parquet exactly
+    like :class:`IngestDedup` (md5 span digests; chunk text never enters
+    state). Reads prune to the batch's buckets; appends are
+    set-idempotent under replay.
+
+    Output per batch: (id, text_dedup, n_chunks, n_dropped) — documents
+    rebuilt, same schema as the batch operator.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        text_col: str,
+        chunk_tokens: int = 16,
+        n_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = os.path.join(state_dir, "span_digests")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.chunk_tokens = chunk_tokens
+        self.n_buckets = n_buckets
+
+    def _seen(self, prune: DataFrame) -> DataFrame:
+        try:
+            df = self.spark.read.schema(_STATE_SCHEMA).parquet(self.state_dir)
+        except AnalysisException:
+            return self.spark.createDataFrame([], _STATE_SCHEMA)
+        return df.join(
+            F.broadcast(prune.filter(F.col("bucket") >= 0)),
+            on="bucket",
+            how="left_semi",
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        from kafka_denormalization_spark.operators.chunking import chunk_documents
+
+        id_col = self.id_col
+        ch = chunk_documents(
+            batch_df, id_col, self.text_col, self.chunk_tokens, overlap=0
+        ).select(
+            F.col(id_col),
+            "chunk_id",
+            "chunk_text",
+            F.md5("chunk_text").alias("_h"),
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("_h")), F.lit(self.n_buckets)).cast("int")
+        )
+        # within-batch first occurrence (the batch operator's min-struct rule)
+        first = ch.groupBy("_h").agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("chunk_id").alias("c"),
+                    F.col("chunk_text").alias("t"),
+                    F.col("bucket").alias("b"),
+                )
+            ).alias("_k")
+        )
+        batch_first = first.select(
+            F.col("_h"),
+            F.col("_k.i").alias(id_col),
+            F.col("_k.c").alias("chunk_id"),
+            F.col("_k.t").alias("chunk_text"),
+            F.col("_k.b").alias("bucket"),
+        )
+        seen = self._seen(batch_first.select("bucket").distinct())
+        fresh = batch_first.join(
+            seen.withColumnRenamed("key", "_h"), ["_h"], "left_anti"
+        ).localCheckpoint(eager=True)
+        (
+            fresh.select(F.col("_h").alias("key"), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self.state_dir)
+        )
+        rebuilt = fresh.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("chunk_id").alias("c"),
+                                F.col("chunk_text").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("t"),
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        from kafka_denormalization_spark.functions.text import tokens as _toks
+
+        wc = F.size(_toks(F.col(self.text_col)))
+        step = self.chunk_tokens
+        n_chunks = F.greatest(
+            F.lit(1), F.floor((wc + F.lit(step - 1)) / F.lit(step))
+        ).cast("long")
+        return (
+            batch_df.select(F.col(id_col), n_chunks.alias("n_chunks"))
+            .join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+                F.col("n_chunks"),
+                (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("long")
+                .alias("n_dropped"),
+            )
+        )
+
+    def foreach_batch(self, sink):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            sink(self.process_batch(batch_df, epoch_id), epoch_id)
+
+        return fn
+
+    def compact(self) -> dict[str, int]:
+        """Rewrite the span-digest state (see :func:`compact_state`)."""
+        return _compact_all(
+            self.spark, [(self.state_dir, _STATE_SCHEMA, "bucket")]
+        )

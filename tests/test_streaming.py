@@ -1110,3 +1110,33 @@ def test_ingest_dedup_compaction_preserves_decisions(spark, tmp_path):
         spark.createDataFrame([(2, near), (3, "unrelated words here")], "doc_id long, text string")
     ).collect()
     assert sorted(r["doc_id"] for r in out2) == [3]
+
+
+def test_ingest_span_dedup_across_batches(spark, tmp_path):
+    """Streaming span dedup: a span already emitted by an earlier batch
+    is stripped from later docs (docs REBUILT, not dropped); fully-novel
+    docs pass untouched; restart keeps the span memory."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import IngestSpanDedup
+
+    boiler = "a b c d"                     # the recurring 4-token span
+    dd = IngestSpanDedup(spark, str(tmp_path / "st"), "doc_id", "text", chunk_tokens=4)
+    b1 = spark.createDataFrame(
+        [(1, f"{boiler} e f g h")], "doc_id long, text string"
+    )
+    out1 = {r["doc_id"]: r for r in dd.process_batch(b1).collect()}
+    assert out1[1]["text_dedup"] == "a b c d e f g h" and out1[1]["n_dropped"] == 0
+
+    b2 = spark.createDataFrame(
+        [(2, f"{boiler} x y z w"), (3, "p q r s")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in dd.process_batch(b2).collect()}
+    assert out2[2]["text_dedup"] == "x y z w" and out2[2]["n_dropped"] == 1
+    assert out2[3]["text_dedup"] == "p q r s" and out2[3]["n_dropped"] == 0
+
+    # restart via a fresh instance: state remembers all emitted spans
+    dd2 = IngestSpanDedup(spark, str(tmp_path / "st"), "doc_id", "text", chunk_tokens=4)
+    b3 = spark.createDataFrame(
+        [(4, f"p q r s {boiler}")], "doc_id long, text string"
+    )
+    out3 = {r["doc_id"]: r for r in dd2.process_batch(b3).collect()}
+    assert out3[4]["text_dedup"] == "" and out3[4]["n_dropped"] == 2
