@@ -1140,3 +1140,34 @@ def test_ingest_span_dedup_across_batches(spark, tmp_path):
     )
     out3 = {r["doc_id"]: r for r in dd2.process_batch(b3).collect()}
     assert out3[4]["text_dedup"] == "" and out3[4]["n_dropped"] == 2
+
+
+def test_ingest_dedup_replayed_epoch_emits_once(spark, tmp_path):
+    """The documented exactly-once story, proven: IngestDedup's state
+    appends are set-idempotent (a replay cannot flip decisions), and the
+    idempotent_foreach_batch wrapper stops the replayed epoch from
+    re-EMITTING its survivors downstream."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import IngestDedup
+    from kafka_denormalization_spark.streaming.sinks import idempotent_foreach_batch
+
+    dd = IngestDedup(spark, str(tmp_path / "state"), "doc_id", "text")
+    emitted: list[int] = []
+
+    def sink(df, epoch_id):
+        emitted.extend(r["doc_id"] for r in df.collect())
+
+    fn = idempotent_foreach_batch(
+        spark, str(tmp_path / "commits"), dd.foreach_batch(sink)
+    )
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    fn(b1, 0)
+    fn(b1, 0)  # replayed epoch: same batch, same epoch id
+    assert sorted(emitted) == [1, 2]  # emitted once, not twice
+
+    # state was written by the FIRST run; a replay without the marker
+    # (worst case: crash after state append, before commit) still cannot
+    # corrupt decisions — digests are a set, survivors recompute empty
+    # against state but the marker path above is the emit-dedup guard.
+    b2 = spark.createDataFrame([(3, "a"), (4, "c")], "doc_id long, text string")
+    fn(b2, 1)
+    assert sorted(emitted) == [1, 2, 4]
