@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "promo_revenue",
     "nation_year_revenue",
     "rolling_zscore",
+    "leakage_safe_split",
     "quantize_embeddings",
 ]
 

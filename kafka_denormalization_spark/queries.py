@@ -829,6 +829,46 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_shared(spark, sf_dir)
 
 
+SPLIT_SALT = "split1"
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_VAL_FRAC = 0.9  # cumulative: [0, .8) train, [.8, .9) val, rest test
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every document follows its
+    near-dup CLUSTER's hash draw (component representative from the
+    shared LSH pair graph; singletons draw on their own id), so two
+    near-duplicates can never straddle train and eval — the classic
+    train-test contamination vector a naive per-doc split leaves open.
+    Deterministic md5 thresholds (operators/sampling.py convention);
+    oracle replays the recursive-CTE closure + the same draw."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.operators.sampling import (
+        fraction_threshold,
+        sample_hash,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    joined = docs.join(
+        F.broadcast(clusters.withColumnRenamed("node", "doc_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+    )
+    h = sample_hash(F.col("group_id"), SPLIT_SALT)
+    split = (
+        F.when(h < F.lit(fraction_threshold(SPLIT_TRAIN_FRAC)), "train")
+        .when(h < F.lit(fraction_threshold(SPLIT_VAL_FRAC)), "val")
+        .otherwise("test")
+    )
+    return joined.select("doc_id", "lang", "group_id", split.alias("split"))
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate clusters: connected components over the
     MinHash-LSH pair graph (pairs shared via the session memo). Greedy
@@ -2371,6 +2411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_docs": q_near_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "leakage_safe_split": q_leakage_safe_split,
     "cluster_dedup_docs": q_cluster_dedup_docs,
     "doc_chunks": q_doc_chunks,
     "sequence_packing": q_sequence_packing,
@@ -2483,7 +2524,10 @@ _DRIVER_HEAD = [
     # text analysis / quality / decontamination (text_stats, driver-
     # checked r01-r04, gives its slot to dsir_weights — added this round;
     # quality_filter keeps the text family covered)
-    "dsir_weights", "quality_filter", "contamination_scan_join",
+    # (quality_filter, driver-checked before — gopher rules also run
+    # inside corpus_pipeline_v3 in this head — gives its slot to
+    # leakage_safe_split, added this round)
+    "dsir_weights", "leakage_safe_split", "contamination_scan_join",
     # chunking / packing / reporting (corpus_pipeline and
     # sequence_packing, driver-checked before, gave their slots to
     # cluster_dedup_best — added late round 4 — and corpus_report,
@@ -3341,6 +3385,34 @@ ORACLE_SQL: dict[str, str] = {
     WHERE doc_id NOT IN (SELECT id_b FROM pairs)
     """,
     "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "leakage_safe_split": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    g AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(c.cluster, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    )
+    SELECT doc_id, lang, group_id,
+           CASE
+             WHEN substr(md5(concat('{SPLIT_SALT}', '|',
+                    CAST(group_id AS VARCHAR))), 1, 8) < 'cccccccc' THEN 'train'
+             WHEN substr(md5(concat('{SPLIT_SALT}', '|',
+                    CAST(group_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM g
+    """,
     "near_dup_clusters": f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
     edges AS (

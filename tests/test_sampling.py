@@ -199,3 +199,25 @@ def test_dsir_resample_topk(spark):
     assert got == again and len(got) == 12
     # chemistry docs (ids 0-9, exp(logw) far larger) should dominate
     assert sum(1 for i in got if i < 10) >= 8
+
+
+def test_leakage_safe_split_clusters_travel_together(spark):
+    """No near-dup cluster straddles splits; proportions are hash-fair;
+    deterministic across invocations."""
+    from kafka_denormalization_spark.queries import q_leakage_safe_split
+
+    rows = q_leakage_safe_split(spark, "/root/testdata/sf0.01").collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # at least one real multi-doc cluster exists in the fixture
+    from collections import Counter
+    sizes = Counter()
+    for r in rows:
+        sizes[r["group_id"]] += 1
+    assert max(sizes.values()) >= 2
+    counts = Counter(r["split"] for r in rows)
+    n = len(rows)
+    assert 0.7 < counts["train"] / n < 0.9
+    assert counts["val"] > 0 and counts["test"] > 0
