@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "nation_year_revenue",
     "rolling_zscore",
     "leakage_safe_split",
+    "packing_stats",
     "quantize_embeddings",
 ]
 

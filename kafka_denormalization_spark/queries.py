@@ -931,6 +931,39 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
 
 
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency accounting for the concat-and-cut layout: per
+    source stream, chunks/tokens, packs used (ceil(total/budget)), and
+    the padding fraction (only the final partial pack pads — the layout
+    splits chunks across pack boundaries). Integer-exact until one final
+    int/int division on the 6-decimal grid."""
+    from kafka_denormalization_spark.operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64).join(
+        docs.select("doc_id", "source"), ["doc_id"]
+    )
+    budget = 256
+    agg = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    n_packs = F.expr(f"(total_tokens + {budget - 1}) DIV {budget}")
+    padding = (n_packs * budget - F.col("total_tokens")).cast("long")
+    return agg.select(
+        "source",
+        "n_chunks",
+        "total_tokens",
+        n_packs.cast("long").alias("n_packs"),
+        padding.alias("padding_tokens"),
+        F.round(
+            padding.cast("double")
+            / (n_packs * budget).cast("double"),
+            6,
+        ).alias("padding_frac"),
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing: 64-token chunks packed into
     256-token context windows per source stream. One window cumsum per
@@ -2415,6 +2448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_dedup_docs": q_cluster_dedup_docs,
     "doc_chunks": q_doc_chunks,
     "sequence_packing": q_sequence_packing,
+    "packing_stats": q_packing_stats,
     "span_dedup": q_span_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
@@ -2527,7 +2561,9 @@ _DRIVER_HEAD = [
     # (quality_filter, driver-checked before — gopher rules also run
     # inside corpus_pipeline_v3 in this head — gives its slot to
     # leakage_safe_split, added this round)
-    "dsir_weights", "leakage_safe_split", "contamination_scan_join",
+    # (contamination_scan_join, driver-checked r04, gives its slot to
+    # packing_stats — added this round)
+    "dsir_weights", "leakage_safe_split", "packing_stats",
     # chunking / packing / reporting (corpus_pipeline and
     # sequence_packing, driver-checked before, gave their slots to
     # cluster_dedup_best — added late round 4 — and corpus_report,
@@ -2890,6 +2926,34 @@ ORACLE_SQL: dict[str, str] = {
            array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
            len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens
     FROM c
+    """,
+    "packing_stats": """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(greatest(1, (len(w) + 63) // 64))) AS chunk_id
+      FROM t
+    ), ch AS (
+      SELECT c.doc_id,
+             len(list_slice(w, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS n_tokens
+      FROM c
+    ), j AS (
+      SELECT d.source, ch.n_tokens FROM ch JOIN documents d USING (doc_id)
+    ), agg AS (
+      SELECT source, count(*) AS n_chunks,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM j GROUP BY source
+    )
+    SELECT source, n_chunks, total_tokens,
+           CAST((total_tokens + 255) // 256 AS BIGINT) AS n_packs,
+           CAST(((total_tokens + 255) // 256) * 256 - total_tokens AS BIGINT)
+             AS padding_tokens,
+           round(CAST(((total_tokens + 255) // 256) * 256 - total_tokens
+                      AS DOUBLE)
+                 / CAST(((total_tokens + 255) // 256) * 256 AS DOUBLE), 6)
+             AS padding_frac
+    FROM agg
     """,
     "sequence_packing": """
     WITH t AS (
