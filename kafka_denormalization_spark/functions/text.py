@@ -693,3 +693,112 @@ def lm_score(
             F.col("nll_r"),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str,
+    num_merges: int = 3,
+) -> DataFrame:
+    """BPE merge induction (Sennrich et al. 2016): learn the first
+    ``num_merges`` byte-pair merges from the corpus — the
+    tokenizer-training primitive. Classic formulation: aggregate the
+    corpus to its word-frequency table ONCE, split words into character
+    symbols, then per round (a) count adjacent symbol pairs weighted by
+    word frequency, (b) pick the max-count pair (ties break to the
+    lexicographically largest pair — deterministic struct max on both
+    engines), (c) rewrite every word's symbol sequence with a greedy
+    left-to-right merge fold.
+
+    The merge rewrite is a sequential array fold (``F.aggregate`` with a
+    list accumulator; DuckDB mirrors it with ``list_reduce`` over
+    singleton lists) — identical greedy semantics on both engines, so
+    the merge table hash-matches exactly.
+
+    Scale (100 TB): the corpus is touched ONCE (the word-frequency
+    aggregation — partial-agg, vocabulary-bounded output). Every merge
+    round runs on the persisted vocab table (|vocab| rows), with the
+    1-row best-pair aggregate broadcast back (allow-listed cross join)
+    — round cost is independent of corpus size, exactly how production
+    BPE trainers work on the word-count table.
+
+    Output: (rank, p1, p2, cnt) — one row per learned merge, rank 1..M.
+    """
+    from pyspark import StorageLevel
+
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    chars = F.when(
+        F.length("_w") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_w")),
+            lambda i: F.col("_w").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    syms_df = vocab.select("_w", "_f", chars.alias("_syms")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    empty_pairs = F.array().cast("array<struct<p1:string,p2:string>>")
+    bests = []
+    for rnd in range(num_merges):
+        pairs = F.when(
+            F.size("_syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_syms"), i).alias("p1"),
+                    F.element_at(F.col("_syms"), i + 1).alias("p2"),
+                ),
+            ),
+        ).otherwise(empty_pairs)
+        counts = (
+            syms_df.select("_f", F.explode(pairs).alias("_p"))
+            .groupBy("_p.p1", "_p.p2")
+            .agg(F.sum("_f").alias("cnt"))
+        )
+        best = counts.agg(
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("cnt"),
+                    F.col("p1").alias("p1"),
+                    F.col("p2").alias("p2"),
+                )
+            ).alias("_b")
+        ).select(
+            F.lit(rnd + 1).cast("long").alias("rank"),
+            F.col("_b.p1").alias("p1"),
+            F.col("_b.p2").alias("p2"),
+            F.col("_b.cnt").alias("cnt"),
+        )
+        bests.append(best)
+        if rnd == num_merges - 1:
+            break
+        merged = F.concat(F.col("p1"), F.col("p2"))
+        fold = F.aggregate(
+            F.transform(F.col("_syms"), lambda s: F.array(s)),
+            F.array().cast("array<string>"),
+            # F.get (NULL out-of-bounds) not element_at (throws under the
+            # ANSI mode a vanilla Spark 4 session runs with; AND does not
+            # short-circuit in SQL, so the size guard alone cannot save
+            # an out-of-bounds probe on the empty accumulator)
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.get(acc, F.size(acc) - 1) == F.col("p1"))
+                & (F.get(x, F.lit(0)) == F.col("p2")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, x)),
+        )
+        syms_df = syms_df.crossJoin(F.broadcast(best)).select(
+            "_w", "_f", fold.alias("_syms")
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -931,6 +931,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge induction (functions/text.py bpe_merges): the first 3
+    byte-pair merges learned from the corpus word-frequency table —
+    tokenizer training as one corpus aggregation + vocab-bounded merge
+    rounds. The greedy merge fold is sequential on both engines, so the
+    merge table hash-matches exactly."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.bpe_merges(docs, "text", num_merges=3)
+
+
 def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency accounting for the concat-and-cut layout: per
     source stream, chunks/tokens, packs used (ceil(total/budget)), and
@@ -2449,6 +2459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "sequence_packing": q_sequence_packing,
     "packing_stats": q_packing_stats,
+    "bpe_merges": q_bpe_merges,
     "span_dedup": q_span_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
@@ -2548,7 +2559,9 @@ _DRIVER_HEAD = [
     # (cluster_dedup_docs, driver-checked before with the dedup family
     # deeply covered here, gives its slot to corpus_pipeline_v3)
     "corpus_pipeline_v3", "incremental_dedup",          # LSH + oracle fix
-    "agg_pricing_summary",                              # perf watch-list
+    # (agg_pricing_summary, driver-checked r01-r04; its r04 perf watch
+    # closed as JIT variance — gives its slot to lm_perplexity)
+    "lm_perplexity",
     # reference core: denormalization DSL, latest, serde, dedup
     # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture;
     # dedup_exact, driver-checked r01-r04 with the dedup family deeply
@@ -2587,8 +2600,10 @@ _DRIVER_HEAD = [
     # the FULL artifact)
     # (funnel_counts, driver-checked before, gives its slot to
     # rolling_zscore — added this round)
+    # (fuzzy_name_pairs, driver-checked r04, gives its slot to
+    # bpe_merges — added this round)
     "dsir_sample", "bm25_batch", "nation_year_revenue", "rolling_zscore",
-    "lm_perplexity",
+    "bpe_merges",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -2803,6 +2818,49 @@ _DSIR_WEIGHTS_SQL = f"""
       FROM contrib GROUP BY doc_id
     )"""
 
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Unrolled BPE merge rounds mirroring functions/text.py bpe_merges:
+    word-frequency table once, per round a weighted pair count, a
+    struct-max best pair, and a greedy left-to-right list_reduce merge
+    fold over singleton-list symbols (identical fold semantics to the
+    Spark F.aggregate)."""
+    parts = [
+        f"WITH v0 AS (SELECT w, count(*) AS f FROM "
+        f"(SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w)",
+        "s0 AS (SELECT w, f, list_transform(range(1, length(w) + 1), "
+        "i -> (w)[i]) AS syms FROM v0)",
+    ]
+    sel = []
+    for r in range(num_merges):
+        parts.append(
+            f"c{r} AS (SELECT p[1] AS p1, p[2] AS p2, "
+            f"CAST(sum(f) AS BIGINT) AS cnt FROM ("
+            f"SELECT f, unnest(list_transform(range(1, len(syms)), "
+            f"i -> [syms[i], syms[i + 1]])) AS p FROM s{r}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT max({{'cnt': cnt, 'p1': p1, 'p2': p2}}) AS b "
+            f"FROM c{r})"
+        )
+        sel.append(
+            f"SELECT CAST({r + 1} AS BIGINT) AS rank, (b).p1 AS p1, "
+            f"(b).p2 AS p2, (b).cnt AS cnt FROM b{r}"
+        )
+        if r == num_merges - 1:
+            break
+        parts.append(
+            f"s{r + 1} AS (SELECT w, f, "
+            f"list_reduce(list_prepend([]::VARCHAR[], "
+            f"list_transform(syms, s -> [s])), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = (b).p1 "
+            f"AND x[1] = (b).p2 "
+            f"THEN list_concat(acc[1:-2], [(b).p1 || (b).p2]) "
+            f"ELSE list_concat(acc, x) END) AS syms "
+            f"FROM s{r}, b{r})"
+        )
+    return ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(sel)
+
+
 ORACLE_SQL: dict[str, str] = {
     "denorm_inner": _denorm_sql("JOIN", right_filter=False),
     "denorm_left_outer": _denorm_sql("LEFT JOIN", right_filter=True),
@@ -2927,6 +2985,7 @@ ORACLE_SQL: dict[str, str] = {
            len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens
     FROM c
     """,
+    "bpe_merges": _bpe_oracle_sql(3),
     "packing_stats": """
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents

@@ -194,6 +194,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "semantic_dedup",           # same (embeds kmeans_clusters)
         "lm_perplexity",            # 1-row vocab-stats aggregate broadcast
                                     # over the bigram probability rows
+        "bpe_merges",               # 1-row best-pair aggregate broadcast
+                                    # over the vocab table, once per round
         "epoch_mixture",            # 1-row corpus-total aggregate broadcast
                                     # over |languages| plan rows (epoch plan)
     }

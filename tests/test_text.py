@@ -328,3 +328,32 @@ def test_lm_score_fluency_ordering(spark):
     assert out[1]["nll_r"] < out[4]["nll_r"]
     assert out[5]["nll_r"] is None and out[5]["n_bigrams"] == 0
     assert out[1]["n_bigrams"] == 5
+
+
+def test_bpe_merges_classic_example(spark):
+    """The Sennrich-style toy corpus learns the expected merges in
+    order: most frequent pair first, then a pair involving the merged
+    symbol — proving the fold rewrites sequences between rounds."""
+    from kafka_denormalization_spark.functions.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "id long, text string",
+    )
+    out = [(r["rank"], r["p1"], r["p2"], r["cnt"]) for r in bpe_merges(df, "text", 3).collect()]
+    assert out[0] == (1, "o", "w", 6)
+    assert out[1] == (2, "l", "ow", 6)   # uses round-1's merged symbol
+    assert out[2][3] == 3
+
+
+def test_bpe_merges_greedy_chain(spark):
+    """'aaa' with pair (a,a): greedy left-to-right merges the first two,
+    leaving (aa, a) — no overlapping re-merge within one round."""
+    from pyspark.sql import functions as F
+    from kafka_denormalization_spark.functions.text import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaa aaa ab")], "id long, text string")
+    out = bpe_merges(df, "text", 2).collect()
+    assert (out[0]["p1"], out[0]["p2"]) == ("a", "a")
+    # round 2 pairs come from [aa, a] (+ 'ab' chars): (aa,a) count 2
+    assert (out[1]["p1"], out[1]["p2"]) == ("aa", "a")
