@@ -307,3 +307,88 @@ def test_tws_converges_to_latest_join_randomized(spark, tmp_path):
             final[r["key"]] = ((lv["s"], rv["s"]), (lv["v"], rv["v"]))
     got = {k: v for k, (_, v) in final.items()}
     assert got == expected_final(updates)
+
+
+def test_span_dedup_invariants_randomized(spark):
+    """For random corpora: (1) every surviving chunk's text is a chunk of
+    its original doc at the same boundary; (2) each distinct chunk text
+    survives exactly once corpus-wide, at its min (doc_id, chunk_id);
+    (3) n_kept + n_dropped == n_chunks; (4) deterministic."""
+    import random as rnd
+
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+
+    rnd.seed(11)
+    vocab = [f"t{i}" for i in range(12)]   # small vocab -> real collisions
+    C = 4
+    docs = []
+    for i in range(30):
+        n = rnd.randrange(1, 20)
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", chunk_tokens=C).collect()}
+    again = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", chunk_tokens=C).collect()}
+    assert {k: (v["text_dedup"], v["n_dropped"]) for k, v in out.items()} == {
+        k: (v["text_dedup"], v["n_dropped"]) for k, v in again.items()
+    }
+
+    # driver-side model
+    first_owner: dict[str, tuple[int, int]] = {}
+    chunks_of: dict[int, list[str]] = {}
+    for i, text in docs:
+        toks = text.split()
+        cs = [" ".join(toks[j : j + C]) for j in range(0, max(len(toks), 1), C)]
+        chunks_of[i] = cs
+        for ci, c in enumerate(cs):
+            if c not in first_owner or (i, ci) < first_owner[c]:
+                first_owner[c] = (i, ci)
+    for i, text in docs:
+        kept = [
+            c for ci, c in enumerate(chunks_of[i]) if first_owner[c] == (i, ci)
+        ]
+        assert out[i]["text_dedup"] == " ".join(kept)
+        assert out[i]["n_chunks"] == len(chunks_of[i])
+        assert out[i]["n_dropped"] == len(chunks_of[i]) - len(kept)
+
+
+def test_containment_pairs_randomized_vs_bruteforce(spark):
+    """Prefix filtering loses nothing: the full containment pair set at
+    the threshold equals the brute-force computation."""
+    import random as rnd
+
+    from kafka_denormalization_spark.functions.similarity import containment_pairs
+
+    rnd.seed(23)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(25):
+        n = rnd.randrange(3, 25)
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+    # plant guaranteed subset dups
+    docs.append((100, docs[0][1] + " zz"))
+    docs.append((101, " ".join(docs[1][1].split()[:6])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n, t = 3, 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=n, threshold=t, persist=False).collect()
+    }
+
+    def grams(text):
+        toks = text.split()
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    gs = {i: grams(text) for i, text in docs}
+    want = {}
+    for a, ga in gs.items():
+        if not ga:
+            continue
+        for b, gb in gs.items():
+            if a == b:
+                continue
+            c = len(ga & gb) / len(ga)
+            if c >= t:
+                want[(a, b)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
