@@ -86,6 +86,20 @@ def _lm_perplexity(docs):
     return lm_score(docs, "doc_id", "text", F.col("lang") == "en")
 
 
+def _bpe(docs):
+    from kafka_denormalization_spark.functions.text import bpe_merges
+
+    return bpe_merges(docs, "text", num_merges=3)
+
+
+def _zscore(events):
+    from kafka_denormalization_spark.operators.window import rolling_zscore
+
+    return rolling_zscore(
+        events, "user_id", ["ts", "event_id"], "value", window_rows=8
+    ).select("event_id", "user_id", "z_r")
+
+
 def _containment(docs):
     from kafka_denormalization_spark.functions.similarity import containment_pairs
 
@@ -100,6 +114,11 @@ OPS = {
     "kmeans_clusters": ("embeddings", "vec_id", _kmeans, False),
     "lm_perplexity": ("documents", "doc_id", _lm_perplexity, False),
     "containment_dedup": ("documents", "doc_id", _containment, True),
+    "bpe_merges": ("documents", "doc_id", _bpe, False),
+    # shift user_id (not event_id): scale-up should add USERS — shifting
+    # only event ids would deepen every user's window N-fold instead of
+    # growing the key space like real data
+    "rolling_zscore": ("events", "user_id", _zscore, False),
 }
 
 
