@@ -1171,3 +1171,47 @@ def test_ingest_dedup_replayed_epoch_emits_once(spark, tmp_path):
     b2 = spark.createDataFrame([(3, "a"), (4, "c")], "doc_id long, text string")
     fn(b2, 1)
     assert sorted(emitted) == [1, 2, 4]
+
+
+def test_ingest_near_dedup_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run for the NEAR-dedup twin: file
+    source, one file per trigger — a later file's near-duplicate of an
+    earlier file's doc never reaches the sink."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import IngestNearDedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(28)) + " zz yy"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, base), (2, "first unrelated words entirely here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, near), (4, "second unrelated content beyond compare")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    dd = IngestNearDedup(spark, str(tmp_path / "state"), "doc_id", "text", threshold=0.5)
+    got: list[int] = []
+
+    def sink(df, epoch_id):
+        got.extend(r["doc_id"] for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(dd.foreach_batch(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    survivors = sorted(got)
+    # whichever file ran first, exactly one of {1, 3} survives and both
+    # unrelated docs do
+    assert 2 in survivors and 4 in survivors and len(survivors) == 3
+    assert (1 in survivors) ^ (3 in survivors)
