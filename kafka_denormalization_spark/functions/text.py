@@ -592,12 +592,15 @@ def lm_score(
     only the target subset (the predicate pushes into the scan, and the
     curated target is small next to the raw corpus) — deliberately NOT
     shared with the scoring pass, so nothing corpus-sized needs a
-    persist. Scoring is one corpus pass: posexplode + per-doc lead
-    window, then three lookups (bigram, prev-unigram, cur-unigram
-    counts) against the model tables, each bounded by target vocabulary
-    — AQE broadcasts them when they fit, and its skew-join covers the
-    stopword hot keys when they don't. The per-doc fold reuses the
-    window's hash(id) partitioning (subset rule).
+    persist. Scoring is one corpus pass with TWO model lookups, not
+    three: the unigram count is joined once per TOKEN before the
+    per-doc lead window, and ``lead`` carries it forward so one probe
+    yields both the prev- and cur-unigram counts; only the bigram
+    count still joins per bigram row. Both lookup tables are bounded
+    by target vocabulary — AQE broadcasts them when they fit, and its
+    skew-join covers the stopword hot keys when they don't. The
+    per-doc fold reuses the window's hash(id) partitioning (subset
+    rule).
 
     Output: (id_col, n_bigrams, nll_r); docs with < 2 tokens carry NULL
     nll_r (no bigram evidence) and n_bigrams = 0.
@@ -629,16 +632,16 @@ def lm_score(
     all_tok_pos = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
-    )
+    ).join(uni.withColumnRenamed("_w", "_t"), "_t", "left")
     w_a = Window.partitionBy("_id").orderBy("_pos")
     bi = all_tok_pos.select(
         "_id",
         "_pos",
         F.col("_t").alias("_w1"),
+        F.col("_c1").alias("_c1p"),
         F.lead("_t", 1).over(w_a).alias("_w2"),
+        F.lead("_c1", 1).over(w_a).alias("_c1c"),
     ).filter(F.col("_w2").isNotNull())
-    u1 = uni.select(F.col("_w").alias("_w1"), F.col("_c1").alias("_c1p"))
-    u2 = uni.select(F.col("_w").alias("_w2"), F.col("_c1").alias("_c1c"))
     joined = (
         bi.join(
             bi_model,
@@ -646,8 +649,6 @@ def lm_score(
             "left",
         )
         .drop("_w1m", "_w2m")
-        .join(u1, "_w1", "left")
-        .join(u2, "_w2", "left")
         .crossJoin(F.broadcast(stats))
     )
     av = F.lit(alpha) * F.col("_V").cast("double")
