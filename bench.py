@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "rolling_zscore",
     "leakage_safe_split",
     "packing_stats",
+    "shard_plan",
     "bpe_merges",
     "quantize_embeddings",
 ]

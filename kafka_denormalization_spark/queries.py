@@ -974,6 +974,34 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: every document gets a
+    shard_id (md5-draw modulo 8) and a dense within-shard position (the
+    loader read order) — the global hash shuffle a reproducible corpus
+    build ships as its final step. Pure function of (salt, doc_id):
+    identical on any partitioning or engine."""
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+
+    docs = table(spark, sf_dir, "documents")
+    return shard_plan(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard_id", "pos"
+    )
+
+
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard balance report over the shard_plan layout: docs, tokens
+    and chars per shard — the loader-worker balance check. One
+    aggregation pass over the plan."""
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_plan,
+        shard_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    plan = shard_plan(docs, "doc_id", n_shards=8)
+    return shard_stats(plan, text_fns.token_count("text"))
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing: 64-token chunks packed into
     256-token context windows per source stream. One window cumsum per
@@ -2459,6 +2487,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "sequence_packing": q_sequence_packing,
     "packing_stats": q_packing_stats,
+    "shard_plan": q_shard_plan,
+    "shard_stats": q_shard_stats,
     "bpe_merges": q_bpe_merges,
     "span_dedup": q_span_dedup,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2986,6 +3016,35 @@ ORACLE_SQL: dict[str, str] = {
     FROM c
     """,
     "bpe_merges": _bpe_oracle_sql(3),
+    "shard_plan": """
+    WITH p AS (
+      SELECT doc_id,
+             md5(concat('shard', '|', CAST(doc_id AS VARCHAR))) AS draw,
+             CAST(('0x' || substr(md5(concat('shard', '|',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8
+               AS shard_id
+      FROM documents
+    )
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id
+                                   ORDER BY draw, doc_id) - 1 AS BIGINT) AS pos
+    FROM p
+    """,
+    "shard_stats": """
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(concat('shard', '|',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8
+               AS shard_id
+      FROM documents
+    )
+    SELECT shard_id,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM p GROUP BY shard_id
+    """,
     "packing_stats": """
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
