@@ -725,10 +725,27 @@ def bpe_merges(
 
     Output: (rank, p1, p2, cnt) — one row per learned merge, rank 1..M.
     """
-    from pyspark import StorageLevel
-
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    syms_df = _bpe_vocab_syms(docs, text_col)
+    bests = []
+    for rnd in range(num_merges):
+        best = _bpe_best_pair(syms_df, rnd)
+        bests.append(best)
+        if rnd == num_merges - 1:
+            break
+        syms_df = _bpe_apply_merge(syms_df, best)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
+    """The persisted word-frequency table with each word split into
+    character symbols — the single corpus pass every BPE round reuses."""
+    from pyspark import StorageLevel
+
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
         .groupBy("_w")
@@ -741,65 +758,105 @@ def bpe_merges(
             lambda i: F.col("_w").substr(i, F.lit(1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    syms_df = vocab.select("_w", "_f", chars.alias("_syms")).persist(
+    return vocab.select("_w", "_f", chars.alias("_syms")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+
+
+def _bpe_best_pair(syms_df: DataFrame, rnd: int) -> DataFrame:
+    """One merge round's winner: weighted adjacent-pair count over the
+    vocab symbol table, struct-max tie-broken (cnt, p1, p2) — a 1-row
+    frame (rank, p1, p2, cnt)."""
     empty_pairs = F.array().cast("array<struct<p1:string,p2:string>>")
-    bests = []
-    for rnd in range(num_merges):
-        pairs = F.when(
-            F.size("_syms") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_syms") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("_syms"), i).alias("p1"),
-                    F.element_at(F.col("_syms"), i + 1).alias("p2"),
-                ),
+    pairs = F.when(
+        F.size("_syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_syms"), i).alias("p1"),
+                F.element_at(F.col("_syms"), i + 1).alias("p2"),
             ),
-        ).otherwise(empty_pairs)
-        counts = (
-            syms_df.select("_f", F.explode(pairs).alias("_p"))
-            .groupBy("_p.p1", "_p.p2")
-            .agg(F.sum("_f").alias("cnt"))
-        )
-        best = counts.agg(
-            F.max(
-                F.struct(
-                    F.col("cnt").alias("cnt"),
-                    F.col("p1").alias("p1"),
-                    F.col("p2").alias("p2"),
-                )
-            ).alias("_b")
-        ).select(
-            F.lit(rnd + 1).cast("long").alias("rank"),
-            F.col("_b.p1").alias("p1"),
-            F.col("_b.p2").alias("p2"),
-            F.col("_b.cnt").alias("cnt"),
-        )
-        bests.append(best)
-        if rnd == num_merges - 1:
-            break
-        merged = F.concat(F.col("p1"), F.col("p2"))
-        fold = F.aggregate(
-            F.transform(F.col("_syms"), lambda s: F.array(s)),
-            F.array().cast("array<string>"),
-            # F.get (NULL out-of-bounds) not element_at (throws under the
-            # ANSI mode a vanilla Spark 4 session runs with; AND does not
-            # short-circuit in SQL, so the size guard alone cannot save
-            # an out-of-bounds probe on the empty accumulator)
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.get(acc, F.size(acc) - 1) == F.col("p1"))
-                & (F.get(x, F.lit(0)) == F.col("p2")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                ),
-            ).otherwise(F.concat(acc, x)),
-        )
-        syms_df = syms_df.crossJoin(F.broadcast(best)).select(
-            "_w", "_f", fold.alias("_syms")
-        )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out
+        ),
+    ).otherwise(empty_pairs)
+    counts = (
+        syms_df.select("_f", F.explode(pairs).alias("_p"))
+        .groupBy("_p.p1", "_p.p2")
+        .agg(F.sum("_f").alias("cnt"))
+    )
+    return counts.agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("cnt"),
+                F.col("p1").alias("p1"),
+                F.col("p2").alias("p2"),
+            )
+        ).alias("_b")
+    ).select(
+        F.lit(rnd + 1).cast("long").alias("rank"),
+        F.col("_b.p1").alias("p1"),
+        F.col("_b.p2").alias("p2"),
+        F.col("_b.cnt").alias("cnt"),
+    )
+
+
+def _bpe_apply_merge(syms_df: DataFrame, best: DataFrame) -> DataFrame:
+    """Rewrite every word's symbol sequence with a greedy left-to-right
+    fold of the broadcast 1-row winning pair."""
+    merged = F.concat(F.col("p1"), F.col("p2"))
+    fold = F.aggregate(
+        F.transform(F.col("_syms"), lambda s: F.array(s)),
+        F.array().cast("array<string>"),
+        # F.get (NULL out-of-bounds) not element_at (throws under the
+        # ANSI mode a vanilla Spark 4 session runs with; AND does not
+        # short-circuit in SQL, so the size guard alone cannot save
+        # an out-of-bounds probe on the empty accumulator)
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.get(acc, F.size(acc) - 1) == F.col("p1"))
+            & (F.get(x, F.lit(0)) == F.col("p2")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, x)),
+    )
+    return syms_df.crossJoin(F.broadcast(best)).select(
+        "_w", "_f", fold.alias("_syms")
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    text_col: str,
+    num_merges: int = 3,
+) -> DataFrame:
+    """Apply a freshly-trained BPE tokenizer back to the corpus and
+    return the resulting token histogram — the encode half of the
+    train/encode loop (``bpe_merges`` is the train half, sharing the
+    same round helpers, so both replay identical greedy-fold
+    arithmetic).
+
+    Every learned merge — including the last — rewrites the vocab
+    symbol table; the histogram is then the symbol explode weighted by
+    word frequency. Token counts over the MERGED vocabulary are the
+    standard post-training sanity check (which merges actually fire,
+    what the unigram distribution of the new units looks like) and the
+    input to vocabulary-size decisions.
+
+    Scale (100 TB): identical profile to ``bpe_merges`` — the corpus is
+    touched once for the word-frequency table; every round and the
+    final explode run on the |vocab|-bounded symbol table with the
+    1-row winner broadcast back. Encoding never touches raw documents.
+
+    Output: (token, cnt) — one row per post-merge symbol.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    syms_df = _bpe_vocab_syms(docs, text_col)
+    for rnd in range(num_merges):
+        best = _bpe_best_pair(syms_df, rnd)
+        syms_df = _bpe_apply_merge(syms_df, best)
+    return (
+        syms_df.select("_f", F.explode("_syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("_f").cast("long").alias("cnt"))
+    )

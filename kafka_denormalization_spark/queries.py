@@ -1002,6 +1002,16 @@ def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_stats(plan, text_fns.token_count("text"))
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the BPE loop: apply the 3 freshly-trained
+    merges back to the corpus vocabulary and emit the
+    frequency-weighted post-merge token histogram — the tokenizer
+    sanity check that shows which merges fire and what the new unit
+    distribution looks like."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.bpe_token_counts(docs, "text", num_merges=3)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing: 64-token chunks packed into
     256-token context windows per source stream. One window cumsum per
@@ -2490,6 +2500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_plan": q_shard_plan,
     "shard_stats": q_shard_stats,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "span_dedup": q_span_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
@@ -2848,12 +2859,15 @@ _DSIR_WEIGHTS_SQL = f"""
       FROM contrib GROUP BY doc_id
     )"""
 
-def _bpe_oracle_sql(num_merges: int) -> str:
+def _bpe_oracle_sql(num_merges: int, output: str = "merges") -> str:
     """Unrolled BPE merge rounds mirroring functions/text.py bpe_merges:
     word-frequency table once, per round a weighted pair count, a
     struct-max best pair, and a greedy left-to-right list_reduce merge
     fold over singleton-list symbols (identical fold semantics to the
-    Spark F.aggregate)."""
+    Spark F.aggregate). ``output='merges'`` emits the merge table
+    (bpe_merges); ``output='tokens'`` also applies the LAST merge and
+    emits the frequency-weighted post-merge symbol histogram
+    (bpe_token_counts)."""
     parts = [
         f"WITH v0 AS (SELECT w, count(*) AS f FROM "
         f"(SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w)",
@@ -2876,7 +2890,7 @@ def _bpe_oracle_sql(num_merges: int) -> str:
             f"SELECT CAST({r + 1} AS BIGINT) AS rank, (b).p1 AS p1, "
             f"(b).p2 AS p2, (b).cnt AS cnt FROM b{r}"
         )
-        if r == num_merges - 1:
+        if r == num_merges - 1 and output == "merges":
             break
         parts.append(
             f"s{r + 1} AS (SELECT w, f, "
@@ -2887,6 +2901,13 @@ def _bpe_oracle_sql(num_merges: int) -> str:
             f"THEN list_concat(acc[1:-2], [(b).p1 || (b).p2]) "
             f"ELSE list_concat(acc, x) END) AS syms "
             f"FROM s{r}, b{r})"
+        )
+    if output == "tokens":
+        return (
+            ",\n    ".join(parts)
+            + f"\n    SELECT token, CAST(sum(f) AS BIGINT) AS cnt FROM "
+            f"(SELECT f, unnest(syms) AS token FROM s{num_merges}) "
+            f"GROUP BY token"
         )
     return ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(sel)
 
@@ -3016,6 +3037,7 @@ ORACLE_SQL: dict[str, str] = {
     FROM c
     """,
     "bpe_merges": _bpe_oracle_sql(3),
+    "bpe_token_counts": _bpe_oracle_sql(3, output="tokens"),
     "shard_plan": """
     WITH p AS (
       SELECT doc_id,

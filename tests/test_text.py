@@ -357,3 +357,39 @@ def test_bpe_merges_greedy_chain(spark):
     assert (out[0]["p1"], out[0]["p2"]) == ("a", "a")
     # round 2 pairs come from [aa, a] (+ 'ab' chars): (aa,a) count 2
     assert (out[1]["p1"], out[1]["p2"]) == ("aa", "a")
+
+
+def test_bpe_token_counts_applies_all_merges(spark):
+    """Encode half of the BPE loop: after the learned merges are applied
+    (including the LAST one), the histogram counts post-merge symbols
+    weighted by word frequency."""
+    from kafka_denormalization_spark.functions.text import (
+        bpe_merges,
+        bpe_token_counts,
+    )
+
+    df = spark.createDataFrame([(1, "aaa aaa ab")], "id long, text string")
+    # merges: (a,a) then (aa,a) — 'aaa' encodes to [aaa], 'ab' to [a, b]
+    merges = [(r["p1"], r["p2"]) for r in bpe_merges(df, "text", 2).collect()]
+    assert merges == [("a", "a"), ("aa", "a")]
+    hist = {
+        r["token"]: r["cnt"]
+        for r in bpe_token_counts(df, "text", num_merges=2).collect()
+    }
+    assert hist == {"aaa": 2, "a": 1, "b": 1}
+
+
+def test_bpe_token_counts_totals_preserved(spark):
+    """Merging never changes the total character mass: sum(len(token) *
+    cnt) equals the corpus character count (whitespace removed)."""
+    from pyspark.sql import functions as F
+    from kafka_denormalization_spark.functions.text import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new newest")], "id long, text string"
+    )
+    hist = bpe_token_counts(df, "text", num_merges=3)
+    mass = hist.select(
+        F.sum(F.length("token") * F.col("cnt")).alias("m")
+    ).collect()[0]["m"]
+    assert mass == len("lowlowlower") + len("newnewest")
