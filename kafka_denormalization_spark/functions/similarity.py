@@ -1088,6 +1088,15 @@ def containment_pairs(
     boilerplate grams that would explode a naive shared-gram join never
     appear on the probe side.
 
+    Candidates are further pruned row-side by PPJoin's POSITIONAL
+    filter: a prefix match at ranks (ra, rb) bounds the overlap by
+    ``min(ra,rb)-1 + min(|A|-ra,|B|-rb)+1``, and rows whose bound
+    cannot reach ``t·|A|`` are dropped before the pair distinct —
+    still zero false negatives (the globally-first common gram of a
+    true pair minimizes both ranks and always passes), but the large
+    prefixes a low threshold forces no longer flood the verify stage.
+    The filter subsumes the coarser ``|B| ≥ t·|A|`` size bound.
+
     Exact verification then counts intersections only for candidate
     pairs (gram-row equi-joins, work bounded by candidates x doc grams).
     Containment is an int/int double division — engine-exact, no
@@ -1102,10 +1111,11 @@ def containment_pairs(
     Output: (id_a, id_b, containment) — ordered pairs, both directions
     when both clear the threshold.
 
-    ``persist=True`` caches the distinct gram rows MEMORY_AND_DISK: the
-    frame has five consumers (df table, ranks, candidate probe, sizes,
-    intersection counts) and would otherwise re-tokenize the corpus per
-    consumer (same rationale as the LSH memo persists).
+    ``persist=True`` caches the distinct gram rows MEMORY_AND_DISK (df
+    table, sizes, and intersection counts all read them) and the ranked
+    rows (both sides of the candidate join read those) — otherwise the
+    corpus re-tokenizes and the rank windows re-run per consumer (same
+    rationale as the LSH memo persists).
     """
     grams = word_gram_rows(docs, id_col, text_col, n).distinct()
     if persist:
@@ -1124,34 +1134,49 @@ def containment_pairs(
     prefix_len = (
         F.floor(F.lit(1.0 - threshold) * F.col("_sz").cast("double")) + F.lit(1)
     )
+    if persist:
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     prefix = ranked.filter(F.col("_r") <= prefix_len).select(
-        F.col("_id").alias("id_a"), "_g"
+        F.col("_id").alias("id_a"),
+        "_g",
+        F.col("_r").alias("_ra"),
+        F.col("_sz").alias("_sza"),
+    )
+    probe = ranked.select(
+        F.col("_id").alias("id_b"),
+        "_g",
+        F.col("_r").alias("_rb"),
+        F.col("_sz").alias("_szb"),
+    )
+    # PPJoin positional filter (per matched gram row): common grams
+    # strictly before this one number ≤ min(ra,rb)-1, and common grams
+    # from here on number ≤ min(szA-ra, szB-rb)+1, so the overlap upper
+    # bound is their sum. Zero false negatives: both per-doc ranks
+    # restrict the SAME global (df, gram) order, so the globally-first
+    # common gram of a true pair minimizes both ranks simultaneously —
+    # it is in A's prefix and its bound ≥ the true overlap ≥ t·|A|.
+    # (The old pair-level size bound |B| ≥ t·|A| is implied: the bound
+    # is ≤ szB.) Pruning happens BEFORE the distinct, so boilerplate
+    # near-prefix grams of size-skewed pairs never reach the verify.
+    ub = (
+        F.least(F.col("_ra"), F.col("_rb"))
+        - F.lit(1)
+        + F.least(
+            F.col("_sza") - F.col("_ra"), F.col("_szb") - F.col("_rb")
+        )
+        + F.lit(1)
     )
     candidates = (
-        prefix.join(grams.select(F.col("_id").alias("id_b"), "_g"), ["_g"])
+        prefix.join(probe, ["_g"])
         .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            ub.cast("double")
+            >= F.lit(threshold) * F.col("_sza").cast("double")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    # size bound: |A∩B| ≤ |B|, so C(A→B) ≥ t needs |B| ≥ t·|A| — a cheap
-    # broadcast-able filter that kills size-skewed candidates before the
-    # expensive intersection count
-    candidates = (
-        candidates.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_sa")),
-            ["id_a"],
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_sb")),
-            ["id_b"],
-        )
-        .filter(
-            F.col("_sb").cast("double")
-            >= F.lit(threshold) * F.col("_sa").cast("double")
-        )
-        .select("id_a", "id_b")
-    )
     inter = (
         candidates.join(grams.select(F.col("_id").alias("id_a"), "_g"), ["id_a"])
         .join(grams.select(F.col("_id").alias("id_b"), "_g"), ["id_b", "_g"])

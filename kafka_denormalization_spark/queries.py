@@ -2596,7 +2596,7 @@ _DRIVER_HEAD = [
     # their slots to the two operators ADDED this round so they get
     # driver rows immediately.
     "temperature_sample", "incremental_near_dedup",     # sampling rewrite + new op
-    "minhash_lsh_dedup", "near_dup_clusters",           # LSH rewrite
+    "minhash_lsh_dedup",                                # LSH rewrite
     # (cluster_dedup_docs, driver-checked before with the dedup family
     # deeply covered here, gives its slot to corpus_pipeline_v3)
     "corpus_pipeline_v3", "incremental_dedup",          # LSH + oracle fix
@@ -2606,9 +2606,12 @@ _DRIVER_HEAD = [
     # reference core: denormalization DSL, latest, serde, dedup
     # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture;
     # dedup_exact, driver-checked r01-r04 with the dedup family deeply
-    # covered elsewhere in this head, gives its slot to containment_dedup)
-    "denorm_inner", "bm25_search", "denorm_nested_struct",
-    "latest_per_key", "epoch_mixture", "containment_dedup",
+    # covered elsewhere in this head, gives its slot to containment_dedup;
+    # denorm_nested_struct and latest_per_key, driver-checked r01-r04
+    # with denorm_inner keeping the family covered, give their slots to
+    # shard_plan and shard_stats — added late round 5)
+    "denorm_inner", "bm25_search", "shard_plan",
+    "shard_stats", "epoch_mixture", "containment_dedup",
     # text analysis / quality / decontamination (text_stats, driver-
     # checked r01-r04, gives its slot to dsir_weights — added this round;
     # quality_filter keeps the text family covered)
@@ -2642,9 +2645,11 @@ _DRIVER_HEAD = [
     # (funnel_counts, driver-checked before, gives its slot to
     # rolling_zscore — added this round)
     # (fuzzy_name_pairs, driver-checked r04, gives its slot to
-    # bpe_merges — added this round)
+    # bpe_merges — added this round; near_dup_clusters, driver-checked
+    # r04 with minhash_lsh_dedup keeping the LSH family covered, gives
+    # its slot to bpe_token_counts — added late round 5)
     "dsir_sample", "bm25_batch", "nation_year_revenue", "rolling_zscore",
-    "bpe_merges",
+    "bpe_merges", "bpe_token_counts",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
