@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "oov_rate",
     "corpus_pipeline_v2",
     "corpus_pipeline_v3",
+    "corpus_to_shards",
     "corpus_report",
     "promo_revenue",
     "nation_year_revenue",

@@ -1097,17 +1097,11 @@ LM_NLL_CUTOFF = 3.42   # keeps ~70% at sf0.01; nll_r is grid-rounded so the
 V3_SALT = "temp3"      # comparison is deterministic on both engines
 
 
-def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-5 composed curation pipeline — span-level dedup feeding
-    an LM fluency gate: chunk-granular exact-substring dedup over the
-    whole corpus (docs REWRITTEN, not just dropped) -> drop docs that
-    were mostly duplicated spans (2*n_dropped > n_chunks — the span-
-    dedup stats double as a quality signal) -> CCNet LM gate on the
-    DEDUPED text (bigram model trained on surviving en docs; nll_r <=
-    cutoff, >=1 bigram) -> temperature mix over deduped char weights ->
-    PII scrub on shipped rows only. The span-dedup stage has five
-    downstream consumers via lm_score, so its output persists
-    MEMORY_AND_DISK (corpus-bounded rows)."""
+def _corpus_v3_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared v3 curation chain up to (and including) the
+    temperature mix — rows still carry ``text_dedup``. Consumed by
+    q_corpus_pipeline_v3 (which scrubs the text) and q_corpus_to_shards
+    (which lays the shipped set out into training shards)."""
     from pyspark import StorageLevel
 
     from kafka_denormalization_spark.operators.chunking import span_dedup
@@ -1134,14 +1128,49 @@ def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id"),
         "doc_id",
     )
-    mixed = temperature_sample(
+    return temperature_sample(
         surv, "lang", "n_chars_dedup", "doc_id",
         alpha=0.5, salt=V3_SALT, budget_frac=TEMP_BUDGET_FRAC,
     )
+
+
+def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 composed curation pipeline — span-level dedup feeding
+    an LM fluency gate: chunk-granular exact-substring dedup over the
+    whole corpus (docs REWRITTEN, not just dropped) -> drop docs that
+    were mostly duplicated spans (2*n_dropped > n_chunks — the span-
+    dedup stats double as a quality signal) -> CCNet LM gate on the
+    DEDUPED text (bigram model trained on surviving en docs; nll_r <=
+    cutoff, >=1 bigram) -> temperature mix over deduped char weights ->
+    PII scrub on shipped rows only. The span-dedup stage has five
+    downstream consumers via lm_score, so its output persists
+    MEMORY_AND_DISK (corpus-bounded rows)."""
+    mixed = _corpus_v3_mixed(spark, sf_dir)
     return mixed.select(
         "doc_id", "lang", "source", "n_chars_dedup",
         text_fns.scrub_pii(F.col("text_dedup")).alias("text_scrubbed"),
     )
+
+
+def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of the corpus build: the v3 curation pipeline's
+    shipped set laid out into training shards (operators/sharding.py)
+    — every surviving doc gets its shard and within-shard read
+    position from the md5 draw, so the exact byte layout a training
+    run would consume is a pure function of the raw corpus. Composes
+    the SAME v3 chain (span dedup -> mostly-duplicated gate -> LM gate
+    -> temperature mix) and adds one exchange (the shard-id hash
+    partition the shard write needs anyway); the scrub is skipped —
+    layout does not depend on text content."""
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+
+    mixed = _corpus_v3_mixed(spark, sf_dir)
+    plan = shard_plan(
+        mixed.select("doc_id", "lang", "source", "n_chars_dedup"),
+        "doc_id",
+        n_shards=4,
+    )
+    return plan.select("doc_id", "lang", "source", "shard_id", "pos")
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2506,6 +2535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "lm_perplexity": q_lm_perplexity,
     "corpus_pipeline_v3": q_corpus_pipeline_v3,
+    "corpus_to_shards": q_corpus_to_shards,
     "containment_dedup": q_containment_dedup,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
@@ -2607,10 +2637,11 @@ _DRIVER_HEAD = [
     # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture;
     # dedup_exact, driver-checked r01-r04 with the dedup family deeply
     # covered elsewhere in this head, gives its slot to containment_dedup;
-    # denorm_nested_struct and latest_per_key, driver-checked r01-r04
-    # with denorm_inner keeping the family covered, give their slots to
-    # shard_plan and shard_stats — added late round 5)
-    "denorm_inner", "bm25_search", "shard_plan",
+    # denorm_nested_struct and latest_per_key, driver-checked r01-r04,
+    # give their slots to shard_plan and shard_stats — added late round
+    # 5; denorm_inner, driver-checked r01-r04 AND still smoke-run every
+    # round as the entry() flagship, gives its slot to corpus_to_shards)
+    "corpus_to_shards", "bm25_search", "shard_plan",
     "shard_stats", "epoch_mixture", "containment_dedup",
     # text analysis / quality / decontamination (text_stats, driver-
     # checked r01-r04, gives its slot to dsir_weights — added this round;
@@ -2917,6 +2948,50 @@ def _bpe_oracle_sql(num_merges: int, output: str = "merges") -> str:
     return ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(sel)
 
 
+# The shared v3 curation chain (span dedup -> mostly-duplicated gate ->
+# LM gate -> temperature mix) through the shipped set, rows still
+# carrying text_dedup — corpus_pipeline_v3 scrubs it, corpus_to_shards
+# lays it out into shards. Single source of truth mirroring
+# _corpus_v3_mixed.
+_V3_SHIPPED_CTES_SQL: str = f"""{_SPAN_CTES_SQL},
+    kept AS (
+      SELECT s.doc_id, d.lang, d.source, s.text_dedup,
+             CAST(length(s.text_dedup) AS BIGINT) AS n_chars_dedup
+      FROM spanout s JOIN documents d USING (doc_id)
+      WHERE 2 * s.n_dropped <= s.n_chunks AND length(s.text_dedup) > 0
+    ),
+    k2 AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
+      FROM kept
+    ),
+    {_lm_cte_sql("k2")},
+    surv AS (
+      SELECT kept.* FROM kept JOIN lmfold f USING (doc_id)
+      WHERE f.n_bigrams >= 1 AND f.nll_r <= {LM_NLL_CUTOFF}
+    ),
+    w AS (
+      SELECT lang, CAST(SUM(n_chars_dedup) AS DOUBLE) AS wt FROM surv GROUP BY lang
+    ), p AS (
+      SELECT lang, wt,
+             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ), t AS (
+      SELECT lang,
+             printf('%08x', least(
+               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM p
+    ),
+    shipped AS (
+      SELECT s.doc_id, s.lang, s.source, s.n_chars_dedup, s.text_dedup
+      FROM surv s JOIN t ON s.lang = t.lang
+      WHERE substr(md5(concat('{V3_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
+            < t.thr
+    )"""
+
 ORACLE_SQL: dict[str, str] = {
     "denorm_inner": _denorm_sql("JOIN", right_filter=False),
     "denorm_left_outer": _denorm_sql("LEFT JOIN", right_filter=True),
@@ -3186,43 +3261,25 @@ ORACLE_SQL: dict[str, str] = {
           < t.thr
     """,
     "corpus_pipeline_v3": f"""
-    WITH {_SPAN_CTES_SQL},
-    kept AS (
-      SELECT s.doc_id, d.lang, d.source, s.text_dedup,
-             CAST(length(s.text_dedup) AS BIGINT) AS n_chars_dedup
-      FROM spanout s JOIN documents d USING (doc_id)
-      WHERE 2 * s.n_dropped <= s.n_chunks AND length(s.text_dedup) > 0
-    ),
-    k2 AS (
-      SELECT doc_id, (lang = 'en') AS tgt,
-             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
-      FROM kept
-    ),
-    {_lm_cte_sql("k2")},
-    surv AS (
-      SELECT kept.* FROM kept JOIN lmfold f USING (doc_id)
-      WHERE f.n_bigrams >= 1 AND f.nll_r <= {LM_NLL_CUTOFF}
-    ),
-    w AS (
-      SELECT lang, CAST(SUM(n_chars_dedup) AS DOUBLE) AS wt FROM surv GROUP BY lang
-    ), p AS (
-      SELECT lang, wt,
-             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
-             SUM(wt) OVER () AS tot
-      FROM w
-    ), t AS (
-      SELECT lang,
-             printf('%08x', least(
-               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
-                          * 4294967296.0) AS BIGINT),
-               4294967295)) AS thr
-      FROM p
+    WITH {_V3_SHIPPED_CTES_SQL}
+    SELECT doc_id, lang, source, n_chars_dedup,
+           {_pii_chain_sql("text_dedup")} AS text_scrubbed
+    FROM shipped
+    """,
+    "corpus_to_shards": f"""
+    WITH {_V3_SHIPPED_CTES_SQL},
+    sp AS (
+      SELECT doc_id, lang, source,
+             md5(concat('shard', '|', CAST(doc_id AS VARCHAR))) AS draw,
+             CAST(('0x' || substr(md5(concat('shard', '|',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4
+               AS shard_id
+      FROM shipped
     )
-    SELECT s.doc_id, s.lang, s.source, s.n_chars_dedup,
-           {_pii_chain_sql("s.text_dedup")} AS text_scrubbed
-    FROM surv s JOIN t ON s.lang = t.lang
-    WHERE substr(md5(concat('{V3_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
-          < t.thr
+    SELECT doc_id, lang, source, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id
+                                   ORDER BY draw, doc_id) - 1 AS BIGINT) AS pos
+    FROM sp
     """,
     "quantize_embeddings": """
     SELECT vec_id,

@@ -196,6 +196,12 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # over the bigram probability rows
         "bpe_merges",               # 1-row best-pair aggregate broadcast
                                     # over the vocab table, once per round
+        "bpe_token_counts",         # same 1-row best-pair broadcasts (the
+                                    # encode half replays every round's
+                                    # apply, including the last)
+        "corpus_to_shards",         # corpus_pipeline_v3's embedded lm_score
+                                    # + temperature 1-row broadcasts, plus
+                                    # the equi-partitioned shard window
         "epoch_mixture",            # 1-row corpus-total aggregate broadcast
                                     # over |languages| plan rows (epoch plan)
     }
