@@ -106,6 +106,23 @@ def _containment(docs):
     return containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
 
 
+def _shard_plan(docs):
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+
+    # n_shards scales with the corpus (real builds hold shard SIZE
+    # roughly constant), keeping the per-shard window bounded
+    n = docs.sparkSession.conf.get("bench.scaleup.n_rep", "1")
+    return shard_plan(docs, "doc_id", n_shards=64 * int(n)).select(
+        "doc_id", "shard_id", "pos"
+    )
+
+
+def _bpe_tokens(docs):
+    from kafka_denormalization_spark.functions.text import bpe_token_counts
+
+    return bpe_token_counts(docs, "text", num_merges=3)
+
+
 # each op: name -> (table, id_col, builder, salt_text)
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
@@ -115,6 +132,8 @@ OPS = {
     "lm_perplexity": ("documents", "doc_id", _lm_perplexity, False),
     "containment_dedup": ("documents", "doc_id", _containment, True),
     "bpe_merges": ("documents", "doc_id", _bpe, False),
+    "bpe_token_counts": ("documents", "doc_id", _bpe_tokens, False),
+    "shard_plan": ("documents", "doc_id", _shard_plan, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
@@ -130,6 +149,7 @@ def main() -> int:
         for name in names:
             table, id_col, builder, salt_text = OPS[name]
             base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+            spark.conf.set("bench.scaleup.n_rep", str(n_rep))
             reps = replicate(base, id_col, n_rep, salt_text).persist()
             reps.count()
             materialize(builder(reps))          # warm-up (JIT, code cache)
