@@ -93,3 +93,93 @@ def test_write_shards_read_order(spark, tmp_path):
             .tolist()
         )
         assert rows == sorted(rows)
+
+
+def _batch(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_ingest_shard_contiguous_across_batches(spark, tmp_path):
+    """The streaming twin: shard assignment matches the batch twin's
+    hash; positions are contiguous per shard across batches (batch 2
+    continues where batch 1 stopped)."""
+    from kafka_denormalization_spark.streaming.ingest_shard import IngestShard
+
+    ing = IngestShard(spark, str(tmp_path), "doc_id", n_shards=4, salt="s")
+    out1 = ing.process_batch(_batch(spark, 0, 100)).collect()
+    out2 = ing.process_batch(_batch(spark, 100, 180)).collect()
+    # assignment agrees with the stateless batch twin
+    twin = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_plan(_batch(spark, 0, 180), "doc_id", 4, salt="s")
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    for r in out1 + out2:
+        assert r["shard_id"] == twin[r["doc_id"]]
+    # per shard: batch-1 positions dense from 0, batch-2 continues
+    import collections
+
+    per1 = collections.Counter(r["shard_id"] for r in out1)
+    for s in per1:
+        p1 = sorted(r["pos"] for r in out1 if r["shard_id"] == s)
+        assert p1 == list(range(len(p1)))
+        p2 = sorted(r["pos"] for r in out2 if r["shard_id"] == s)
+        assert p2 == list(range(len(p1), len(p1) + len(p2)))
+
+
+def test_ingest_shard_restart_memory_and_compact(spark, tmp_path):
+    """A fresh instance over the same state dir continues the counters;
+    compact() folds history without changing them."""
+    from kafka_denormalization_spark.streaming.ingest_shard import IngestShard
+
+    a = IngestShard(spark, str(tmp_path), "doc_id", n_shards=2, salt="s")
+    out1 = a.process_batch(_batch(spark, 0, 50)).collect()
+    assert a.compact() <= 2  # one row per touched shard
+    b = IngestShard(spark, str(tmp_path), "doc_id", n_shards=2, salt="s")
+    out2 = b.process_batch(_batch(spark, 50, 90)).collect()
+    n1 = {s: sum(1 for r in out1 if r["shard_id"] == s) for s in (0, 1)}
+    for s in (0, 1):
+        p2 = sorted(r["pos"] for r in out2 if r["shard_id"] == s)
+        assert p2 == list(range(n1[s], n1[s] + len(p2)))
+
+
+def test_ingest_shard_file_stream_e2e(spark, tmp_path):
+    """Real Structured Streaming run: file source -> foreachBatch ->
+    positioned rows collected; the full output is a valid layout (all
+    rows positioned, per-shard positions dense)."""
+    import collections
+
+    from kafka_denormalization_spark.streaming.ingest_shard import IngestShard
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _batch(spark, 0, 60).write.mode("overwrite").parquet(str(src / "b1"))
+    _batch(spark, 60, 100).write.mode("overwrite").parquet(str(src / "b2"))
+    got = []
+    ing = IngestShard(spark, str(tmp_path / "state"), "doc_id", n_shards=4)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ing.foreach_batch(lambda df, _e: got.extend(df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 100
+    by_shard = collections.defaultdict(list)
+    for r in got:
+        by_shard[r["shard_id"]].append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
