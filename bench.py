@@ -7,6 +7,16 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 Each query is fully materialized through the noop sink (executes the whole
 plan on the executors; nothing is collected to the driver, so the number is
 engine time, not transfer time).
+
+Per-query timing is split into two attributable phases (round-6):
+  build_s — calling the query builder: Python plan construction +
+            analysis + any bounded eager work the builder performs
+            (e.g. the LSH family materializes its memoized pair table
+            at build time since round 5's eager_cleanup);
+  exec_s  — the noop-sink materialization of the returned DataFrame.
+The per-query value in "queries" stays build+exec (the round-5 totals
+methodology, so totals remain comparable), and "phases" carries the
+split so a plan regression is distinguishable from plan-compile noise.
 """
 
 from __future__ import annotations
@@ -113,20 +123,23 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     extra = [n for n in QUERIES if n not in names and n in _EXTRA_BENCH]
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     for name in names + extra:
         fn = QUERIES[name]
         # per-query fault isolation: one broken query must not zero out the
         # timings for the healthy ones — record its error and keep going
         try:
-            # time construction + execution together: some builders perform
-            # bounded eager work (e.g. the LSH family materializes its
-            # memoized pair table at build time since round 5's
-            # eager_cleanup) and excluding it would under-report the query
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
             materialize(df)
-            timings[name] = round(time.perf_counter() - t0, 3)
+            t2 = time.perf_counter()
+            timings[name] = round(t2 - t0, 3)
+            phases[name] = {
+                "build_s": round(t1 - t0, 3),
+                "exec_s": round(t2 - t1, 3),
+            }
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -136,6 +149,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "phases": phases,
         "sf": sf,
     }
     if errors:

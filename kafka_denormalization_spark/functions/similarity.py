@@ -888,7 +888,17 @@ def quantized_cosine_topk(
 
 
 def _probe_masks(num_planes: int, probe: int) -> list[int]:
-    """All XOR masks over ``num_planes`` bits with popcount <= probe."""
+    """All XOR masks over ``num_planes`` bits with popcount <= probe.
+
+    Enumerates 2^num_planes candidates in driver Python — fine for the
+    hyperplane counts multi-probe LSH actually uses (<= 16 or so), a
+    driver OOM/freeze beyond that, so it refuses rather than hang."""
+    if num_planes > 20:
+        raise ValueError(
+            f"num_planes={num_planes}: probe-mask enumeration is "
+            "2^num_planes driver-side; use <= 20 planes (or shard the "
+            "signature into bands instead of multi-probing one table)"
+        )
     masks = [m for m in range(1 << num_planes) if bin(m).count("1") <= probe]
     return masks
 

@@ -860,3 +860,66 @@ def bpe_token_counts(
         .groupBy("token")
         .agg(F.sum("_f").cast("long").alias("cnt"))
     )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_merges: int = 3,
+) -> DataFrame:
+    """Per-DOCUMENT BPE encoding: train ``num_merges`` merges on the
+    corpus (shared round helpers with ``bpe_merges``), then score every
+    document's token count under the learned tokenizer — the number the
+    packing/sharding pipeline actually needs (``bpe_token_counts`` only
+    reports the corpus-level histogram).
+
+    Word-level factoring keeps encoding off the raw text: a document's
+    BPE length is Σ_w count_d(w) · |merged_syms(w)|, so the per-doc pass
+    joins the (doc, word, count) explode against the |vocab|-row merged
+    symbol table and never re-runs the merge fold per document — the
+    same trick production tokenizers use (encode the vocabulary once,
+    look words up).
+
+    Scale (100 TB): two corpus passes total — the word-frequency
+    aggregation that trains the merges (partial-agg, vocab-bounded
+    output) and the (doc, word) explode that scores documents (map-side
+    combine on (doc, word)). The join key is the word; the vocab side
+    is corpus-bounded (|distinct words|), broadcastable for real
+    vocabularies, and skew-free on the build side (one row per word).
+    Token-less documents (empty text) score 0 via the left join.
+
+    Output: (id_col, n_words, n_bpe_tokens) — one row per input doc.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    syms_df = _bpe_vocab_syms(docs, text_col)
+    for rnd in range(num_merges):
+        best = _bpe_best_pair(syms_df, rnd)
+        syms_df = _bpe_apply_merge(syms_df, best)
+    word_len = syms_df.select(
+        "_w", F.size("_syms").cast("long").alias("_wlen")
+    )
+    doc_words = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("_w"),
+        )
+        .groupBy("_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = doc_words.join(word_len, "_w").groupBy("_id").agg(
+        F.sum("_c").cast("long").alias("n_words"),
+        F.sum(F.col("_c") * F.col("_wlen")).cast("long").alias("n_bpe_tokens"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )

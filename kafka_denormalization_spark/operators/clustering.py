@@ -16,9 +16,11 @@ for convergence checks).
 
 Cross-engine determinism (the DuckDB oracle replays the same rounds):
 - centroid components route through the embedding_centroid fixed-point
-  convention — scale by 2^36 (exact exponent shift), FLOOR to BIGINT,
-  sum exactly, divide once as doubles — so both engines hold
-  bit-identical centroids after every round;
+  convention — scale by 2^36 (exact exponent shift), FLOOR, sum exactly
+  in DECIMAL(38,0) (the oracle uses HUGEINT; a BIGINT accumulator would
+  overflow near ~1.3e8 unit-scale members per cluster), divide once as
+  doubles — so both engines hold bit-identical centroids after every
+  round;
 - squared distances fold over dimensions IN ARRAY ORDER with the same
   (x-c)*(x-c) operand shapes, so IEEE evaluation is bit-identical;
 - assignment ties break on cluster id via min(struct(dist, cid)).
@@ -118,8 +120,13 @@ def kmeans_assign(
             )
             .groupBy("_cid", "_pos")
             .agg(
+                # decimal(38,0) accumulator: a long-side sum of 2^36
+                # fixed-point components overflows int64 once a cluster
+                # holds ~1.3e8 unit-scale members; decimal is exact (and
+                # deterministic cross-engine) up to ~1e27 members
                 F.sum(
-                    F.floor(F.col("_x") * F.lit(_FP_SCALE)).cast("long")
+                    F.floor(F.col("_x") * F.lit(_FP_SCALE))
+                    .cast("decimal(38,0)")
                 ).alias("_s"),
                 F.count(F.lit(1)).alias("_n"),
             )

@@ -306,7 +306,13 @@ def _dsir_gram_rows(
             ),
         )
     )
-    return with_next.select("_id", "_tgt", F.explode(grams).alias("_g"))
+    # whitespace-split of an empty doc yields [''] — drop that empty
+    # gram so token-less docs contribute no features (and land on the
+    # caller's 0.0 fallback instead of scoring the ''-bucket)
+    return (
+        with_next.select("_id", "_tgt", F.explode(grams).alias("_g"))
+        .filter(F.col("_g") != "")
+    )
 
 
 def dsir_log_weights(

@@ -68,24 +68,29 @@ def shard_plan(
 def shard_stats(
     plan: DataFrame,
     token_count_col: Column,
+    char_col: str = "text",
 ) -> DataFrame:
     """Per-shard balance report over a ``shard_plan`` output: row, token,
     and a size-proxy char count per shard — the numbers that tell you
     whether loader workers will finish together. One aggregation pass.
+
+    ``char_col`` names the text column used for the char-count proxy;
+    pass whatever text/payload column the plan carries (plans that drop
+    the raw text, e.g. ``corpus_to_shards``, can point this at any
+    retained string column).
 
     Output: (shard_id, n_docs, n_tokens, n_chars).
     """
     return plan.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_col).cast("long").alias("n_tokens"),
-        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(F.length(char_col)).cast("long").alias("n_chars"),
     )
 
 
 def write_shards(
     plan: DataFrame,
     path: str,
-    id_col: str,
 ) -> None:
     """Materialize a ``shard_plan`` as one directory per shard
     (``shard_id=K/``), rows stored in shard-read order.

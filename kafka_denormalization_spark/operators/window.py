@@ -82,10 +82,13 @@ def rolling_zscore(
 
     Cross-engine determinism: the value is quantized to 2^20 fixed point
     (floor — exact and identical everywhere, unlike a decimal cast whose
-    tie-rounding differs between engines); window sums of the quantized
-    value and its square are exact BIGINT arithmetic (2^20-scaled values
-    square within a long for |value| < ~4e5); mean/variance/z are then a
-    fixed sequence of IEEE double ops on identical operands. The z-score
+    tie-rounding differs between engines); the window sum of the
+    quantized value is exact BIGINT, and the sum of squares is
+    accumulated in DECIMAL(38,0) (exact — a long-side square would
+    overflow int64 at |value| >= ~3e3; decimal holds the full
+    window-of-8 sum of squares for |value| < ~1e12, which covers any
+    realistic metric magnitude); mean/variance/z are then a fixed
+    sequence of IEEE double ops on identical operands. The z-score
     is scale-invariant, so the quantization cancels except for a
     sub-1e-6 input perturbation. Rounded to the 9-decimal grid.
 
@@ -101,8 +104,9 @@ def rolling_zscore(
         .rowsBetween(-(window_rows - 1), 0)
     )
     v20 = F.floor(F.col(value_col) * F.lit(1048576.0)).cast("long")
+    v20d = v20.cast("decimal(38,0)")
     s1 = F.sum(v20).over(w)
-    s2 = F.sum(v20 * v20).over(w)
+    s2 = F.sum(v20d * v20d).over(w)
     n = F.count(F.lit(1)).over(w)
     mean = s1.cast("double") / n.cast("double")
     var = s2.cast("double") / n.cast("double") - mean * mean

@@ -1012,6 +1012,35 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bpe_token_counts(docs, "text", num_merges=3)
 
 
+def q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE encoding (functions/text.py bpe_encode_docs):
+    train 3 merges on the corpus, score every document's token count
+    under the learned tokenizer via the word-level vocab join — the
+    real token budget the packing/sharding pipeline consumes."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
+
+
+def q_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing driven by REAL tokenizer counts: per-doc
+    BPE token budgets (bpe_encode_docs) fed into pack_chunks' window
+    cumsum per source stream — the whitespace-count `sequence_packing`
+    recomputed on learned-BPE lengths."""
+    from kafka_denormalization_spark.operators.chunking import pack_chunks
+
+    docs = table(spark, sf_dir, "documents")
+    counted = text_fns.bpe_encode_docs(
+        docs, "doc_id", "text", num_merges=3
+    ).join(docs.select("doc_id", "source"), ["doc_id"])
+    return pack_chunks(
+        counted.select("doc_id", "source", "n_bpe_tokens"),
+        "source",
+        ["doc_id"],
+        token_col="n_bpe_tokens",
+        budget=256,
+    ).select("doc_id", "source", "n_bpe_tokens", "pack_id", "pack_offset")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing: 64-token chunks packed into
     256-token context windows per source stream. One window cumsum per
@@ -2530,6 +2559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_stats": q_shard_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "bpe_doc_tokens": q_bpe_doc_tokens,
+    "bpe_sequence_packing": q_bpe_sequence_packing,
     "span_dedup": q_span_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
@@ -2612,75 +2643,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # never driver-checked before round 5 (22)
-    "pii_scrub", "gram_novelty", "percentile_profile", "oov_rate",
-    "corpus_pipeline_v2", "quantize_embeddings",
-    "exists_late_ship", "small_qty_revenue", "big_orders",
-    "min_cost_per_part", "scd2_intervals", "volume_shipping",
-    "returned_items", "late_shipment_priority", "customer_distribution",
-    "disjunctive_revenue", "copurchase_degree", "user_journeys",
-    "moving_average", "forecast_revenue", "top_supplier",
-    "idle_rich_customers",
-    # family representatives (28), round-5-touched paths first.
-    # stratified_sample / denorm_full_outer (driver-checked r01-r04) give
-    # their slots to the two operators ADDED this round so they get
-    # driver rows immediately.
-    "temperature_sample", "incremental_near_dedup",     # sampling rewrite + new op
-    "minhash_lsh_dedup",                                # LSH rewrite
-    # (cluster_dedup_docs, driver-checked before with the dedup family
-    # deeply covered here, gives its slot to corpus_pipeline_v3)
-    "corpus_pipeline_v3", "incremental_dedup",          # LSH + oracle fix
-    # (agg_pricing_summary, driver-checked r01-r04; its r04 perf watch
-    # closed as JIT variance — gives its slot to lm_perplexity)
-    "lm_perplexity",
-    # reference core: denormalization DSL, latest, serde, dedup
-    # (json_parse, driver-checked r01-r04, gives its slot to epoch_mixture;
-    # dedup_exact, driver-checked r01-r04 with the dedup family deeply
-    # covered elsewhere in this head, gives its slot to containment_dedup;
-    # denorm_nested_struct and latest_per_key, driver-checked r01-r04,
-    # give their slots to shard_plan and shard_stats — added late round
-    # 5; denorm_inner, driver-checked r01-r04 AND still smoke-run every
-    # round as the entry() flagship, gives its slot to corpus_to_shards)
-    "corpus_to_shards", "bm25_search", "shard_plan",
-    "shard_stats", "epoch_mixture", "containment_dedup",
-    # text analysis / quality / decontamination (text_stats, driver-
-    # checked r01-r04, gives its slot to dsir_weights — added this round;
-    # quality_filter keeps the text family covered)
-    # (quality_filter, driver-checked before — gopher rules also run
-    # inside corpus_pipeline_v3 in this head — gives its slot to
-    # leakage_safe_split, added this round)
-    # (contamination_scan_join, driver-checked r04, gives its slot to
-    # packing_stats — added this round)
-    "dsir_weights", "leakage_safe_split", "packing_stats",
-    # chunking / packing / reporting (corpus_pipeline and
-    # sequence_packing, driver-checked before, gave their slots to
-    # cluster_dedup_best — added late round 4 — and corpus_report,
-    # added this round)
-    "corpus_report", "cluster_dedup_best",
-    # embeddings / ANN / clustering (multimodal_metadata and
-    # ann_cosine_topk, driver-checked before, give their slots to
-    # kmeans_clusters and semantic_dedup — added this round;
-    # ann_int8_topk has never had a driver row and stays)
-    "semantic_dedup", "ann_int8_topk", "kmeans_clusters",
-    # temporal joins/windows -> round-5 additions (session_window and
-    # asof_join, driver-checked before, give their slots to span_dedup
-    # and promo_revenue; sliding/rollup/scd2 keep the family covered)
-    "promo_revenue", "span_dedup",
-    # stats / profiling / graph / funnel / fuzzy / grouping
-    # (profile_orders and stats_agg, driver-checked before, give their
-    # slots to bm25_batch and dsir_sample — added this round;
-    # percentile_profile above keeps stats/profiling covered)
-    # (grouping_sets, driver-checked before, gives its slot to
-    # lm_perplexity — added this round; rollup/cube stays covered via
-    # the FULL artifact)
-    # (funnel_counts, driver-checked before, gives its slot to
-    # rolling_zscore — added this round)
-    # (fuzzy_name_pairs, driver-checked r04, gives its slot to
-    # bpe_merges — added this round; near_dup_clusters, driver-checked
-    # r04 with minhash_lsh_dedup keeping the LSH family covered, gives
-    # its slot to bpe_token_counts — added late round 5)
-    "dsir_sample", "bm25_batch", "nation_year_revenue", "rolling_zscore",
-    "bpe_merges", "bpe_token_counts",
+    # --- round-6 head: the 50 least-recently-driver-checked names ---
+    # Selection rule (VERDICT r05 task #2): every name last driver-
+    # checked in r01-r03 (25 names — nothing may go >2 rounds stale),
+    # then the reference-core denorm/DSL/serde family (last checked
+    # r04), then r04-stale fills alphabetically.  The 22 r04-stale
+    # names that miss this cut are exactly 2 rounds stale at the end
+    # of r06 and MUST lead the r07 head.
+    # last checked r01 (6)
+    "approx_stats", "quantiles", "rollup_pricing", "sessionize",
+    "topk_per_group", "window_running_total",
+    # last checked r02 (17)
+    "ann_ivf_topk", "ann_lsh_topk", "cluster_dedup_docs",
+    "contamination_scan", "denorm_nested", "fingerprint",
+    "keyword_extraction", "multimodal_decode", "near_dedup_docs",
+    "ngram_jaccard_pairs", "ntile_acctbal", "simhash_pairs",
+    "sliding_window", "text_clean", "value_histogram", "vocab_topk",
+    "winnowing",
+    # last checked r03 (2)
+    "market_share", "waiting_suppliers",
+    # reference-core denorm/DSL/serde family, last checked r04 (12)
+    "denorm_inner", "denorm_left_outer", "denorm_right_outer",
+    "denorm_full_outer", "denorm_nested_struct", "denorm_on_key",
+    "latest_per_key", "json_parse", "rekey_select_key",
+    "join_key_digest", "dedup_exact", "distinct_pairs",
+    # operators ADDED this round — never driver-checked, so they take
+    # precedence over r04-stale fills (embedding_centroid and
+    # funnel_counts, both r04-checked, wait for r07)
+    "bpe_doc_tokens", "bpe_sequence_packing",
+    # r04-stale fills, alphabetical (11)
+    "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
+    "anti_join_orphans", "asof_join", "canonical_dedup",
+    "contamination_scan_join", "copurchase_triangles",
+    "corpus_pipeline", "cosine_dedup", "doc_chunks",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -2749,7 +2744,7 @@ def _kmeans_oracle_sql(
             break
         parts.append(
             f"comp{rnd} AS (SELECT _cid, j AS _pos, "
-            f"SUM(CAST(FLOOR(_v[j] * {fp}) AS BIGINT)) AS _s, "
+            f"SUM(CAST(FLOOR(_v[j] * {fp}) AS HUGEINT)) AS _s, "
             f"count(*) AS _n "
             f"FROM asg{rnd}, generate_series(1, {dims}) t(j) "
             f"GROUP BY _cid, j)"
@@ -2866,13 +2861,15 @@ _DSIR_WEIGHTS_SQL = f"""
                  i -> array_to_string(toks[i+1:i+2], ' '))
              )) AS g
       FROM d
+    ), nz AS (
+      SELECT doc_id, tgt, g FROM grams WHERE g != ''
     ), counts AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(concat('{DSIR_SALT}', '|', g)), 1, 8))
                   AS BIGINT) % {DSIR_BUCKETS} AS b,
              count(*) AS c,
              max(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
-      FROM grams GROUP BY doc_id, b
+      FROM nz GROUP BY doc_id, b
     ), bstats AS (
       SELECT b, sum(c) AS raw, sum(c * t) AS tgtc FROM counts GROUP BY b
     ), tot AS (
@@ -2944,6 +2941,47 @@ def _bpe_oracle_sql(num_merges: int, output: str = "merges") -> str:
             + f"\n    SELECT token, CAST(sum(f) AS BIGINT) AS cnt FROM "
             f"(SELECT f, unnest(syms) AS token FROM s{num_merges}) "
             f"GROUP BY token"
+        )
+    if output in ("doc_tokens", "packing"):
+        # per-doc encode: (doc, word, count) explode joined to the
+        # merged-vocab symbol lengths — mirrors text.py bpe_encode_docs
+        parts.append(
+            f"dw AS (SELECT doc_id, w, count(*) AS c FROM "
+            f"(SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents) "
+            f"GROUP BY doc_id, w)"
+        )
+        parts.append(
+            f"perdoc AS (SELECT dw.doc_id, "
+            f"CAST(sum(dw.c) AS BIGINT) AS n_words, "
+            f"CAST(sum(dw.c * len(s.syms)) AS BIGINT) AS n_bpe_tokens "
+            f"FROM dw JOIN s{num_merges} s ON dw.w = s.w GROUP BY dw.doc_id)"
+        )
+        if output == "doc_tokens":
+            return (
+                ",\n    ".join(parts)
+                + "\n    SELECT d.doc_id, "
+                "CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words, "
+                "CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens "
+                "FROM documents d LEFT JOIN perdoc p USING (doc_id)"
+            )
+        # packing: concat-and-cut over the per-source doc stream with
+        # BPE token budgets — mirrors chunking.py pack_chunks fed by
+        # bpe_encode_docs (q_bpe_sequence_packing)
+        parts.append(
+            "pbase AS (SELECT d.doc_id, d.source, "
+            "CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents d LEFT JOIN perdoc p USING (doc_id))"
+        )
+        parts.append(
+            "pst AS (SELECT doc_id, source, n_bpe_tokens, "
+            "SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id) "
+            "- n_bpe_tokens AS s FROM pbase)"
+        )
+        return (
+            ",\n    ".join(parts)
+            + "\n    SELECT doc_id, source, n_bpe_tokens, "
+            "CAST(s // 256 AS BIGINT) AS pack_id, "
+            "CAST(s % 256 AS BIGINT) AS pack_offset FROM pst"
         )
     return ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(sel)
 
@@ -3118,6 +3156,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "bpe_merges": _bpe_oracle_sql(3),
     "bpe_token_counts": _bpe_oracle_sql(3, output="tokens"),
+    "bpe_doc_tokens": _bpe_oracle_sql(3, output="doc_tokens"),
+    "bpe_sequence_packing": _bpe_oracle_sql(3, output="packing"),
     "shard_plan": """
     WITH p AS (
       SELECT doc_id,
@@ -4254,7 +4294,7 @@ ORACLE_SQL: dict[str, str] = {
     ), win AS (
       SELECT event_id, user_id, v20,
              SUM(v20) OVER w AS s1,
-             SUM(v20 * v20) OVER w AS s2,
+             SUM(CAST(v20 AS HUGEINT) * CAST(v20 AS HUGEINT)) OVER w AS s2,
              COUNT(*) OVER w AS n
       FROM q
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

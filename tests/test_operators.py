@@ -286,3 +286,34 @@ def test_rolling_zscore_flags_outlier(spark):
     assert out[0] == 0.0           # first row: no variance
     assert out[8] > 2.0            # spike
     assert out[20] == 0.0 and out[21] == 0.0   # flat -> zero variance
+
+
+def test_rolling_zscore_large_magnitudes(spark):
+    """Values of ~5e4 (bytes/microseconds scale) must not overflow the
+    sum-of-squares accumulator (v20^2 ~ 2.7e21 > int64 max; the decimal
+    accumulator holds it) — and the z-score stays scale-invariant."""
+    from kafka_denormalization_spark.operators.window import rolling_zscore
+
+    base = [10.0] * 8 + [100.0]
+    big = [v * 5e3 for v in base]  # peak value 5e5, v20 ~ 5.2e11
+    rows = [(i, 1, base[i], i) for i in range(9)] + [
+        (100 + i, 2, big[i], i) for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, t long"
+    )
+    out = {r["event_id"]: r["z_r"] for r in
+           rolling_zscore(df, "user_id", ["t", "event_id"], "value").collect()}
+    assert out[108] > 2.0
+    # scale-invariance: same shape, 5000x the magnitude, ~same z
+    assert abs(out[108] - out[8]) < 1e-6
+
+
+def test_probe_masks_guard():
+    """2^num_planes driver-side enumeration refuses above 20 planes."""
+    import pytest as _pytest
+    from kafka_denormalization_spark.functions.similarity import _probe_masks
+
+    assert len(_probe_masks(4, 1)) == 5
+    with _pytest.raises(ValueError, match="num_planes"):
+        _probe_masks(32, 1)

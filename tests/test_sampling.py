@@ -176,9 +176,9 @@ def test_dsir_log_weights_semantics(spark):
     assert len(out) == 7
     assert out[5] > out[6]  # chemistry candidate beats sports candidate
     assert out[1] > 0 and out[2] > 0  # target docs score positive
-    # doc 7 tokenizes to the single empty token, not zero grams — it gets
-    # whatever weight that bucket carries; just assert it's present/finite
-    assert out[7] == out[7]
+    # doc 7 is empty: its lone '' split token is filtered before
+    # bucketing, so it contributes no features and weighs exactly 0.0
+    assert out[7] == 0.0
 
 
 def test_dsir_resample_topk(spark):

@@ -69,7 +69,7 @@ def test_shard_stats_totals(spark):
 def test_write_shards_read_order(spark, tmp_path):
     plan = shard_plan(_docs(spark, 120), "doc_id", 4, salt="s")
     out = str(tmp_path / "shards")
-    write_shards(plan, out, "doc_id")
+    write_shards(plan, out)
     back = spark.read.parquet(out)
     # partitionBy layout: one directory per shard, pos column intact
     assert sorted(

@@ -362,6 +362,24 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert all(d < 0.1 for d in dists.values())
 
 
+def test_kmeans_centroid_sum_no_overflow(spark):
+    """1500 members x component 1e5 puts the 2^36 fixed-point sum at
+    ~1.0e19 — past int64 max. The decimal(38,0) accumulator must carry
+    it (ANSI mode would raise on a long overflow), and the centroid
+    update must still converge both blobs."""
+    from kafka_denormalization_spark.operators.clustering import kmeans_assign
+
+    rows = [(i, [1.0e5 + (i % 3) * 10.0, 0.0]) for i in range(1500)] + [
+        (10_000 + i, [-1.0e5, 5.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, "vec_id", "embedding", k=2, iters=3, persist=False)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert len(got) == 1510
+    assert len({got[i] for i in range(1500)}) == 1
+    assert got[0] != got[10_000]
+
+
 def test_containment_pairs_catch_subset_dup(spark):
     """A short doc fully contained in a long doc is found even though
     the pair's Jaccard is tiny; prefix filtering introduces no false

@@ -393,3 +393,46 @@ def test_bpe_token_counts_totals_preserved(spark):
         F.sum(F.length("token") * F.col("cnt")).alias("m")
     ).collect()[0]["m"]
     assert mass == len("lowlowlower") + len("newnewest")
+
+
+def test_bpe_encode_docs_per_doc_counts(spark):
+    """Per-doc BPE lengths under the learned merges: 'aaa aaa ab' with
+    merges (a,a),(aa,a) encodes doc words as aaa->1, ab->2 tokens; doc
+    totals follow word multiplicity, and histogram mass is conserved."""
+    from pyspark.sql import functions as F
+    from kafka_denormalization_spark.functions.text import (
+        bpe_encode_docs,
+        bpe_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa ab"), (2, "ab ab"), (3, "aaa")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_docs(df, "id", "text", num_merges=2).collect()
+    }
+    assert out == {1: (3, 4), 2: (2, 4), 3: (1, 1)}
+    # per-doc totals must add to the corpus histogram mass
+    hist_total = (
+        bpe_token_counts(df, "text", num_merges=2)
+        .select(F.sum("cnt").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sum(v[1] for v in out.values()) == hist_total
+
+
+def test_bpe_encode_docs_empty_doc_zero(spark):
+    """Token-less docs score 0 BPE tokens (the '' split token has an
+    empty symbol sequence); they still emit a row."""
+    from kafka_denormalization_spark.functions.text import bpe_encode_docs
+
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, "")], "id long, text string"
+    )
+    out = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_docs(df, "id", "text", num_merges=1).collect()
+    }
+    assert len(out) == 2 and out[2] == 0 and out[1] > 0
