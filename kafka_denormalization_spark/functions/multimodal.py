@@ -151,3 +151,221 @@ def sample_frames(
     return df.select(
         F.col(id_col).alias("id"), F.col(blob_col).alias("blob")
     ).mapInPandas(sample, FRAME_OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dedup (dHash + Hamming-ball LSH blocking)
+# ---------------------------------------------------------------------------
+
+DHASH_OUTPUT_SCHEMA = "id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def make_png_image(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode a grayscale pixel grid as a real PNG via Pillow (lossless,
+    so the decode side recovers the exact grid). Import-gated: Pillow is
+    not in this container, so tests/fixtures fall back to
+    ``make_image_blob`` (the FAKB container carries the identical grid);
+    in a real deployment this is the production encode path."""
+    import io
+
+    from PIL import Image
+
+    img = Image.frombytes("L", (width, height), pixels)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_image_blob(width: int, height: int, pixels: bytes) -> bytes:
+    """Wrap an explicit grayscale pixel grid in the deterministic FAKB
+    container (``make_fake_image`` generates its own pixels; this takes
+    yours). Lossless by construction, like PNG."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    return FAKE_MAGIC + _struct.pack("<II", width, height) + pixels
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    pool: int = 4,
+) -> DataFrame:
+    """64-bit difference hash (dHash) of image blobs via mapInPandas —
+    the standard perceptual fingerprint for image near-dedup (refs:
+    mirrors the text near-dedup family in functions/similarity.py;
+    the reference engine has no value-level compute at all, SURVEY
+    §2.3 — this is a north-star extension).
+
+    Decode path: real codecs through Pillow (PNG/JPEG/...; active in
+    this container), the FAKB test container, else NotImplementedError
+    (honest gate — no silent fallbacks). The decoded grid must be
+    ``9*pool`` x ``8*pool``; it is average-pooled with EXACT integer
+    arithmetic (block sum // pool²) to the canonical 9x8 dHash grid, so
+    the hash is bit-identical across engines/library versions — no
+    resampling-filter dependence (Pillow's Lanczos/bilinear results are
+    not reproducible arithmetic, so we pool exactly instead).
+
+    Bits: bit(r, c) = pooled(r, c) < pooled(r, c+1) for r in 0..7,
+    c in 0..7 over the 9 pooled columns. The 64 bits ship as FOUR
+    16-bit band integers (b0..b3, bit k of band b = dhash bit 16b+k)
+    — the exact shape Hamming-ball LSH blocking needs, and it dodges
+    the signed-int64 sign-bit hazard a single BIGINT hash would hit.
+
+    Scale (100 TB): blobs never shuffle — decode runs in the scan
+    stage's Python workers (Arrow-batched), emitting 4 longs per image;
+    everything downstream (blocking, verify) moves only signatures.
+    Keep arrow.maxRecordsPerBatch modest for multi-MB blobs.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        try:
+            import io
+
+            from PIL import Image
+
+            def real_decode(b: bytes) -> "np.ndarray":
+                img = Image.open(io.BytesIO(b)).convert("L")
+                return np.asarray(img, dtype="int64")
+        except ImportError:
+            real_decode = None
+
+        def decode_grid(b: bytes) -> "np.ndarray":
+            if b[:4] == FAKE_MAGIC:
+                w, h = _struct.unpack("<II", b[4:12])
+                return np.frombuffer(
+                    b[12 : 12 + w * h], dtype="uint8"
+                ).astype("int64").reshape(h, w)
+            if real_decode is None:
+                raise NotImplementedError(
+                    "real image decoding requires Pillow (not in this "
+                    "container); only FAKB test blobs are decodable"
+                )
+            return real_decode(b)
+
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                grid = decode_grid(bytes(blob))
+                h, w = grid.shape
+                if (w, h) != (9 * pool, 8 * pool):
+                    raise ValueError(
+                        f"dhash expects a {9 * pool}x{8 * pool} grid, "
+                        f"got {w}x{h}"
+                    )
+                pooled = (
+                    grid.reshape(8, pool, 9, pool).sum(axis=(1, 3))
+                    // (pool * pool)
+                )
+                bits = pooled[:, :8] < pooled[:, 1:]
+                idx = np.arange(64).reshape(8, 8)
+                bands = [0, 0, 0, 0]
+                for r in range(8):
+                    for c in range(8):
+                        if bits[r, c]:
+                            k = int(idx[r, c])
+                            bands[k // 16] |= 1 << (k % 16)
+                out.append((rid, *bands))
+            yield pd.DataFrame(out, columns=["id", "b0", "b1", "b2", "b3"])
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(blob_col).alias("blob")
+    ).mapInPandas(hash_batches, DHASH_OUTPUT_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    hamming_max: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash band signatures: Hamming-ball
+    LSH blocking + exact verify.
+
+    Blocking (pigeonhole): two 64-bit hashes within Hamming distance
+    ``hamming_max`` <= 3 differ in at most 3 of the 4 16-bit bands, so
+    at least one band matches exactly — banding on (band_idx,
+    band_value) has ZERO false negatives, same guarantee shape as the
+    MinHash band buckets (functions/similarity.py) and the SimHash
+    pigeonhole chunks. Candidates are verified with the exact popcount
+    of the banded XOR, so no false positives either.
+
+    Scale (100 TB): the self-join shuffles on (band_idx, band_value) —
+    4 rows of 3 longs per image, never pixels; candidate volume is
+    bounded by real near-dup density (uniform hashes collide on a
+    16-bit band with p = 2^-16). The verify is expression-only
+    (bitwiseXOR + bit_count), no second shuffle beyond the pair join.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= hamming_max.
+    """
+    if not 0 <= hamming_max <= 3:
+        raise ValueError(
+            "hamming_max must be in [0, 3]: 4-band pigeonhole blocking "
+            "only guarantees recall through distance 3"
+        )
+    bands = sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("_bi", "_bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bi") == F.col("b._bi"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_a{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_b{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
+        for c in ("b0", "b1", "b2", "b3")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", ham.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= hamming_max)
+    )
+
+
+def image_phash_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    hamming_max: int = 3,
+) -> DataFrame:
+    """Image near-dedup retention: hash every image (image_dhash), find
+    near-dup pairs (phash_near_dup_pairs), keep each image whose id is
+    not dominated by a smaller-id near-duplicate — the per-pair greedy
+    retention the exact-dedup family uses (operators/dedup.py), cheap
+    and deterministic. (Cluster-correct retention would compose the
+    pair table with functions/graph.py connected_components exactly as
+    cluster_dedup_docs does for Jaccard pairs.)
+
+    Output: (id_col, b0..b3) — surviving images with their signatures.
+    """
+    sig = image_dhash(df, id_col, blob_col)
+    pairs = phash_near_dup_pairs(sig, "id", hamming_max)
+    return (
+        sig.join(
+            pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
+        )
+        .select(
+            F.col("id").alias(id_col), "b0", "b1", "b2", "b3"
+        )
+    )

@@ -529,6 +529,25 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
 
 
+def q_containment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive containment clusters: the directed containment pairs
+    (same 4-gram / 0.8 parameters as containment_dedup) taken as
+    undirected edges, collapsed with connected components — mutual and
+    CHAINED containment (excerpt ⊂ article ⊂ anthology) lands in one
+    cluster labeled by its smallest doc_id, finishing the asymmetric-dup
+    story the per-pair view can't (same composition cluster_dedup_docs
+    uses for Jaccard pairs). Oracle: recursive-CTE transitive closure
+    over the brute-force pairs."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.similarity import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
 SEMDEDUP_T = 0.5
 
 
@@ -2411,6 +2430,59 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_fns.decode_images(blobs, "id", "blob")
 
 
+# Deterministic image fixture for the perceptual-hash dedup query: a
+# 36x32 grayscale grid whose pixel values are pure integer arithmetic on
+# doc_id — Spark round-trips it through an image container decode
+# (lossless FAKB here; the PNG/Pillow branch of image_dhash is the same
+# code path, import-gated because Pillow is not in this container) while
+# the DuckDB oracle regenerates the grid arithmetically.
+# s = doc_id % 37 gives ~37 duplicate groups; docs with doc_id % 5 == 0
+# perturb one pixel, creating small-Hamming near-dups inside a group.
+PHASH_W, PHASH_H, PHASH_GROUPS = 36, 32, 37
+
+
+def _phash_pixels(doc_id: int) -> bytes:
+    s = doc_id % PHASH_GROUPS
+    px = bytearray(
+        (s * 31 + i * 7 + j * 13) % 256
+        for i in range(PHASH_H)
+        for j in range(PHASH_W)
+    )
+    if doc_id % 5 == 0:
+        px[0] = (px[0] + 128) % 256
+    return bytes(px)
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup over decoded image blobs: deterministic images
+    are generated per doc (mapInPandas), decoded back from the container,
+    dHash-fingerprinted with exact integer pooling (functions/
+    multimodal.py image_dhash), then near-dups are blocked by 16-bit
+    Hamming bands and verified by exact popcount — the image twin of
+    minhash_lsh_dedup. Survivors keep their 4-band signature."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        image_phash_dedup,
+        make_image_blob,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (int(d), make_image_blob(PHASH_W, PHASH_H, _phash_pixels(int(d))))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.mapInPandas(encode, "id long, blob binary")
+    return image_phash_dedup(blobs, "id", "blob", hamming_max=3).select(
+        F.col("id").alias("doc_id"), "b0", "b1", "b2", "b3"
+    )
+
+
 # to_json canonicalization: both engines serialize nested structs to JSON
 # strings so the driver's hasher (which chokes on struct cells — round-1
 # red row) compares scalars. Field order matches because Spark emits struct
@@ -2568,6 +2640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline_v3": q_corpus_pipeline_v3,
     "corpus_to_shards": q_corpus_to_shards,
     "containment_dedup": q_containment_dedup,
+    "containment_clusters": q_containment_clusters,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "quantize_embeddings": q_quantize_embeddings,
@@ -2580,6 +2653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_dedup": q_cosine_dedup,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
+    "image_phash_dedup": q_image_phash_dedup,
     "range_join": q_range_join,
     "rollup_timeseries": q_rollup_timeseries,
     "sliding_window": q_sliding_window,
@@ -2668,14 +2742,16 @@ _DRIVER_HEAD = [
     "latest_per_key", "json_parse", "rekey_select_key",
     "join_key_digest", "dedup_exact", "distinct_pairs",
     # operators ADDED this round — never driver-checked, so they take
-    # precedence over r04-stale fills (embedding_centroid and
-    # funnel_counts, both r04-checked, wait for r07)
-    "bpe_doc_tokens", "bpe_sequence_packing",
-    # r04-stale fills, alphabetical (11)
+    # precedence over r04-stale fills (embedding_centroid,
+    # funnel_counts, doc_chunks and cosine_dedup, all r04-checked,
+    # wait for r07)
+    "bpe_doc_tokens", "bpe_sequence_packing", "image_phash_dedup",
+    "containment_clusters",
+    # r04-stale fills, alphabetical (9)
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
     "anti_join_orphans", "asof_join", "canonical_dedup",
     "contamination_scan_join", "copurchase_triangles",
-    "corpus_pipeline", "cosine_dedup", "doc_chunks",
+    "corpus_pipeline",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -2891,6 +2967,24 @@ _DSIR_WEIGHTS_SQL = f"""
                                (x, y) -> x + y), 9) AS logw_r
       FROM contrib GROUP BY doc_id
     )"""
+
+# Brute-force containment pair CTEs (4-gram sets, C(A->B) >= 0.8) —
+# shared by the containment_dedup oracle and the containment_clusters
+# transitive-closure oracle.
+_CONTAIN_CTES_SQL = f"""ct AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    cd AS (SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(CAST(len(w) AS BIGINT) - 3, 0)),
+            i -> array_to_string((w)[i+1:i+4], ' '))) AS sh FROM ct),
+    cpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) AS DOUBLE) AS containment
+      FROM cd a JOIN cd b ON a.doc_id != b.doc_id
+      WHERE len(a.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) AS DOUBLE) >= 0.8
+    )"""
+
 
 def _bpe_oracle_sql(num_merges: int, output: str = "merges") -> str:
     """Unrolled BPE merge rounds mirroring functions/text.py bpe_merges:
@@ -3509,17 +3603,22 @@ ORACLE_SQL: dict[str, str] = {
         ),
     ),
     "containment_dedup": f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
-    d AS (SELECT doc_id, list_distinct(list_transform(
-            range(0, greatest(CAST(len(w) AS BIGINT) - 3, 0)),
-            i -> array_to_string((w)[i+1:i+4], ' '))) AS sh FROM t)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(a.sh) AS DOUBLE) AS containment
-    FROM d a JOIN d b ON a.doc_id != b.doc_id
-    WHERE len(a.sh) > 0
-      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / CAST(len(a.sh) AS DOUBLE) >= 0.8
+    WITH {_CONTAIN_CTES_SQL}
+    SELECT id_a, id_b, containment FROM cpairs
+    """,
+    "containment_clusters": f"""
+    WITH RECURSIVE {_CONTAIN_CTES_SQL},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM cpairs
+      UNION ALL
+      SELECT id_b, id_a FROM cpairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node
     """,
     "lm_perplexity": f"""
     WITH d AS (
@@ -4417,6 +4516,66 @@ ORACLE_SQL: dict[str, str] = {
            count(*) FILTER (event_type = 'view') AS n_view
     FROM events
     GROUP BY user_id
+    """,
+    # regenerates the deterministic pixel grid arithmetically (PNG is
+    # lossless, so Spark's Pillow-decoded pixels are the same integers),
+    # then replays dHash pooling/bits/bands + Hamming-band blocking
+    "image_phash_dedup": f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    px AS (
+      SELECT doc_id, i, j,
+             CASE WHEN doc_id % 5 = 0 AND i = 0 AND j = 0
+               THEN (((doc_id % {PHASH_GROUPS}) * 31 + i * 7 + j * 13)
+                     % 256 + 128) % 256
+               ELSE ((doc_id % {PHASH_GROUPS}) * 31 + i * 7 + j * 13) % 256
+             END AS p
+      FROM ids, range(0, {PHASH_H}) t1(i), range(0, {PHASH_W}) t2(j)
+    ),
+    pooled AS (
+      SELECT doc_id, i // 4 AS r, j // 4 AS c,
+             CAST(SUM(p) // 16 AS BIGINT) AS v
+      FROM px GROUP BY doc_id, i // 4, j // 4
+    ),
+    bits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS k
+      FROM pooled a JOIN pooled b
+        ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8 AND a.v < b.v
+    ),
+    sig AS (
+      SELECT ids.doc_id,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 0 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b0,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 1 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b1,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 2 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b2,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 3 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b3
+      FROM ids LEFT JOIN bits ON ids.doc_id = bits.doc_id
+      GROUP BY ids.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS bi, b0 AS bv FROM sig
+      UNION ALL SELECT doc_id, 1, b1 FROM sig
+      UNION ALL SELECT doc_id, 2, b2 FROM sig
+      UNION ALL SELECT doc_id, 3, b3 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_a
+      JOIN sig sb ON sb.doc_id = cand.id_b
+      WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+          + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 3
+    )
+    SELECT s.doc_id, s.b0, s.b1, s.b2, s.b3 FROM sig s
+    WHERE s.doc_id NOT IN (SELECT id_b FROM pairs)
     """,
     "multimodal_metadata": """
     SELECT doc_id,

@@ -68,3 +68,83 @@ def test_decode_preserves_partitioning(spark, blobs):
     from kafka_denormalization_spark.plans import count_exchanges
 
     assert count_exchanges(out) <= 1  # only the explicit repartition round-robin
+
+
+def test_image_dhash_known_grid(spark):
+    """pool=1: the 9x8 grid IS the dHash grid, so bits are directly
+    pixel(r,c) < pixel(r,c+1). A strictly increasing row sets all 8 of
+    its bits; a constant row sets none."""
+    import struct
+
+    # rows 0..3 increasing (bits set), rows 4..7 constant (no bits)
+    px = bytes(
+        [c * 10 for c in range(9)] * 4 + [7] * 9 * 4
+    )
+    blob = M.FAKE_MAGIC + struct.pack("<II", 9, 8) + px
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    r = M.image_dhash(df, "id", "blob", pool=1).collect()[0]
+    # bits 0..31 set (rows 0-3 = bands 0,1), bands 2,3 empty
+    assert (r["b0"], r["b1"], r["b2"], r["b3"]) == (0xFFFF, 0xFFFF, 0, 0)
+
+
+def test_phash_near_dup_pairs_brute_force_parity(spark):
+    """LSH-banded candidate generation finds EXACTLY the all-pairs
+    Hamming<=3 set (pigeonhole guarantee: <=3 flipped bits leave one
+    16-bit band intact) — the minhash_lsh_dedup verify pattern."""
+    import itertools
+    import random
+
+    import struct
+
+    rng = random.Random(11)
+    blobs = []
+    base = [rng.randrange(256) for _ in range(36 * 32)]
+    for i in range(30):
+        px = list(base)
+        # perturb i pixels: small i -> near-dups, large i -> distinct
+        for k in rng.sample(range(len(px)), i * 5):
+            px[k] = (px[k] + 97) % 256
+        blobs.append(
+            (i, bytearray(M.make_image_blob(36, 32, bytes(px))))
+        )
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    sig = M.image_dhash(df, "id", "blob").collect()
+    sigs = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in sig}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = sum(
+            bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
+        )
+        if d <= 3:
+            expected.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in M.phash_near_dup_pairs(
+            M.image_dhash(df, "id", "blob"), "id", hamming_max=3
+        ).collect()
+    }
+    assert got == expected and expected  # non-trivial fixture
+
+
+def test_image_phash_dedup_keeps_min_id(spark):
+    """Identical images collapse to the smallest id; a distinct image
+    survives untouched."""
+    pxa = bytes((i * 37) % 256 for i in range(36 * 32))
+    pxb = bytes((255 - (i * 11) % 256) for i in range(36 * 32))
+    rows = [
+        (1, bytearray(M.make_image_blob(36, 32, pxa))),
+        (2, bytearray(M.make_image_blob(36, 32, pxa))),   # exact dup of 1
+        (3, bytearray(M.make_image_blob(36, 32, pxb))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    kept = sorted(
+        r["id"] for r in M.image_phash_dedup(df, "id", "blob").collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_phash_hamming_max_guard():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hamming_max"):
+        M.phash_near_dup_pairs(None, "id", hamming_max=4)

@@ -422,3 +422,28 @@ def test_semantic_dedup_drops_within_cluster_near_identicals(spark):
     # within blob b: ids 1,3 near-identical -> 3 dropped
     assert 1 in out and 3 not in out
     assert 4 in out and 5 in out
+
+
+def test_containment_clusters_chain_collapses(spark):
+    """Chained containment (excerpt ⊂ article ⊂ anthology) lands in ONE
+    cluster even though excerpt↔anthology alone also qualifies and
+    sibling excerpts share nothing pairwise — the transitive closure the
+    per-pair view can't express."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.similarity import containment_pairs
+
+    words = [f"w{i}" for i in range(60)]
+    anthology = " ".join(words)
+    article = " ".join(words[:30])
+    excerpt = " ".join(words[:12])
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, anthology), (2, article), (3, excerpt), (4, other)],
+        "doc_id long, text string",
+    )
+    pairs = containment_pairs(df, "doc_id", "text", n=4, threshold=0.8)
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, src="id_a", dst="id_b").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}  # one cluster, min-id label; 4 absent
