@@ -158,9 +158,27 @@ def minhash_signature_table(
 
 
 def minhash_band_buckets(
-    grams: DataFrame, num_hashes: int, bands: int
+    grams: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(_id, _g) gram rows -> (_id, _band, _h) LSH band-bucket rows.
+
+    ``max_bucket``: hot-bucket guard for skewed corpora. The downstream
+    band self-join is quadratic WITHIN a bucket, and a boilerplate-heavy
+    real corpus can put 10^5 near-identical docs in one bucket (10^10
+    candidate rows at 100 TB). With ``max_bucket=m``, any bucket wider
+    than ``m`` is SPLIT into ``ceil(width/m)`` sub-buckets by a
+    secondary hash of the member id — nothing is dropped (no silent
+    caps): a pair separated into different sub-buckets can still
+    collide in any of the other ``bands-1`` bands, so the recall cost
+    is bounded and measured (tools/bench_skew.py; docs/SCALE_NOTES.md
+    "LSH hot-bucket guard") while the per-bucket join cost drops from
+    width² to ~m·width. Costs one extra aggregation pass + shuffle over
+    the bucket rows, so it defaults off; the hot-bucket side of the
+    guard join is at most |bucket rows|/m rows (broadcastable in
+    practice — AQE decides).
 
     NARROW signature aggregation: explode the band range instead of
     emitting num_hashes wide min-columns (the wide HashAggregate's
@@ -182,6 +200,8 @@ def minhash_band_buckets(
     """
     if num_hashes >= 128:
         raise ValueError("num_hashes must be < 128 (k*h2 overflow bound)")
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2")
     rows_per_band = num_hashes // bands
     ex = (
         grams.withColumn("_g64", F.xxhash64(F.col("_g")))
@@ -208,7 +228,7 @@ def minhash_band_buckets(
         ).alias(f"_m{i}")
         for i in range(rows_per_band)
     ]
-    return (
+    base = (
         ex.groupBy("_id", "_band")
         .agg(*row_mins)
         .select(
@@ -216,6 +236,41 @@ def minhash_band_buckets(
             "_band",
             F.xxhash64(*[F.col(f"_m{i}") for i in range(rows_per_band)]).alias("_h"),
         )
+    )
+    if max_bucket is None:
+        return base
+    from pyspark import StorageLevel
+
+    # bucket rows are consumed twice (width scan + refine join)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        base.groupBy("_band", "_h")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") > max_bucket)
+        .select(
+            "_band",
+            "_h",
+            F.ceil(F.col("_w") / F.lit(max_bucket)).cast("long").alias("_nsub"),
+        )
+    )
+    return base.join(hot, ["_band", "_h"], "left").select(
+        "_id",
+        "_band",
+        F.when(F.col("_nsub").isNull(), F.col("_h"))
+        .otherwise(
+            # the sub-bucket draw MUST be band-dependent: identical docs
+            # share every band's bucket, so a band-independent id hash
+            # would separate a split pair in ALL bands at once; seeding
+            # with _band makes each band an independent 1/nsub retry
+            # (P(pair kept) = 1-(1-1/nsub)^bands)
+            F.xxhash64(
+                F.col("_h"),
+                F.pmod(
+                    F.xxhash64(F.col("_band"), F.col("_id")), F.col("_nsub")
+                ),
+            )
+        )
+        .alias("_h"),
     )
 
 
@@ -364,9 +419,17 @@ def minhash_lsh_pairs(
     persist: bool = True,
     share_grams: bool = True,
     eager_cleanup: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH candidate generation + exact
     n-gram Jaccard verification.
+
+    ``max_bucket``: passed to ``minhash_band_buckets`` — split LSH
+    buckets wider than this by a secondary id hash, bounding the
+    quadratic per-bucket candidate join on skewed (boilerplate-heavy)
+    corpora. Verification is exact either way, so the guard can only
+    lose recall (measured small — other bands still catch split pairs),
+    never emit false positives.
 
     ``eager_cleanup``: materialize the verified pairs (persisted) and
     unpersist the pipeline's intermediate caches before returning — for
@@ -396,7 +459,7 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         grams_all = grams_all.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = minhash_band_buckets(grams_all, num_hashes, bands)
+    buckets = minhash_band_buckets(grams_all, num_hashes, bands, max_bucket)
     if persist:
         # the bucket table is referenced by both sides of the self-join and
         # is tiny (id + band + hash per row); persisting avoids recomputing

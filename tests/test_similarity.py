@@ -447,3 +447,46 @@ def test_containment_clusters_chain_collapses(spark):
         for r in connected_components(pairs, src="id_a", dst="id_b").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1}  # one cluster, min-id label; 4 absent
+
+
+def test_minhash_hot_bucket_guard_recall(spark):
+    """A skew-salted corpus (40 near-identical boilerplate docs forming
+    one hot bucket per band + organic near-dup pairs) under max_bucket:
+    the guard splits the hot buckets, the exact verify keeps precision
+    perfect, and recall stays high because split pairs still collide in
+    other bands. Also: guard off == brute force (baseline sanity)."""
+    docs = table(spark, SF_DIR, "documents").limit(60)
+    boiler = " ".join(f"nav{i} footer{i} copyright" for i in range(20))
+    extra = [(10_000 + i, boiler + f" tail{i % 3}") for i in range(40)]
+    salted = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in S.ngram_jaccard_pairs(
+            salted, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in S.minhash_lsh_pairs(
+            salted, "doc_id", "text", threshold=0.5, persist=False
+        ).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in S.minhash_lsh_pairs(
+            salted, "doc_id", "text", threshold=0.5, persist=False,
+            max_bucket=8,
+        ).collect()
+    }
+    assert unguarded == brute
+    assert guarded <= brute          # exact verify: no false positives
+    assert len(guarded) / len(brute) >= 0.9, (len(guarded), len(brute))
+
+
+def test_minhash_hot_bucket_guard_rejects_bad_cap():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket"):
+        S.minhash_band_buckets(None, 32, 16, max_bucket=1)
