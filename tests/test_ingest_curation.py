@@ -1,0 +1,188 @@
+"""Composed continuous-ingest curation (streaming/ingest_curation.py):
+N batches through span-dedup -> gate -> exact -> near-dedup -> shard
+layout, with a mid-stream restart, must equal the same chain composed
+from the BATCH operators over the union (id-ordered arrival is the
+twins' documented equivalence regime; shard positions are append
+offsets, so the batch comparison checks shard ASSIGNMENT + per-shard
+position contiguity, per IngestShard's deviation contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _tok_run(prefix: str, n: int, start: int = 1) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+
+def _fixture_batches():
+    a32 = _tok_run("a", 32)
+    b12 = _tok_run("b", 12)
+    c12 = _tok_run("c", 12)
+    return [
+        # batch 1
+        [
+            (1, a32),                                   # survivor (2 chunks)
+            (2, b12),                                   # survivor
+            (3, c12),                                   # survivor, near-group C
+            (4, _tok_run("d", 12)),                     # survivor
+        ],
+        # batch 2
+        [
+            (5, _tok_run("c", 11) + " zz"),             # near-dups 3 -> dropped
+            (6, b12),                                   # span state kills (='')
+            (7, _tok_run("a", 16) + " " + _tok_run("e", 16)),
+            # ^ chunk 1 seen (doc 1's first 16 tokens), chunk 2 fresh:
+            #   1 of 2 dropped, gate passes, rebuilt = e1..e16 -> survivor
+            (8, a32 + " " + _tok_run("f", 8)),          # 2 of 3 chunks seen -> gated
+        ],
+        # batch 3 (after restart)
+        [
+            (9, _tok_run("c", 11, start=2) + " ww"),    # near-dups 3 across restart
+            (10, b12),                                  # span state survives restart
+            (11, _tok_run("g", 12)),                    # survivor
+        ],
+    ]
+
+
+def _batch_reference(spark, union_df, n_shards):
+    """The same composed chain built from the batch operators."""
+    from kafka_denormalization_spark.functions.similarity import (
+        ngram_jaccard_pairs,
+    )
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+
+    spanned = span_dedup(union_df, "doc_id", "text", chunk_tokens=16)
+    gated = spanned.filter(
+        (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
+        & (F.length("text_dedup") > 0)
+    )
+    pairs = ngram_jaccard_pairs(
+        gated.select("doc_id", F.col("text_dedup").alias("text")),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    survivors = gated.join(
+        pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return shard_plan(survivors, "doc_id", n_shards=n_shards, salt="shard")
+
+
+def test_composed_curation_matches_batch_chain_with_restart(spark, tmp_path):
+    from kafka_denormalization_spark.streaming.ingest_curation import (
+        IngestCuration,
+    )
+
+    batches = _fixture_batches()
+    state = str(tmp_path / "state")
+    shipped = []
+
+    cur = IngestCuration(
+        spark, state, "doc_id", "text", n_shards=4, chunk_tokens=16
+    )
+    for batch in batches[:2]:
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        shipped.extend(r.asDict() for r in cur.process_batch(df).collect())
+
+    # mid-stream restart: a FRESH instance over the same state dir
+    cur2 = IngestCuration(
+        spark, state, "doc_id", "text", n_shards=4, chunk_tokens=16
+    )
+    df3 = spark.createDataFrame(batches[2], "doc_id long, text string")
+    shipped.extend(r.asDict() for r in cur2.process_batch(df3).collect())
+
+    union = spark.createDataFrame(
+        [row for b in batches for row in b], "doc_id long, text string"
+    )
+    ref = {
+        r["doc_id"]: r
+        for r in _batch_reference(spark, union, n_shards=4).collect()
+    }
+
+    got = {r["doc_id"]: r for r in shipped}
+    # 1) the shipped DOCUMENT SET matches the batch chain
+    assert sorted(got) == sorted(ref) == [1, 2, 3, 4, 7, 11]
+    # 2) rebuilt text matches per doc
+    for d in got:
+        assert got[d]["text_dedup"] == ref[d]["text_dedup"], d
+    # 3) shard assignment is the same pure function
+    for d in got:
+        assert got[d]["shard_id"] == ref[d]["shard_id"], d
+    # 4) streaming positions: contiguous 0..n-1 per shard (append
+    #    offsets; global order is the documented deviation vs the
+    #    batch twin's full-shuffle layout)
+    by_shard: dict[int, list[int]] = {}
+    for d in got:
+        by_shard.setdefault(got[d]["shard_id"], []).append(got[d]["pos"])
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), (s, poss)
+
+
+def test_composed_curation_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run of the composed pipeline: file
+    source, one file per trigger, foreachBatch(IngestCuration)."""
+    from kafka_denormalization_spark.streaming.ingest_curation import (
+        IngestCuration,
+    )
+
+    batches = _fixture_batches()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    cur = IngestCuration(
+        spark, str(tmp_path / "state"), "doc_id", "text",
+        n_shards=4, chunk_tokens=16,
+    )
+    got: list[int] = []
+
+    def sink(df, epoch_id):
+        got.extend(r["doc_id"] for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(cur.foreach_batch(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # file order within one trigger run is by path, matching batch
+    # numbering, so the survivor set is the deterministic one
+    assert sorted(got) == [1, 2, 3, 4, 7, 11]
+
+
+def test_composed_curation_compact_preserves_state(spark, tmp_path):
+    from kafka_denormalization_spark.streaming.ingest_curation import (
+        IngestCuration,
+    )
+
+    batches = _fixture_batches()
+    cur = IngestCuration(
+        spark, str(tmp_path / "st"), "doc_id", "text",
+        n_shards=4, chunk_tokens=16,
+    )
+    for batch in batches[:2]:
+        cur.process_batch(
+            spark.createDataFrame(batch, "doc_id long, text string")
+        ).collect()
+    stats = cur.compact()
+    assert set(stats) >= {"span_digests", "seen_digests", "shard_counters"}
+    out3 = cur.process_batch(
+        spark.createDataFrame(batches[2], "doc_id long, text string")
+    ).collect()
+    assert sorted(r["doc_id"] for r in out3) == [11]
