@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "shard_plan",
     "bpe_merges",
     "quantize_embeddings",
+    # round-6 operators
+    "bpe_doc_tokens",
+    "bpe_sequence_packing",
+    "image_phash_dedup",
+    "containment_clusters",
 ]
 
 

@@ -216,6 +216,16 @@ def image_dhash(
     stage's Python workers (Arrow-batched), emitting 4 longs per image;
     everything downstream (blocking, verify) moves only signatures.
     Keep arrow.maxRecordsPerBatch modest for multi-MB blobs.
+
+    Skew warning (measured, SCALE_NOTES "image_phash_dedup scale-up"):
+    dHash is brightness-invariant BY DESIGN, so corpora with many
+    offset-equivalent images (flat-field scans, exposure brackets,
+    re-encoded screenshots) collapse onto few hashes and make the
+    downstream (band, value) blocking quadratic — 762M candidate pairs
+    from 160k images in the fixture that triggered this note. That is
+    the hot-bucket workload: cap bucket width the way
+    minhash_band_buckets(max_bucket) does before running retention at
+    crawl scale.
     """
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2438,13 +2438,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the DuckDB oracle regenerates the grid arithmetically.
 # s = doc_id % 37 gives ~37 duplicate groups; docs with doc_id % 5 == 0
 # perturb one pixel, creating small-Hamming near-dups inside a group.
+# The per-group GRADIENTS (7 + s % 101, 13 + s % 103) make groups
+# structurally distinct: a shared gradient with only a brightness offset
+# would be dHash-IDENTICAL across groups (the hash is deliberately
+# brightness-invariant) and merge everything into mega-cliques — the
+# round-6 scale-up measured 762M candidate pairs at 160k images before
+# this fix. Distinct (a, b) pairs cover s < 101*103 groups.
 PHASH_W, PHASH_H, PHASH_GROUPS = 36, 32, 37
 
 
-def _phash_pixels(doc_id: int) -> bytes:
-    s = doc_id % PHASH_GROUPS
+def _phash_pixels(doc_id: int, groups: int = PHASH_GROUPS) -> bytes:
+    s = doc_id % groups
+    a, b = 7 + s % 101, 13 + s % 103
     px = bytearray(
-        (s * 31 + i * 7 + j * 13) % 256
+        (s * 31 + i * a + j * b) % 256
         for i in range(PHASH_H)
         for j in range(PHASH_W)
     )
@@ -4525,9 +4532,13 @@ ORACLE_SQL: dict[str, str] = {
     px AS (
       SELECT doc_id, i, j,
              CASE WHEN doc_id % 5 = 0 AND i = 0 AND j = 0
-               THEN (((doc_id % {PHASH_GROUPS}) * 31 + i * 7 + j * 13)
+               THEN (((doc_id % {PHASH_GROUPS}) * 31
+                      + i * (7 + (doc_id % {PHASH_GROUPS}) % 101)
+                      + j * (13 + (doc_id % {PHASH_GROUPS}) % 103))
                      % 256 + 128) % 256
-               ELSE ((doc_id % {PHASH_GROUPS}) * 31 + i * 7 + j * 13) % 256
+               ELSE ((doc_id % {PHASH_GROUPS}) * 31
+                     + i * (7 + (doc_id % {PHASH_GROUPS}) % 101)
+                     + j * (13 + (doc_id % {PHASH_GROUPS}) % 103)) % 256
              END AS p
       FROM ids, range(0, {PHASH_H}) t1(i), range(0, {PHASH_W}) t2(j)
     ),

@@ -123,6 +123,54 @@ def _bpe_tokens(docs):
     return bpe_token_counts(docs, "text", num_merges=3)
 
 
+def _image_phash(docs):
+    """Deterministic image blobs per doc (numpy-vectorized grid), then
+    the full dHash -> band-LSH -> verify -> retention chain. Group count
+    scales with N (constant group SIZE, the same convention as
+    shard_plan's n_shards) so the near-dup workload shape is constant
+    and the result linear — fixed groups would make replicas pure
+    mega-cliques (that skew case is tools/bench_lsh_skew.py's job)."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        image_phash_dedup,
+        make_image_blob,
+    )
+
+    spark = docs.sparkSession
+    groups = 37 * int(spark.conf.get("bench.scaleup.n_rep", "1"))
+
+    def encode(batches):
+        import numpy as np
+
+        ii, jj = np.meshgrid(
+            np.arange(32), np.arange(36), indexing="ij"
+        )
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = d % groups
+                # per-group GRADIENTS (queries._phash_pixels formula):
+                # offset-only group differences are dHash-invariant and
+                # merge every group into one mega-clique
+                grid = (s * 31 + (7 + s % 101) * ii + (13 + s % 103) * jj) % 256
+                px = bytearray(grid.astype("uint8").tobytes())
+                if d % 5 == 0:
+                    px[0] = (px[0] + 128) % 256
+                rows.append((d, make_image_blob(36, 32, bytes(px))))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.select("doc_id").mapInPandas(encode, "id long, blob binary")
+    return image_phash_dedup(blobs, "id", "blob")
+
+
+def _bpe_doc_tokens(docs):
+    from kafka_denormalization_spark.functions.text import bpe_encode_docs
+
+    return bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
+
+
 # each op: name -> (table, id_col, builder, salt_text)
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
@@ -134,6 +182,8 @@ OPS = {
     "bpe_merges": ("documents", "doc_id", _bpe, False),
     "bpe_token_counts": ("documents", "doc_id", _bpe_tokens, False),
     "shard_plan": ("documents", "doc_id", _shard_plan, False),
+    "image_phash_dedup": ("documents", "doc_id", _image_phash, False),
+    "bpe_doc_tokens": ("documents", "doc_id", _bpe_doc_tokens, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
