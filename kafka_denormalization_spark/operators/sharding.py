@@ -65,6 +65,66 @@ def shard_plan(
     )
 
 
+def shard_plan_bytes(
+    docs: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Byte-budgeted shard layout: serpentine round-robin over the
+    size-descending rank — the bin-packing variant of ``shard_plan``
+    for corpora with heavy-tailed document sizes, where a pure hash
+    deal leaves loader workers waiting on whichever shard drew the
+    giants.
+
+    Rank every row by (size desc, id asc); item at global rank ``r``
+    goes to round ``r DIV n_shards``; within an even round slots map
+    left-to-right (shard = r % n_shards) and within an odd round
+    right-to-left (shard = n_shards-1 - r % n_shards). The reversal
+    pairs each shard's large pick with a small one next round, so
+    per-shard byte totals track each other to within one item's size
+    (classic serpentine/boustrophedon guarantee for sorted input) —
+    versus the O(sqrt(n)) statistical spread of the hash deal.
+    ``pos`` = the round index, which is dense 0-based per shard (every
+    shard receives exactly one item per full round).
+
+    100 TB shape: NO single-partition global window. The global rank
+    decomposes into (a) a distinct-size table with a cumulative-count
+    window — tiny (one row per distinct byte length, ~1e5 rows for
+    real corpora) and explicitly the only unpartitioned window here —
+    and (b) a per-size ``row_number`` window, bounded by the most
+    populous exact byte length. The offsets side is broadcast. Rows
+    carry only (id, size) through the rank machinery; the payload
+    joins back by id at write time if needed.
+
+    Output: all input columns + (shard_id, pos); both are pure
+    functions of the (size, id) multiset — identical on any
+    partitioning, cluster size, or engine.
+    """
+    size = F.col(size_col).cast("long")
+    sized = docs.withColumn("_size", size)
+    by_size = sized.groupBy("_size").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.orderBy(F.col("_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = by_size.select(
+        "_size", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_size").orderBy(id_col)
+    ranked = sized.join(F.broadcast(offsets), "_size").withColumn(
+        "_r", F.col("_off") + F.row_number().over(w_in) - F.lit(1)
+    )
+    rnd = (F.col("_r") / F.lit(n_shards)).cast("long")
+    slot = F.col("_r") % F.lit(n_shards)
+    shard = F.when(rnd % 2 == 0, slot).otherwise(F.lit(n_shards - 1) - slot)
+    return (
+        ranked.withColumn("shard_id", shard.cast("long"))
+        .withColumn("pos", rnd.cast("long"))
+        .drop("_size", "_off", "_r")
+    )
+
+
 def shard_stats(
     plan: DataFrame,
     token_count_col: Column,

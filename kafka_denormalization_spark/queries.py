@@ -1021,6 +1021,27 @@ def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_stats(plan, text_fns.token_count("text"))
 
 
+def q_shard_plan_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budgeted shard layout (operators/sharding.py
+    shard_plan_bytes): serpentine round-robin over the size-descending
+    rank, the bin-packing answer to heavy-tailed document sizes that a
+    pure hash deal (shard_plan) cannot balance. Per-shard byte totals
+    land within one document of each other; pure function of the
+    (n_chars, doc_id) multiset so any engine replays it bit-identically."""
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_plan_bytes,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = shard_plan_bytes(docs, "doc_id", "n_chars", n_shards=8)
+    return plan.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_bytes"),
+        "shard_id",
+        "pos",
+    )
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The encode half of the BPE loop: apply the 3 freshly-trained
     merges back to the corpus vocabulary and emit the
@@ -2635,6 +2656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "packing_stats": q_packing_stats,
     "shard_plan": q_shard_plan,
+    "shard_plan_bytes": q_shard_plan_bytes,
     "shard_stats": q_shard_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -3272,6 +3294,29 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY shard_id
                                    ORDER BY draw, doc_id) - 1 AS BIGINT) AS pos
     FROM p
+    """,
+    "shard_plan_bytes": """
+    WITH sized AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS sz FROM documents
+    ), by_size AS (
+      SELECT sz, count(*) AS c FROM sized GROUP BY sz
+    ), off AS (
+      SELECT sz,
+             COALESCE(SUM(c) OVER (ORDER BY sz DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM by_size
+    ), ranked AS (
+      SELECT s.doc_id, s.sz,
+             o.o + row_number() OVER (PARTITION BY s.sz
+                                      ORDER BY s.doc_id) - 1 AS r
+      FROM sized s JOIN off o USING (sz)
+    )
+    SELECT doc_id,
+           sz AS n_bytes,
+           CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                     ELSE 7 - (r % 8) END AS BIGINT) AS shard_id,
+           CAST(r // 8 AS BIGINT) AS pos
+    FROM ranked
     """,
     "shard_stats": """
     WITH p AS (

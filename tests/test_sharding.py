@@ -59,6 +59,77 @@ def test_shard_plan_partition_independent(spark):
     assert a != c
 
 
+def _sized_docs(spark, n=400):
+    # heavy-tailed sizes: a few giants, many small docs
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 97 == 0, F.col("id") * 50 + 10_000)
+        .otherwise(F.col("id") % 37 + 5)
+        .cast("long")
+        .alias("n_bytes"),
+    )
+
+
+def test_shard_plan_bytes_balance_and_density(spark):
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_plan_bytes,
+    )
+
+    docs = _sized_docs(spark)
+    plan = shard_plan_bytes(docs, "doc_id", "n_bytes", n_shards=8).collect()
+    assert len(plan) == 400
+    by_shard = collections.defaultdict(list)
+    bytes_by_shard = collections.defaultdict(int)
+    for r in plan:
+        assert 0 <= r["shard_id"] < 8
+        by_shard[r["shard_id"]].append(r["pos"])
+        bytes_by_shard[r["shard_id"]] += r["n_bytes"]
+    # per-shard positions dense 0..n-1
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # serpentine guarantee: byte spread <= max single item (with 5
+    # giants over 8 shards NO packing can do better than "a giant-less
+    # shard trails by one giant" — the theorem is the right assertion)
+    max_item = max(r["n_bytes"] for r in plan)
+    spread = max(bytes_by_shard.values()) - min(bytes_by_shard.values())
+    assert spread <= max_item
+    # on a balanceable size mix (many moderate items), the layout is
+    # near-perfect: every shard within 2% of the mean
+    mild = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 200 + 50).cast("long").alias("n_bytes"),
+    )
+    mplan = shard_plan_bytes(mild, "doc_id", "n_bytes", n_shards=8).collect()
+    mtotals = collections.defaultdict(int)
+    for r in mplan:
+        mtotals[r["shard_id"]] += r["n_bytes"]
+    mmean = sum(mtotals.values()) / 8
+    for total in mtotals.values():
+        assert abs(total - mmean) <= 0.02 * mmean
+
+
+def test_shard_plan_bytes_partition_independent(spark):
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_plan_bytes,
+    )
+
+    base = _sized_docs(spark)
+    a = {
+        (r["doc_id"], r["shard_id"], r["pos"])
+        for r in shard_plan_bytes(base, "doc_id", "n_bytes", 8).collect()
+    }
+    b = {
+        (r["doc_id"], r["shard_id"], r["pos"])
+        for r in shard_plan_bytes(
+            base.repartition(13).sortWithinPartitions(F.col("doc_id").desc()),
+            "doc_id",
+            "n_bytes",
+            8,
+        ).collect()
+    }
+    assert a == b
+
+
 def test_shard_stats_totals(spark):
     plan = shard_plan(_docs(spark, 200), "doc_id", 4, salt="s")
     stats = shard_stats(plan, F.size(F.split(F.trim("text"), r"\s+"))).collect()
