@@ -216,6 +216,127 @@ def repetition_score(text: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def repetition_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition accounting (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the n-gram half; the line-based half needs
+    multi-line documents): per document, the character mass of the
+    single most frequent word 2-/3-gram and the OVERLAP-AWARE character
+    mass of all duplicated 5-grams (each token position counted once no
+    matter how many duplicated 5-grams span it — the detail naive
+    ``count * len`` accounting gets wrong).
+
+    Everything is an exact integer so the numbers are bitwise-identical
+    across engines; callers derive Gopher's fractions downstream
+    (``top2_chars / n_chars`` etc.). Gram char mass includes the n-1
+    single-space separators (documented convention, mirrored in the
+    oracle); dup5 char mass is separator-free (sum of covered token
+    lengths). Ties for "most frequent gram" break to the
+    lexicographically smallest gram.
+
+    Output: (id, n_tokens, n_chars, top2_count, top2_chars, top3_count,
+    top3_chars, dup5_tokens, dup5_chars); top*/dup* are 0 for docs too
+    short to form the gram.
+
+    100 TB shape: the per-doc windows (lead, row_number) are bounded by
+    document length; gram groupBys shuffle (doc, gram) pairs — linear in
+    corpus tokens with map-side combine; the duplicated-occurrence join
+    fans out only grams already known duplicated. No global state.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(tokens(text_col)).alias("_pos", "_t"),
+    )
+    base = toks.groupBy("_rid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.length("_t")).cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy("_rid").orderBy("_pos")
+    led = toks.select(
+        "_rid",
+        "_pos",
+        "_t",
+        F.lead("_t", 1).over(w).alias("_t1"),
+        F.lead("_t", 2).over(w).alias("_t2"),
+        F.lead("_t", 3).over(w).alias("_t3"),
+        F.lead("_t", 4).over(w).alias("_t4"),
+    )
+
+    def top_gram(n: int, prefix: str) -> DataFrame:
+        parts = ["_t"] + [f"_t{i}" for i in range(1, n)]
+        grams = led.where(F.col(parts[-1]).isNotNull()).select(
+            "_rid", F.concat_ws(" ", *parts).alias("_g")
+        )
+        cnt = grams.groupBy("_rid", "_g").agg(F.count(F.lit(1)).alias("_c"))
+        w_top = Window.partitionBy("_rid").orderBy(
+            F.col("_c").desc(), F.col("_g")
+        )
+        return (
+            cnt.withColumn("_rn", F.row_number().over(w_top))
+            .where(F.col("_rn") == 1)
+            .select(
+                "_rid",
+                F.col("_c").cast("long").alias(f"{prefix}_count"),
+                (F.col("_c") * F.length("_g"))
+                .cast("long")
+                .alias(f"{prefix}_chars"),
+            )
+        )
+
+    g5 = led.where(F.col("_t4").isNotNull()).select(
+        "_rid",
+        "_pos",
+        F.concat_ws(" ", "_t", "_t1", "_t2", "_t3", "_t4").alias("_g"),
+    )
+    dup_grams = (
+        g5.groupBy("_rid", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("_rid", "_g")
+    )
+    covered = (
+        g5.join(dup_grams, ["_rid", "_g"])
+        .select(
+            "_rid",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(4))
+            ).alias("_cp"),
+        )
+        .distinct()
+    )
+    dup5 = (
+        covered.join(
+            toks.withColumnRenamed("_pos", "_cp"), ["_rid", "_cp"]
+        )
+        .groupBy("_rid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup5_tokens"),
+            F.sum(F.length("_t")).cast("long").alias("dup5_chars"),
+        )
+    )
+    zero_cols = [
+        "top2_count",
+        "top2_chars",
+        "top3_count",
+        "top3_chars",
+        "dup5_tokens",
+        "dup5_chars",
+    ]
+    return (
+        base.join(top_gram(2, "top2"), "_rid", "left")
+        .join(top_gram(3, "top3"), "_rid", "left")
+        .join(dup5, "_rid", "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            "n_tokens",
+            "n_chars",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in zero_cols
+            ],
+        )
+    )
+
+
 GOPHER_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that"]
 
 

@@ -419,6 +419,16 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 repetition accounting (functions/text.py
+    repetition_profile): per-doc char mass of the most frequent 2-/3-gram
+    plus overlap-aware char mass of duplicated 5-grams — the repetition
+    half of the Gopher quality rules, as exact integers so the fractions
+    derived downstream are bitwise-identical cross-engine."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.repetition_profile(docs, "doc_id", "text")
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram over event values (bucket = floor(value/50)).
     floor of an IEEE double division is deterministic cross-engine; the
@@ -2619,6 +2629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_fanout_topk": q_agg_fanout_topk,
     "agg_pricing_summary": q_agg_pricing_summary,
     "text_stats": q_text_stats,
+    "gopher_repetition": q_gopher_repetition,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3194,6 +3205,71 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY l_orderkey
     ORDER BY n_items DESC, l_orderkey
     LIMIT 20
+    """,
+    "gopher_repetition": """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(range(len(w))) AS pos, w AS w FROM t
+    ), tok AS (
+      SELECT doc_id, pos, w[pos + 1] AS tk FROM toks
+    ), base AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(length(tk)) AS BIGINT) AS n_chars
+      FROM tok GROUP BY doc_id
+    ), led AS (
+      SELECT doc_id, pos, tk,
+             lead(tk, 1) OVER w AS t1, lead(tk, 2) OVER w AS t2,
+             lead(tk, 3) OVER w AS t3, lead(tk, 4) OVER w AS t4
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), top2 AS (
+      SELECT doc_id, CAST(c AS BIGINT) AS top2_count,
+             CAST(c * length(g) AS BIGINT) AS top2_chars
+      FROM (
+        SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g) AS rn
+        FROM (SELECT doc_id, concat_ws(' ', tk, t1) AS g, count(*) AS c
+              FROM led WHERE t1 IS NOT NULL GROUP BY doc_id, g)
+      ) WHERE rn = 1
+    ), top3 AS (
+      SELECT doc_id, CAST(c AS BIGINT) AS top3_count,
+             CAST(c * length(g) AS BIGINT) AS top3_chars
+      FROM (
+        SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g) AS rn
+        FROM (SELECT doc_id, concat_ws(' ', tk, t1, t2) AS g, count(*) AS c
+              FROM led WHERE t2 IS NOT NULL GROUP BY doc_id, g)
+      ) WHERE rn = 1
+    ), g5 AS (
+      SELECT doc_id, pos, concat_ws(' ', tk, t1, t2, t3, t4) AS g
+      FROM led WHERE t4 IS NOT NULL
+    ), dupg AS (
+      SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2
+    ), covered AS (
+      SELECT DISTINCT doc_id, cp FROM (
+        SELECT g5.doc_id, unnest(range(g5.pos, g5.pos + 5)) AS cp
+        FROM g5 JOIN dupg USING (doc_id, g)
+      )
+    ), dup5 AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS dup5_tokens,
+             CAST(sum(length(tk.tk)) AS BIGINT) AS dup5_chars
+      FROM covered c JOIN tok tk ON tk.doc_id = c.doc_id AND tk.pos = c.cp
+      GROUP BY c.doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_chars,
+           COALESCE(top2_count, 0) AS top2_count,
+           COALESCE(top2_chars, 0) AS top2_chars,
+           COALESCE(top3_count, 0) AS top3_count,
+           COALESCE(top3_chars, 0) AS top3_chars,
+           COALESCE(dup5_tokens, 0) AS dup5_tokens,
+           COALESCE(dup5_chars, 0) AS dup5_chars
+    FROM base b
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN top3 USING (doc_id)
+    LEFT JOIN dup5 USING (doc_id)
     """,
     "text_stats": f"""
     SELECT doc_id,

@@ -436,3 +436,34 @@ def test_bpe_encode_docs_empty_doc_zero(spark):
         for r in bpe_encode_docs(df, "id", "text", num_merges=1).collect()
     }
     assert len(out) == 2 and out[2] == 0 and out[1] > 0
+
+
+def test_repetition_profile_hand_computed(spark):
+    """Micro-fixture with hand-computed Gopher repetition numbers,
+    including the overlap-union detail of dup5 accounting."""
+    from kafka_denormalization_spark.functions.text import repetition_profile
+
+    # doc 1: "a b a b a b a b" — top 2-gram "a b" occurs 4x (len 3);
+    # 5-grams: "a b a b a" (pos 0, 2) and "b a b a b" (pos 1, 3) — both
+    # duplicated -> covered = union(0..4, 1..5, 2..6, 3..7) = all 8
+    # positions, counted ONCE each despite the 4-way overlap.
+    # doc 2: "x y z" — no 5-gram, top2 "x y"/"y z" both 1x -> tie breaks
+    # to "x y". doc 3: one token — no grams at all.
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in repetition_profile(df, "doc_id", "text").collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_chars"]) == (8, 8)
+    assert (r1["top2_count"], r1["top2_chars"]) == (4, 12)
+    # top 3-gram "a b a" occurs 3x (positions 0,2,4), len 5 -> 15 chars
+    assert (r1["top3_count"], r1["top3_chars"]) == (3, 15)
+    assert (r1["dup5_tokens"], r1["dup5_chars"]) == (8, 8)
+    r2 = rows[2]
+    assert (r2["top2_count"], r2["top2_chars"]) == (1, 3)
+    assert (r2["dup5_tokens"], r2["dup5_chars"]) == (0, 0)
+    r3 = rows[3]
+    assert (r3["n_tokens"], r3["top2_count"], r3["dup5_tokens"]) == (1, 0, 0)
