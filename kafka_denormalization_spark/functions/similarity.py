@@ -243,6 +243,7 @@ def minhash_band_buckets(
 
     # bucket rows are consumed twice (width scan + refine join)
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    internal_cache = base
     hot = (
         base.groupBy("_band", "_h")
         .agg(F.count(F.lit(1)).alias("_w"))
@@ -253,7 +254,7 @@ def minhash_band_buckets(
             F.ceil(F.col("_w") / F.lit(max_bucket)).cast("long").alias("_nsub"),
         )
     )
-    return base.join(hot, ["_band", "_h"], "left").select(
+    out = base.join(hot, ["_band", "_h"], "left").select(
         "_id",
         "_band",
         F.when(F.col("_nsub").isNull(), F.col("_h"))
@@ -272,6 +273,11 @@ def minhash_band_buckets(
         )
         .alias("_h"),
     )
+    # Expose the internal persisted frame so callers' cleanup paths
+    # (minhash_lsh_pairs eager_cleanup) can release it — the guard cache
+    # would otherwise pin executor storage for the whole session.
+    out._sg_internal_cache = internal_cache
+    return out
 
 
 def exact_jaccard_pairs(candidates: DataFrame, grams: DataFrame) -> DataFrame:
@@ -525,7 +531,12 @@ def minhash_lsh_pairs(
         # bench it inflates unrelated queries that run after the family.
         verified = verified.persist(StorageLevel.MEMORY_AND_DISK)
         verified.count()
-        for frame in (grams, buckets, grams_all):
+        # include the hot-bucket guard's internal cache (present only
+        # when max_bucket was set — see minhash_band_buckets)
+        guard_cache = getattr(buckets, "_sg_internal_cache", None)
+        for frame in (grams, buckets, grams_all, guard_cache):
+            if frame is None:
+                continue
             try:
                 frame.unpersist()
             except Exception:  # pragma: no cover - defensive

@@ -1026,6 +1026,10 @@ def bpe_encode_docs(
             F.col(id_col).alias("_id"),
             F.explode(tokens(F.col(text_col))).alias("_w"),
         )
+        # whitespace-split of empty text yields the '' token, which IS
+        # in the trained vocab (with empty syms) — without this filter
+        # an empty doc scores n_words=1, n_bpe_tokens=0 instead of 0/0
+        .filter(F.col("_w") != "")
         .groupBy("_id", "_w")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

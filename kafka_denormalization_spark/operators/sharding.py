@@ -115,7 +115,9 @@ def shard_plan_bytes(
     ranked = sized.join(F.broadcast(offsets), "_size").withColumn(
         "_r", F.col("_off") + F.row_number().over(w_in) - F.lit(1)
     )
-    rnd = (F.col("_r") / F.lit(n_shards)).cast("long")
+    # integral DIV, not double division: exact for ranks beyond 2^53
+    # (same hazard pack_chunks documents for cumulative offsets)
+    rnd = F.expr(f"_r DIV {int(n_shards)}")
     slot = F.col("_r") % F.lit(n_shards)
     shard = F.when(rnd % 2 == 0, slot).otherwise(F.lit(n_shards - 1) - slot)
     return (

@@ -3082,7 +3082,7 @@ def _bpe_oracle_sql(num_merges: int, output: str = "merges") -> str:
         parts.append(
             f"dw AS (SELECT doc_id, w, count(*) AS c FROM "
             f"(SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents) "
-            f"GROUP BY doc_id, w)"
+            f"WHERE w <> '' GROUP BY doc_id, w)"
         )
         parts.append(
             f"perdoc AS (SELECT dw.doc_id, "

@@ -204,6 +204,10 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # the equi-partitioned shard window
         "epoch_mixture",            # 1-row corpus-total aggregate broadcast
                                     # over |languages| plan rows (epoch plan)
+        "bpe_doc_tokens",           # 1-row best-pair broadcasts from the
+                                    # embedded merge-training rounds (same
+                                    # topology as bpe_merges)
+        "bpe_sequence_packing",     # same (embeds bpe_doc_tokens' encoder)
     }
     from kafka_denormalization_spark.plans import explain_str
 
