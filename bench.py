@@ -15,8 +15,11 @@ Per-query timing is split into two attributable phases (round-6):
             at build time since round 5's eager_cleanup);
   exec_s  — the noop-sink materialization of the returned DataFrame.
 The per-query value in "queries" stays build+exec (the round-5 totals
-methodology, so totals remain comparable), and "phases" carries the
-split so a plan regression is distinguishable from plan-compile noise.
+methodology, so totals remain comparable). The phase split goes to
+BENCH_PHASES.json next to this file (committed), NOT into the stdout
+line: the driver's tail capture truncated the round-6 artifact when the
+phases map made the line long (VERDICT r06 #3), so the headline line
+stays compact — total + per-query seconds only.
 """
 
 from __future__ import annotations
@@ -154,7 +157,6 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "phases": phases,
         "sf": sf,
     }
     if errors:
@@ -163,7 +165,14 @@ def main() -> None:
         # compared across runs with different coverage
         out["valid"] = False
         out["errors"] = errors
-    print(json.dumps(out))
+    # phase split (build vs exec) is a committed sidecar, kept out of the
+    # stdout headline so the driver's tail capture can never truncate it
+    phases_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PHASES.json"
+    )
+    with open(phases_path, "w") as fh:
+        json.dump({"sf": sf, "total_s": total, "phases": phases}, fh, indent=1)
+    print(json.dumps(out), flush=True)
 
 
 _EXTRA_BENCH: set[str] = set()  # extension queries opt in here as they land

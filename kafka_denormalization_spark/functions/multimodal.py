@@ -189,7 +189,7 @@ def image_dhash(
     df: DataFrame,
     id_col: str = "id",
     blob_col: str = "blob",
-    pool: int = 4,
+    pool: int | None = None,
 ) -> DataFrame:
     """64-bit difference hash (dHash) of image blobs via mapInPandas —
     the standard perceptual fingerprint for image near-dedup (refs:
@@ -199,12 +199,19 @@ def image_dhash(
 
     Decode path: real codecs through Pillow (PNG/JPEG/...; active in
     this container), the FAKB test container, else NotImplementedError
-    (honest gate — no silent fallbacks). The decoded grid must be
-    ``9*pool`` x ``8*pool``; it is average-pooled with EXACT integer
-    arithmetic (block sum // pool²) to the canonical 9x8 dHash grid, so
-    the hash is bit-identical across engines/library versions — no
+    (honest gate — no silent fallbacks). Any decoded WxH grid with
+    W >= 9, H >= 8 is area-pooled to the canonical 9x8 dHash grid with
+    EXACT integer arithmetic: cell (r, c) covers pixel rows
+    [r·H DIV 8, (r+1)·H DIV 8) x cols [c·W DIV 9, (c+1)·W DIV 9), its
+    value is the integral-image block sum DIV area — a pure function of
+    the pixel grid, bit-identical across engines/library versions, no
     resampling-filter dependence (Pillow's Lanczos/bilinear results are
-    not reproducible arithmetic, so we pool exactly instead).
+    not reproducible arithmetic, so we pool exactly instead). For grids
+    that are exact 9k x 8k multiples this reduces to the block-mean
+    pooling the oracle replays in SQL (boundaries land on k·r / k·c and
+    area = k²), so the FAKB-path oracle is unchanged. ``pool``, if
+    given, enforces the legacy strict size check (exactly 9·pool x
+    8·pool) before pooling.
 
     Bits: bit(r, c) = pooled(r, c) < pooled(r, c+1) for r in 0..7,
     c in 0..7 over the 9 pooled columns. The 64 bits ship as FOUR
@@ -223,9 +230,9 @@ def image_dhash(
     re-encoded screenshots) collapse onto few hashes and make the
     downstream (band, value) blocking quadratic — 762M candidate pairs
     from 160k images in the fixture that triggered this note. That is
-    the hot-bucket workload: cap bucket width the way
-    minhash_band_buckets(max_bucket) does before running retention at
-    crawl scale.
+    the hot-bucket workload: pass ``max_bucket`` to
+    ``phash_near_dup_pairs`` / ``image_phash_dedup`` before running
+    retention at crawl scale (tools/bench_phash_skew.py measures it).
     """
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -260,15 +267,31 @@ def image_dhash(
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 grid = decode_grid(bytes(blob))
                 h, w = grid.shape
-                if (w, h) != (9 * pool, 8 * pool):
+                if pool is not None and (w, h) != (9 * pool, 8 * pool):
                     raise ValueError(
                         f"dhash expects a {9 * pool}x{8 * pool} grid, "
                         f"got {w}x{h}"
                     )
-                pooled = (
-                    grid.reshape(8, pool, 9, pool).sum(axis=(1, 3))
-                    // (pool * pool)
-                )
+                if h < 8 or w < 9:
+                    raise ValueError(
+                        f"dhash needs at least a 9x8 image, got {w}x{h}"
+                    )
+                # exact integral-image area pooling to 8 rows x 9 cols
+                ii = np.zeros((h + 1, w + 1), dtype="int64")
+                ii[1:, 1:] = grid.cumsum(axis=0).cumsum(axis=1)
+                rb = [(r * h) // 8 for r in range(9)]
+                cb = [(c * w) // 9 for c in range(10)]
+                pooled = np.empty((8, 9), dtype="int64")
+                for r in range(8):
+                    for c in range(9):
+                        s = (
+                            ii[rb[r + 1], cb[c + 1]]
+                            - ii[rb[r], cb[c + 1]]
+                            - ii[rb[r + 1], cb[c]]
+                            + ii[rb[r], cb[c]]
+                        )
+                        area = (rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c])
+                        pooled[r, c] = s // area
                 bits = pooled[:, :8] < pooled[:, 1:]
                 idx = np.arange(64).reshape(8, 8)
                 bands = [0, 0, 0, 0]
@@ -289,6 +312,7 @@ def phash_near_dup_pairs(
     sig: DataFrame,
     id_col: str = "id",
     hamming_max: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash band signatures: Hamming-ball
     LSH blocking + exact verify.
@@ -301,10 +325,28 @@ def phash_near_dup_pairs(
     pigeonhole chunks. Candidates are verified with the exact popcount
     of the banded XOR, so no false positives either.
 
+    ``max_bucket``: hot-bucket guard, ported from
+    ``minhash_band_buckets`` (functions/similarity.py). dHash is
+    brightness-invariant BY DESIGN, so offset-equivalent corpora
+    (flat-field scans, exposure brackets, re-encoded screenshots)
+    collapse onto few hashes — measured 762M candidate pairs from 160k
+    images before this guard existed (docs/SCALE_NOTES.md). With
+    ``max_bucket=m``, any (band, value) bucket wider than ``m`` is
+    split into ``ceil(width/m)`` sub-buckets by a BAND-SEEDED id hash:
+    identical hashes share all 4 band buckets, so the seed must vary
+    per band or a split pair would separate in every band at once;
+    band-seeding makes each band an independent 1/nsub retry
+    (P(pair kept) = 1-(1-1/nsub)^4). Splitting trades the distance<=3
+    zero-false-negative pigeonhole guarantee for bounded recall on the
+    split buckets ONLY (unsplit buckets keep the full guarantee);
+    retention structure is measured band-for-band on the
+    offset-equivalent fixture in tools/bench_phash_skew.py. Default OFF.
+
     Scale (100 TB): the self-join shuffles on (band_idx, band_value) —
     4 rows of 3 longs per image, never pixels; candidate volume is
     bounded by real near-dup density (uniform hashes collide on a
-    16-bit band with p = 2^-16). The verify is expression-only
+    16-bit band with p = 2^-16) and, under the guard, by ~m·width per
+    hot bucket instead of width². The verify is expression-only
     (bitwiseXOR + bit_count), no second shuffle beyond the pair join.
 
     Output: (id_a, id_b, hamming), id_a < id_b, hamming <= hamming_max.
@@ -314,10 +356,82 @@ def phash_near_dup_pairs(
             "hamming_max must be in [0, 3]: 4-band pigeonhole blocking "
             "only guarantees recall through distance 3"
         )
+    cand, internal_cache = _phash_candidates(sig, id_col, max_bucket)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_a{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_b{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
+        for c in ("b0", "b1", "b2", "b3")
+    )
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", ham.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= hamming_max)
+    )
+    if internal_cache is not None:
+        # expose the guard's persisted band table so callers can
+        # unpersist (same contract as minhash_band_buckets)
+        out._sg_internal_cache = internal_cache
+    return out
+
+
+def _phash_candidates(
+    sig: DataFrame, id_col: str, max_bucket: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Blocking stage of ``phash_near_dup_pairs``: distinct candidate
+    (id_a, id_b) pairs from the (band, value) self-join, with the
+    optional band-seeded hot-bucket split. Returns (candidates,
+    internal persisted frame or None)."""
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2")
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("_bi", "_bv"),
-    )
+    ).select("_id", "_bi", F.col("_bv").cast("long").alias("_bv"))
+    internal_cache = None
+    if max_bucket is not None:
+        from pyspark import StorageLevel
+
+        # band rows are consumed twice (width scan + both join sides)
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        internal_cache = bands
+        hot = (
+            bands.groupBy("_bi", "_bv")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") > max_bucket)
+            .select(
+                "_bi",
+                "_bv",
+                F.ceil(F.col("_w") / F.lit(max_bucket))
+                .cast("long")
+                .alias("_nsub"),
+            )
+        )
+        bands = bands.join(hot, ["_bi", "_bv"], "left").select(
+            "_id",
+            "_bi",
+            F.when(F.col("_nsub").isNull(), F.col("_bv"))
+            .otherwise(
+                # band-seeded sub-bucket draw — see docstring
+                F.xxhash64(
+                    F.col("_bv"),
+                    F.pmod(
+                        F.xxhash64(F.col("_bi"), F.col("_id")),
+                        F.col("_nsub"),
+                    ),
+                )
+            )
+            .alias("_bv"),
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -331,26 +445,7 @@ def phash_near_dup_pairs(
         )
         .distinct()
     )
-    sa = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"_a{c}") for c in ("b0", "b1", "b2", "b3")],
-    )
-    sb = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"_b{c}") for c in ("b0", "b1", "b2", "b3")],
-    )
-    ham = sum(
-        F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
-        for c in ("b0", "b1", "b2", "b3")
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a", "id_b", ham.cast("long").alias("hamming")
-        )
-        .filter(F.col("hamming") <= hamming_max)
-    )
+    return cand, internal_cache
 
 
 def image_phash_dedup(
@@ -358,6 +453,7 @@ def image_phash_dedup(
     id_col: str = "id",
     blob_col: str = "blob",
     hamming_max: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-dedup retention: hash every image (image_dhash), find
     near-dup pairs (phash_near_dup_pairs), keep each image whose id is
@@ -370,7 +466,7 @@ def image_phash_dedup(
     Output: (id_col, b0..b3) — surviving images with their signatures.
     """
     sig = image_dhash(df, id_col, blob_col)
-    pairs = phash_near_dup_pairs(sig, "id", hamming_max)
+    pairs = phash_near_dup_pairs(sig, "id", hamming_max, max_bucket)
     return (
         sig.join(
             pairs.select(F.col("id_b").alias("id")), "id", "left_anti"

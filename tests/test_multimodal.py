@@ -148,3 +148,119 @@ def test_phash_hamming_max_guard():
 
     with _pytest.raises(ValueError, match="hamming_max"):
         M.phash_near_dup_pairs(None, "id", hamming_max=4)
+
+
+def test_phash_hot_bucket_guard_structure(spark):
+    """An offset-equivalent clique (brightness-shifted copies of one
+    image share ONE dHash — the flat-field/exposure-bracket skew shape,
+    762M-candidate incident in docs/SCALE_NOTES.md) plus organic
+    near-dup families under max_bucket: the guard caps the quadratic
+    bucket, organic (under-cap) buckets come through bit-identically,
+    and the connected-component retention structure is unchanged —
+    split pairs reconnect through other bands' sub-buckets."""
+    import random
+
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    base = [rng.randrange(150) for _ in range(36 * 32)]
+    rows = []
+    for i in range(40):  # offsets 0,4,...,96: strict inequalities kept
+        px = bytes(p + (i % 25) * 4 for p in base)
+        rows.append((i, bytearray(M.make_image_blob(36, 32, px))))
+    pxo = bytes((255 - (i * 11) % 256) for i in range(36 * 32))
+    rows += [
+        (100, bytearray(M.make_image_blob(36, 32, pxo))),
+        (101, bytearray(M.make_image_blob(36, 32, pxo))),  # organic dup
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    sig = M.image_dhash(df, "id", "blob")
+
+    def pairset(cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in M.phash_near_dup_pairs(sig, "id", 3, cap).collect()
+        }
+
+    def partition(pairs):
+        edges = spark.createDataFrame(
+            sorted(pairs), "id_a long, id_b long"
+        )
+        comps = {}
+        for r in connected_components(
+            edges, src="id_a", dst="id_b"
+        ).collect():
+            comps.setdefault(r["component"], set()).add(r["node"])
+        return frozenset(frozenset(v) for v in comps.values())
+
+    unguarded = pairset(None)
+    guarded = pairset(8)
+    assert guarded <= unguarded  # exact verify: no false positives
+    assert (100, 101) in guarded  # under-cap bucket untouched
+    # the 40-clique lost pairwise edges but not connectivity
+    assert partition(guarded) == partition(unguarded)
+    assert len(guarded) < len(unguarded)  # the guard actually cut work
+
+
+def test_phash_guard_rejects_bad_cap():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket"):
+        M.phash_near_dup_pairs(None, "id", 3, max_bucket=1)
+
+
+def test_image_dhash_arbitrary_size_png(spark):
+    """Real corpora decode to arbitrary WxH: a 13x11 Pillow PNG (no
+    9k x 8k structure) hashes via the exact integral-image area pooling
+    — verified against an independent plain-Python pooling of the same
+    grid (cell (r,c) = sum over rows [r*H//8,(r+1)*H//8) x cols
+    [c*W//9,(c+1)*W//9) // area), and a 36x32 image hashes identically
+    to the legacy strict block-mean path (pool=4)."""
+    import random
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — Pillow encode path
+
+    rng = random.Random(3)
+    w, h = 13, 11
+    px = [rng.randrange(256) for _ in range(w * h)]
+    blob = M.make_png_image(w, h, bytes(px))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "id long, blob binary"
+    )
+    r = M.image_dhash(df, "id", "blob").collect()[0]
+
+    # independent hand computation
+    grid = [px[i * w : (i + 1) * w] for i in range(h)]
+    rb = [(q * h) // 8 for q in range(9)]
+    cb = [(q * w) // 9 for q in range(10)]
+    pooled = [
+        [
+            sum(
+                grid[y][x]
+                for y in range(rb[i], rb[i + 1])
+                for x in range(cb[j], cb[j + 1])
+            )
+            // ((rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j]))
+            for j in range(9)
+        ]
+        for i in range(8)
+    ]
+    bands = [0, 0, 0, 0]
+    for i in range(8):
+        for j in range(8):
+            if pooled[i][j] < pooled[i][j + 1]:
+                k = i * 8 + j
+                bands[k // 16] |= 1 << (k % 16)
+    assert (r["b0"], r["b1"], r["b2"], r["b3"]) == tuple(bands)
+
+    # multiple-size grids: generic pooling == legacy strict pooling
+    px2 = bytes((i * 37) % 256 for i in range(36 * 32))
+    df2 = spark.createDataFrame(
+        [(1, bytearray(M.make_image_blob(36, 32, px2)))],
+        "id long, blob binary",
+    )
+    generic = M.image_dhash(df2, "id", "blob").collect()[0]
+    strict = M.image_dhash(df2, "id", "blob", pool=4).collect()[0]
+    assert tuple(generic) == tuple(strict)
