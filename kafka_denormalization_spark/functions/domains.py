@@ -1,0 +1,166 @@
+"""URL / domain-level curation — the C4/RefinedWeb-lineage pretraining
+stage the rest of the text family composes with: registered-domain
+extraction under public-suffix rules, per-domain quality aggregation,
+and blocklist / per-domain-cap filtering.
+
+Reference parity: the reference engine (aramperes/kafka-denormalization)
+has no value-level compute at all (SURVEY §2.3) — this module is a
+north-star extension, modeled on the URL-filtering stages described for
+C4 (Raffel et al. 2020 §2.2) and RefinedWeb (Penedo et al. 2023 §3.1).
+
+Everything here is expression-only (split / slice / array_join / when)
+— no UDFs, no joins inside the extraction, so Catalyst keeps the whole
+derivation inside WholeStageCodegen and the only shuffles are the ones
+the aggregation/filter semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A deliberately small public-suffix sample for tests/demos. Production
+# passes the real Public Suffix List (https://publicsuffix.org/, ~9k
+# active rules) — the extraction below is rule-count-agnostic: isin over
+# string literals compiles to an Catalyst InSet (hash lookup), so even
+# the full PSL stays expression-side and codegen'd, never a join.
+PUBLIC_SUFFIXES_MIN: tuple[str, ...] = (
+    "com", "org", "net", "io", "dev", "edu", "gov",
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "co.jp", "com.br",
+)
+
+
+def host_of(url: Column | str) -> Column:
+    """Host part of a URL (expression-only): text between ``://`` and the
+    first ``/``, lowercased, port stripped."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    # strip userinfo and port, lowercase (hosts are case-insensitive)
+    host = F.regexp_replace(host, r"^.*@", "")
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.lower(host)
+
+
+def registered_domain(
+    host: Column | str,
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES_MIN,
+) -> Column:
+    """Registered (pay-level) domain of a host under public-suffix
+    rules: the label immediately before the LONGEST suffix in
+    ``suffixes`` that terminates the host, joined with that suffix —
+    ``www.blog.example.co.uk`` -> ``example.co.uk``. NULL when no
+    suffix matches or the host IS a bare suffix (nothing registered).
+
+    Longest-match-wins is evaluated as a when-chain from the largest
+    label count down; each arm is a slice + array_join + InSet probe —
+    all codegen expressions, O(max_labels) per row regardless of rule
+    count.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    by_k: dict[int, list[str]] = {}
+    for s in set(suffixes):
+        by_k.setdefault(s.count(".") + 1, []).append(s)
+    labels = F.split(h, r"\.")
+    expr = None
+    for k in sorted(by_k, reverse=True):
+        cand = F.array_join(F.slice(labels, -k, k), ".")
+        reg = F.array_join(F.slice(labels, -(k + 1), k + 1), ".")
+        cond = (F.size(labels) > k) & cand.isin(by_k[k])
+        expr = (F.when if expr is None else expr.when)(cond, reg)
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def domain_profile(
+    docs: DataFrame,
+    url_col: str,
+    text_col: str = "text",
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES_MIN,
+) -> DataFrame:
+    """Per-registered-domain quality aggregation: the table a curation
+    run ranks/blocks domains from. One partial-aggregated pass; the
+    only shuffle is the groupBy(domain) exchange, keyed on ~1e7
+    distinct registered domains at crawl scale (fine-grained enough to
+    spread; a mega-domain's rows still combine map-side first).
+
+    Columns (integer-exact, ratios as int/int double division rounded
+    to 6 — the repo's cross-engine-deterministic ratio convention):
+      n_docs, n_chars, n_tokens — volume;
+      n_langs — distinct langs seen (script-mixing signal);
+      mean_doc_tokens — tokens per doc;
+      short_frac — fraction of docs under 30 tokens (boilerplate/stub
+                   signal, Gopher-style).
+    """
+    from .text import token_count
+
+    toks = token_count(F.col(text_col))
+    dom = registered_domain(host_of(F.col(url_col)), suffixes)
+    return (
+        docs.select(
+            dom.alias("domain"),
+            F.col("lang"),
+            F.length(text_col).cast("long").alias("_chars"),
+            toks.cast("long").alias("_toks"),
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(
+                F.sum("_toks").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_doc_tokens"),
+            F.round(
+                F.sum((F.col("_toks") < 30).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("short_frac"),
+        )
+    )
+
+
+def domain_filtered_corpus(
+    docs: DataFrame,
+    url_col: str,
+    blocklist: list[str],
+    max_per_domain: int | None = None,
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES_MIN,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist + per-domain-cap filtering, the standard anti-dominance
+    curation pair:
+
+    - drop every doc whose registered domain is in ``blocklist`` (or
+      has NO registered domain — unparseable/bare-suffix hosts are not
+      attributable, C4 drops them);
+    - with ``max_per_domain``, keep only the ``m`` smallest-id docs per
+      domain (deterministic cap so no single domain dominates the mix).
+
+    Scale: the blocklist is a literal InSet (the full PSL-scale variant
+    would broadcast-anti-join a blocklist table — both shuffle-free on
+    the probe side). The cap is a row_number window partitioned by
+    domain; partition width = domain width, the exact skew the cap
+    EXISTS to bound — rows beyond the window's sort of a mega-domain
+    are cut right after the exchange, and a two-level pre-cap (cap
+    per (domain, input-partition) first, then globally) is the
+    documented escalation if one domain exceeds a single executor's
+    sort budget.
+
+    Output: input columns + ``domain``.
+    """
+    from pyspark.sql import Window
+
+    dom = registered_domain(host_of(F.col(url_col)), suffixes)
+    out = docs.withColumn("domain", dom).where(
+        F.col("domain").isNotNull() & ~F.col("domain").isin(list(blocklist))
+    )
+    if max_per_domain is not None:
+        w = Window.partitionBy("domain").orderBy(F.col(id_col))
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_per_domain)
+            .drop("_rn")
+        )
+    return out

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kafka_denormalization_spark.dsl import Denormalize
 from kafka_denormalization_spark.engine import events_table, table
+from kafka_denormalization_spark.functions import domains as dom_fns
 from kafka_denormalization_spark.functions import multimodal as mm_fns
 from kafka_denormalization_spark.functions import similarity as sim_fns
 from kafka_denormalization_spark.functions import text as text_fns
@@ -427,6 +428,69 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived downstream are bitwise-identical cross-engine."""
     docs = table(spark, sf_dir, "documents")
     return text_fns.repetition_profile(docs, "doc_id", "text")
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic synthetic ``url`` column (testdata has
+    no URL field): subdomain by doc_id%3 (www / docs.archive / bare),
+    public suffix by doc_id%5 (com/org/co.uk/com.au/io — exercising
+    multi-label suffix rules), a port on doc_id%7==0 (exercising port
+    stripping), path /p/<doc_id>. The ground-truth registered domain is
+    ``source.suffix`` by construction, which is what the oracle asserts
+    — so the differential checks host extraction + public-suffix logic
+    against ground truth rather than replaying the parser in SQL."""
+    docs = table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("docs.archive."))
+        .otherwise(F.lit(""))
+    )
+    # (doc_id DIV 7) % 5, decorrelated from source (= doc_id % 20 in the
+    # testdata) so every (source, suffix) combination occurs
+    sfx_idx = F.expr("(doc_id DIV 7) % 5")
+    suffix = (
+        F.when(sfx_idx == 0, F.lit("com"))
+        .when(sfx_idx == 1, F.lit("org"))
+        .when(sfx_idx == 2, F.lit("co.uk"))
+        .when(sfx_idx == 3, F.lit("com.au"))
+        .otherwise(F.lit("io"))
+    )
+    port = F.when(F.col("doc_id") % 7 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), F.lit("."), suffix,
+        port, F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+# the oracle's ground-truth registered domain for _docs_with_urls
+_URL_DOMAIN_SQL = (
+    "source || '.' || CASE (doc_id // 7) % 5 WHEN 0 THEN 'com' "
+    "WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au' "
+    "ELSE 'io' END"
+)
+
+
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain quality aggregation (functions/domains.py):
+    registered-domain extraction under public-suffix rules (expression-
+    only longest-match), then one partial-aggregated pass per domain —
+    volume, language spread, mean doc length, short-doc fraction."""
+    return dom_fns.domain_profile(
+        _docs_with_urls(spark, sf_dir), "url"
+    )
+
+
+def q_domain_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist + per-domain cap (functions/domains.py): drop
+    blocklisted registered domains, keep the 3 smallest-id docs per
+    surviving domain — the anti-dominance curation pair."""
+    return dom_fns.domain_filtered_corpus(
+        _docs_with_urls(spark, sf_dir),
+        "url",
+        blocklist=["src0.com", "src3.co.uk", "src7.io"],
+        max_per_domain=3,
+    ).select("doc_id", "domain", "lang", "source", "n_chars")
 
 
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2630,6 +2694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "text_stats": q_text_stats,
     "gopher_repetition": q_gopher_repetition,
+    "domain_profile": q_domain_profile,
+    "domain_filtered_corpus": q_domain_filtered_corpus,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -2757,41 +2823,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- round-6 head: the 50 least-recently-driver-checked names ---
-    # Selection rule (VERDICT r05 task #2): every name last driver-
-    # checked in r01-r03 (25 names — nothing may go >2 rounds stale),
-    # then the reference-core denorm/DSL/serde family (last checked
-    # r04), then r04-stale fills alphabetically.  The 22 r04-stale
-    # names that miss this cut are exactly 2 rounds stale at the end
-    # of r06 and MUST lead the r07 head.
-    # last checked r01 (6)
-    "approx_stats", "quantiles", "rollup_pricing", "sessionize",
-    "topk_per_group", "window_running_total",
-    # last checked r02 (17)
-    "ann_ivf_topk", "ann_lsh_topk", "cluster_dedup_docs",
-    "contamination_scan", "denorm_nested", "fingerprint",
-    "keyword_extraction", "multimodal_decode", "near_dedup_docs",
-    "ngram_jaccard_pairs", "ntile_acctbal", "simhash_pairs",
-    "sliding_window", "text_clean", "value_histogram", "vocab_topk",
-    "winnowing",
-    # last checked r03 (2)
-    "market_share", "waiting_suppliers",
-    # reference-core denorm/DSL/serde family, last checked r04 (12)
-    "denorm_inner", "denorm_left_outer", "denorm_right_outer",
-    "denorm_full_outer", "denorm_nested_struct", "denorm_on_key",
-    "latest_per_key", "json_parse", "rekey_select_key",
-    "join_key_digest", "dedup_exact", "distinct_pairs",
-    # operators ADDED this round — never driver-checked, so they take
-    # precedence over r04-stale fills (embedding_centroid,
-    # funnel_counts, doc_chunks and cosine_dedup, all r04-checked,
-    # wait for r07)
+    # --- round-7 head: never-checked + touched-this-round + r04-stale ---
+    # Selection rule (VERDICT r06 tasks #3/#4): (a) the two round-6
+    # late additions that appear in NO driver artifact, (b) the two
+    # round-7 additions, (c) the three queries whose code paths changed
+    # this round (bpe empty-doc filter; phash refactor — guard default
+    # off but the blocking stage was factored out), (d) ALL 26 names
+    # last driver-checked in r04 (2 rounds stale), (e) r05-checked
+    # fills alphabetically to 50.  The remaining r05 names take the
+    # r08 head.
+    # (a) never driver-checked round-6 late additions (2)
+    "gopher_repetition", "shard_plan_bytes",
+    # (b) round-7 additions (2)
+    "domain_profile", "domain_filtered_corpus",
+    # (c) code touched this round (3)
     "bpe_doc_tokens", "bpe_sequence_packing", "image_phash_dedup",
-    "containment_clusters",
-    # r04-stale fills, alphabetical (9)
-    "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
-    "anti_join_orphans", "asof_join", "canonical_dedup",
-    "contamination_scan_join", "copurchase_triangles",
-    "corpus_pipeline",
+    # (d) last checked r04 (26)
+    "cosine_dedup", "doc_chunks", "embedding_centroid", "funnel_counts",
+    "fuzzy_name_pairs", "grouping_sets", "lang_id",
+    "local_supplier_volume", "multimodal_metadata", "near_dup_clusters",
+    "pivot_event_counts", "profile_orders", "quality_checks",
+    "quality_filter", "range_join", "rank_distribution",
+    "rollup_timeseries", "scd2_as_of", "sequence_packing",
+    "session_window", "set_ops", "shipping_priority", "stats_agg",
+    "stratified_sample", "text_stats", "two_hop_denorm",
+    # (e) r05-checked fills, alphabetical (17)
+    "big_orders", "bm25_batch", "bm25_search", "bpe_merges",
+    "bpe_token_counts", "cluster_dedup_best", "containment_dedup",
+    "copurchase_degree", "corpus_pipeline_v2", "corpus_pipeline_v3",
+    "corpus_report", "corpus_to_shards", "customer_distribution",
+    "disjunctive_revenue", "dsir_sample", "dsir_weights",
+    "epoch_mixture",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3270,6 +3332,41 @@ ORACLE_SQL: dict[str, str] = {
     LEFT JOIN top2 USING (doc_id)
     LEFT JOIN top3 USING (doc_id)
     LEFT JOIN dup5 USING (doc_id)
+    """,
+    # domain curation: the oracle asserts the GROUND-TRUTH registered
+    # domain of the synthetic URL fixture (source.suffix by
+    # construction) — the Spark side must recover it through full host
+    # extraction + longest-public-suffix matching (functions/domains.py)
+    "domain_profile": f"""
+    WITH d AS (
+      SELECT {_URL_DOMAIN_SQL} AS domain, lang,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_doc_tokens,
+           round(CAST(sum(CASE WHEN toks < 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS short_frac
+    FROM d GROUP BY domain
+    """,
+    "domain_filtered_corpus": f"""
+    WITH d AS (
+      SELECT doc_id, {_URL_DOMAIN_SQL} AS domain, lang, source, n_chars
+      FROM documents
+      WHERE {_URL_DOMAIN_SQL} NOT IN ('src0.com', 'src3.co.uk', 'src7.io')
+    ),
+    capped AS (
+      SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+             AS rn
+      FROM d
+    )
+    SELECT doc_id, domain, lang, source, n_chars FROM capped WHERE rn <= 3
     """,
     "text_stats": f"""
     SELECT doc_id,

@@ -1,0 +1,98 @@
+"""URL/domain curation (functions/domains.py): host extraction,
+public-suffix longest-match registered domains, per-domain profile,
+blocklist + cap filtering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_denormalization_spark.functions import domains as D
+
+
+def _host(spark, url):
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(D.host_of("url").alias("h"))
+        .collect()[0]["h"]
+    )
+
+
+def test_host_of_strips_scheme_port_userinfo_path(spark):
+    assert _host(spark, "https://www.Example.COM:8443/p/1?q=2") == "www.example.com"
+    assert _host(spark, "http://user:pw@site.org/x") == "site.org"
+    assert _host(spark, "ftp://a.co.uk") == "a.co.uk"
+    assert _host(spark, "not a url") == ""
+
+
+def test_registered_domain_longest_match(spark):
+    rows = [
+        ("www.blog.example.co.uk", "example.co.uk"),  # 2-label suffix wins
+        ("example.co.uk", "example.co.uk"),
+        ("sub.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("co.uk", None),        # bare public suffix: nothing registered
+        ("com", None),
+        ("example.unknown", None),  # no matching suffix
+        ("deep.a.b.site.com.au", "site.com.au"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+    got = [
+        r["d"]
+        for r in df.select(
+            D.registered_domain(F.col("h")).alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_domain_profile_aggregates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/1", "one two three", "en"),
+            (2, "https://b.example.com/2", "four five", "en"),
+            (3, "https://other.org/3", "x " * 40, "de"),
+            (4, "https://bare-suffix-host.unknown/4", "dropped", "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    out = {
+        r["domain"]: r
+        for r in D.domain_profile(docs, "url").collect()
+    }
+    assert set(out) == {"example.com", "other.org"}
+    ex = out["example.com"]
+    assert (ex["n_docs"], ex["n_tokens"], ex["n_langs"]) == (2, 5, 1)
+    assert ex["short_frac"] == 1.0  # both docs < 30 tokens
+    assert ex["mean_doc_tokens"] == 2.5
+    assert out["other.org"]["short_frac"] == 0.0  # 40 tokens
+
+
+def test_domain_filtered_corpus_blocklist_and_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, f"https://www.keep.com/{i}", "t") for i in range(5)]
+        + [(10, "https://bad.com/x", "t"), (11, "https://no-suffix.zzz/y", "t")],
+        "doc_id long, url string, text string",
+    )
+    out = D.domain_filtered_corpus(
+        docs, "url", blocklist=["bad.com"], max_per_domain=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]  # cap keeps min ids
+    assert {r["domain"] for r in out} == {"keep.com"}
+
+
+def test_domain_extraction_is_expression_only(spark):
+    """The whole derivation must stay inside the scan stage: no joins,
+    no extra exchanges beyond the aggregation's own."""
+    from kafka_denormalization_spark.plans import count_exchanges, explain_str
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/1", "t", "en")],
+        "doc_id long, url string, text string, lang string",
+    )
+    prof = D.domain_profile(docs, "url")
+    plan = explain_str(prof)
+    assert "Join" not in plan
+    # the groupBy exchange + the one exact count-distinct(lang) adds
+    # ((domain, lang) partial-agg exchange) — both aggregation-required,
+    # neither caused by the domain derivation
+    assert count_exchanges(prof) == 2
