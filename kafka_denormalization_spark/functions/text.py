@@ -726,6 +726,25 @@ def lm_score(
     Output: (id_col, n_bigrams, nll_r); docs with < 2 tokens carry NULL
     nll_r (no bigram evidence) and n_bigrams = 0.
     """
+    uni, bi_model, stats = lm_model(docs, text_col, target_pred, id_col)
+    return lm_score_with_model(
+        docs, id_col, text_col, uni, bi_model, stats, lam, alpha
+    )
+
+
+def lm_model(
+    docs: DataFrame,
+    text_col: str,
+    target_pred,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ``lm_score`` model half, exposed so the model can be trained
+    once in batch, FROZEN (e.g. written to parquet), and applied later
+    as a stateless scorer — the production pattern for corpus-global
+    stages in continuous ingest (streaming/ingest_curation.py
+    ``doc_filter``). Returns (uni, bi_model, stats): target unigram
+    counts (_w, _c1), target bigram counts (_w1m, _w2m, _c2), and the
+    1-row (_T, _V) totals. All vocab-bounded."""
     tgt_docs = docs.filter(target_pred)
     tgt_toks = tgt_docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
     uni = tgt_toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
@@ -750,6 +769,23 @@ def lm_score(
             "_c2",
         )
     )
+    return uni, bi_model, stats
+
+
+def lm_score_with_model(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    bi_model: DataFrame,
+    stats: DataFrame,
+    lam: float = 0.5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The ``lm_score`` scoring half over PROVIDED (frozen) model
+    tables — arithmetic identical to ``lm_score`` by construction
+    (``lm_score`` delegates here). Stateless given the model: one pass
+    over ``docs``, two vocab-bounded lookups."""
     all_tok_pos = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),

@@ -21,10 +21,14 @@ models are functions of the whole corpus, so a faithful streaming
 version would change past keep/drop decisions every batch. Production
 streaming curation freezes those models offline and applies them as
 stateless per-document filters — exactly what the ``doc_filter`` hook
-is for (pass a Column predicate over the post-gate frame, e.g. a
-broadcast-scored LM cutoff). The batch ``corpus_to_shards`` remains the
-canonical from-scratch build (same deviation contract as IngestShard's
-append-offset positions).
+is for: pass a Column predicate over the post-gate frame, or a
+``DataFrame -> DataFrame`` callable for filters that need a model-table
+lookup (e.g. a frozen-LM cutoff scored through
+``functions/text.py lm_score_with_model`` over parquet-frozen model
+tables — vocab-bounded, broadcast by AQE; tests/test_ingest_curation.py
+exercises exactly that pattern end-to-end). The batch
+``corpus_to_shards`` remains the canonical from-scratch build (same
+deviation contract as IngestShard's append-offset positions).
 
 Exactly-once: IngestShard's counter state is the one non-idempotent
 piece under epoch replay, so the composed ``foreach_batch`` wants the
@@ -65,7 +69,7 @@ class IngestCuration:
         n_shards: int = 8,
         chunk_tokens: int = 16,
         near_threshold: float = 0.5,
-        doc_filter: Column | None = None,
+        doc_filter=None,
         shard_salt: str = "shard",
         n_buckets: int = 32,
     ) -> None:
@@ -96,7 +100,13 @@ class IngestCuration:
             & (F.length("text_dedup") > 0)
         )
         if self.doc_filter is not None:
-            gated = gated.filter(self.doc_filter)
+            if isinstance(self.doc_filter, Column):
+                gated = gated.filter(self.doc_filter)
+            else:
+                # stateless DataFrame transformation (frozen-model
+                # lookup filters); must not add or rename columns the
+                # downstream stages depend on
+                gated = self.doc_filter(gated)
         exact = self.exact.process_batch(gated, epoch_id)
         near = self.near.process_batch(exact, epoch_id)
         return self.shard.process_batch(near, epoch_id)

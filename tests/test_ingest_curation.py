@@ -186,3 +186,152 @@ def test_composed_curation_compact_preserves_state(spark, tmp_path):
         spark.createDataFrame(batches[2], "doc_id long, text string")
     ).collect()
     assert sorted(r["doc_id"] for r in out3) == [11]
+
+
+def test_frozen_model_doc_filter_e2e(spark, tmp_path):
+    """The production pattern for corpus-GLOBAL stages in continuous
+    ingest: train the bigram LM (functions/text.py lm_model) and the
+    temperature fractions (operators/sampling.py temperature_fractions)
+    in BATCH on a historical corpus, FREEZE both to parquet, reload,
+    and apply them as stateless filters through IngestCuration's
+    doc_filter hook (a DataFrame callable — the LM cutoff needs the
+    vocab-bounded model-table lookup, broadcast by AQE). Parity: the
+    streamed shipped set must equal the batch chain with the SAME
+    frozen filters inserted at the same point."""
+    from kafka_denormalization_spark.functions.similarity import (
+        ngram_jaccard_pairs,
+    )
+    from kafka_denormalization_spark.functions.text import (
+        lm_model,
+        lm_score_with_model,
+    )
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+    from kafka_denormalization_spark.operators.sampling import (
+        sample_hash,
+        temperature_fractions,
+    )
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+    from kafka_denormalization_spark.streaming.ingest_curation import (
+        IngestCuration,
+    )
+
+    # --- batch: train + freeze ------------------------------------------
+    fluent_base = "the cat sat on the mat and the dog ran fast"
+    hist = spark.createDataFrame(
+        [(100 + i, fluent_base) for i in range(10)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    uni, bi, stats = lm_model(hist, "text", F.lit(True))
+    hist_strat = hist.withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    fr = temperature_fractions(
+        hist_strat, "stratum", "n_chars", budget_frac=0.6
+    )
+    mdl = str(tmp_path / "frozen")
+    uni.write.parquet(f"{mdl}/uni")
+    bi.write.parquet(f"{mdl}/bi")
+    stats.write.parquet(f"{mdl}/stats")
+    fr.write.parquet(f"{mdl}/fr")
+    # reload: the freeze is a real parquet round-trip, not lineage reuse
+    uni_f = spark.read.parquet(f"{mdl}/uni")
+    bi_f = spark.read.parquet(f"{mdl}/bi")
+    stats_f = spark.read.parquet(f"{mdl}/stats")
+    fr_f = spark.read.parquet(f"{mdl}/fr")
+
+    # --- streaming corpus: fluent (in-model bigrams) vs gibberish -------
+    def fluent(i):
+        return f"the cat sat on the mat p{i} q{i}"
+
+    def gibberish(i):
+        return " ".join(f"z{i}x{k}" for k in range(9))
+
+    batches = [
+        [(1, fluent(1)), (2, gibberish(2)), (3, fluent(3))],
+        [(4, gibberish(4)), (5, fluent(5)), (6, fluent(6))],
+        [(7, fluent(7)), (8, gibberish(8))],
+    ]
+    all_rows = [r for b in batches for r in b]
+    union = spark.createDataFrame(all_rows, "doc_id long, text string")
+
+    # cutoff from the FROZEN scorer: midpoint between the classes (the
+    # classes must actually separate, or the fixture is broken)
+    scored = {
+        r["doc_id"]: r["nll_r"]
+        for r in lm_score_with_model(
+            union, "doc_id", "text", uni_f, bi_f, stats_f
+        ).collect()
+    }
+    flu = [scored[d] for d, t in all_rows if t.startswith("the ")]
+    gib = [scored[d] for d, t in all_rows if not t.startswith("the ")]
+    assert max(flu) < min(gib), (flu, gib)
+    cutoff = round((max(flu) + min(gib)) / 2, 6)
+
+    stratum_col = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+    )
+
+    def frozen_filter(df):
+        keep = (
+            lm_score_with_model(
+                df, "doc_id", "text_dedup", uni_f, bi_f, stats_f
+            )
+            .filter(
+                (F.col("n_bigrams") >= 1) & (F.col("nll_r") <= cutoff)
+            )
+            .select("doc_id")
+        )
+        out = df.join(F.broadcast(keep), "doc_id", "left_semi")
+        return (
+            out.withColumn("stratum", stratum_col)
+            .join(F.broadcast(fr_f), "stratum")
+            .filter(
+                sample_hash(F.col("doc_id"), "temp") < F.col("_thr")
+            )
+            .drop("stratum", "keep_frac", "_thr")
+        )
+
+    # --- stream through the hook ----------------------------------------
+    cur = IngestCuration(
+        spark, str(tmp_path / "state"), "doc_id", "text",
+        n_shards=4, chunk_tokens=16, doc_filter=frozen_filter,
+    )
+    shipped = []
+    for batch in batches:
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        shipped.extend(r.asDict() for r in cur.process_batch(df).collect())
+    got = {r["doc_id"]: r for r in shipped}
+
+    # --- batch reference: same chain, same frozen filters ---------------
+    spanned = span_dedup(union, "doc_id", "text", chunk_tokens=16)
+    gated = spanned.filter(
+        (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
+        & (F.length("text_dedup") > 0)
+    )
+    filtered = frozen_filter(gated)
+    pairs = ngram_jaccard_pairs(
+        filtered.select("doc_id", F.col("text_dedup").alias("text")),
+        "doc_id", "text", threshold=0.5,
+    )
+    survivors = filtered.join(
+        pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
+    )
+    ref = {
+        r["doc_id"]: r
+        for r in shard_plan(
+            survivors, "doc_id", n_shards=4, salt="shard"
+        ).collect()
+    }
+
+    assert sorted(got) == sorted(ref)
+    # non-vacuous: every gibberish doc was LM-gated out...
+    assert not ({2, 4, 8} & set(got))
+    # ...and the temperature stage dropped at least one FLUENT doc
+    assert set(got) < {1, 3, 5, 6, 7}
+    for d in got:
+        assert got[d]["text_dedup"] == ref[d]["text_dedup"], d
+        assert got[d]["shard_id"] == ref[d]["shard_id"], d
