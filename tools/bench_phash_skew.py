@@ -102,7 +102,14 @@ def main() -> None:
     base_part = None
     print(f"n_flat={n_flat} total_images={len(rows)}")
     for cap in (None, 64, 16):
-        n_pairs, n_cand, part, wall = run(spark, sig, cap)
+        # the unguarded run is EXPECTED to die (OOM) once n_flat is large
+        # enough — that failure is the measurement; keep going so the
+        # capped runs still report
+        try:
+            n_pairs, n_cand, part, wall = run(spark, sig, cap)
+        except Exception as exc:  # noqa: BLE001
+            print(f"max_bucket={cap!s:>5}  FAILED: {type(exc).__name__}")
+            continue
         if base_part is None:
             base_part = part
         same = part == base_part
