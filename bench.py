@@ -107,6 +107,12 @@ BENCH_QUERIES = [
     "bpe_sequence_packing",
     "image_phash_dedup",
     "containment_clusters",
+    # round-6 late + round-7 operators
+    "gopher_repetition",
+    "shard_plan_bytes",
+    "domain_profile",
+    "domain_filtered_corpus",
+    "url_dedup",
 ]
 
 

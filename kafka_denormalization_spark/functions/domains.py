@@ -164,3 +164,61 @@ def domain_filtered_corpus(
             .drop("_rn")
         )
     return out
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL for URL-level dedup — the C4/CommonCrawl-lineage
+    normalization: lowercase scheme+host, strip the fragment, strip
+    tracking query parameters (utm_*, fbclid, gclid, ref), drop an
+    empty leftover ``?``, strip a trailing slash from a non-root path,
+    drop default ports. Re-crawls of the same page under
+    ``?utm_source=...`` / ``#section`` variants collapse to one key.
+
+    Expression-only (regexp_replace chain over the split parts) — stays
+    in WholeStageCodegen; the canonical string (or its digest) is what
+    shuffles, never page content.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = host_of(u)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    # split path?query, scrub tracking params from the query
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    query = F.regexp_replace(query, r"(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*", "$1")
+    query = F.regexp_replace(query, r"&&+", "&")          # collapse holes
+    query = F.regexp_replace(query, r"^&|&$", "")         # trim edges
+    # non-root trailing slash off the path; empty path -> /
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup: keep the smallest-id document per
+    normalized URL — the cheapest dedup stage in a crawl pipeline
+    (runs BEFORE content dedup; re-crawls and tracking-param variants
+    never reach the text hashers). One partial-aggregated groupBy on
+    the canonical URL; only (url_norm, id) shuffles.
+
+    Output: input columns + ``url_norm``, one row per canonical URL.
+    """
+    normed = docs.withColumn("url_norm", normalize_url(F.col(url_col)))
+    keep = normed.groupBy("url_norm").agg(
+        F.min(F.col(id_col)).alias("_keep_id")
+    )
+    return (
+        normed.join(keep, "url_norm")
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )

@@ -493,6 +493,42 @@ def q_domain_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "lang", "source", "n_chars")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (functions/domains.py normalize_url +
+    url_dedup): re-crawl variants of one page — tracking params,
+    fragments, trailing slashes, explicit ports — collapse to one
+    canonical URL, smallest doc_id kept. Fixture: page key = doc_id
+    mod 20 (suffix by doc_id%5, page path doc_id%10), so each of the
+    20 canonical URLs is re-crawled ~25x at sf0.01 under rotating
+    variant noise (by doc_id%4: utm param / real param / fragment /
+    trailing slash, plus a port on doc_id%7==0). The oracle asserts
+    the GROUND-TRUTH canonical string and min-id winner."""
+    docs = table(spark, sf_dir, "documents")
+    sfx_idx = F.col("doc_id") % 5
+    suffix = (
+        F.when(sfx_idx == 0, F.lit("com"))
+        .when(sfx_idx == 1, F.lit("org"))
+        .when(sfx_idx == 2, F.lit("co.uk"))
+        .when(sfx_idx == 3, F.lit("com.au"))
+        .otherwise(F.lit("io"))
+    )
+    noise = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=x"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?a=1&utm_campaign=z"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("#frag"))
+        .otherwise(F.lit("/"))
+    )
+    port = F.when(F.col("doc_id") % 7 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit("."), suffix, port,
+        F.lit("/p/"), (F.col("doc_id") % 10).cast("string"), noise,
+    )
+    return dom_fns.url_dedup(
+        docs.withColumn("url", url), "url", "doc_id"
+    ).select("doc_id", "url_norm", "source", "n_chars")
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram over event values (bucket = floor(value/50)).
     floor of an IEEE double division is deterministic cross-engine; the
@@ -2696,6 +2732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": q_gopher_repetition,
     "domain_profile": q_domain_profile,
     "domain_filtered_corpus": q_domain_filtered_corpus,
+    "url_dedup": q_url_dedup,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -2834,8 +2871,8 @@ _DRIVER_HEAD = [
     # r08 head.
     # (a) never driver-checked round-6 late additions (2)
     "gopher_repetition", "shard_plan_bytes",
-    # (b) round-7 additions (2)
-    "domain_profile", "domain_filtered_corpus",
+    # (b) round-7 additions (3)
+    "domain_profile", "domain_filtered_corpus", "url_dedup",
     # (c) code touched this round (3)
     "bpe_doc_tokens", "bpe_sequence_packing", "image_phash_dedup",
     # (d) last checked r04 (26)
@@ -2853,7 +2890,6 @@ _DRIVER_HEAD = [
     "copurchase_degree", "corpus_pipeline_v2", "corpus_pipeline_v3",
     "corpus_report", "corpus_to_shards", "customer_distribution",
     "disjunctive_revenue", "dsir_sample", "dsir_weights",
-    "epoch_mixture",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3367,6 +3403,21 @@ ORACLE_SQL: dict[str, str] = {
       FROM d
     )
     SELECT doc_id, domain, lang, source, n_chars FROM capped WHERE rn <= 3
+    """,
+    "url_dedup": """
+    WITH canon AS (
+      SELECT doc_id, source, n_chars,
+             'https://www.' || source || '.' ||
+             CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                  WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au'
+                  ELSE 'io' END ||
+             '/p/' || CAST(doc_id % 10 AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 1 THEN '?a=1' ELSE '' END AS url_norm
+      FROM documents
+    ),
+    keep AS (SELECT url_norm, min(doc_id) AS doc_id FROM canon GROUP BY url_norm)
+    SELECT c.doc_id, c.url_norm, c.source, c.n_chars
+    FROM canon c JOIN keep k ON c.doc_id = k.doc_id AND c.url_norm = k.url_norm
     """,
     "text_stats": f"""
     SELECT doc_id,

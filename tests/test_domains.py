@@ -96,3 +96,39 @@ def test_domain_extraction_is_expression_only(spark):
     # ((domain, lang) partial-agg exchange) — both aggregation-required,
     # neither caused by the domain derivation
     assert count_exchanges(prof) == 2
+
+
+def test_normalize_url_variants(spark):
+    cases = [
+        ("https://www.Ex.COM:8443/p/1?utm_source=a&b=2#frag",
+         "https://www.ex.com/p/1?b=2"),
+        ("https://ex.com/p/1/", "https://ex.com/p/1"),
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/x?utm_a=1&utm_b=2", "https://ex.com/x"),
+        ("https://ex.com/x?a=1&fbclid=z&b=2", "https://ex.com/x?a=1&b=2"),
+        ("HTTP://ex.com/x?gclid=1", "http://ex.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["n"]
+        for r in df.select(D.normalize_url("url").alias("n")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ex.com/p?utm_source=a"),
+            (2, "https://ex.com/p#top"),
+            (3, "https://ex.com/p/"),
+            (4, "https://ex.com/q"),
+        ],
+        "doc_id long, url string",
+    )
+    out = D.url_dedup(docs, "url").collect()
+    assert sorted((r["doc_id"], r["url_norm"]) for r in out) == [
+        (1, "https://ex.com/p"),
+        (4, "https://ex.com/q"),
+    ]
