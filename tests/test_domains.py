@@ -132,3 +132,20 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
         (1, "https://ex.com/p"),
         (4, "https://ex.com/q"),
     ]
+
+
+def test_url_dedup_prunes_text_from_scan(spark):
+    """URL-level dedup must never read page content: the parquet scan's
+    ReadSchema excludes ``text`` (at crawl scale text dominates bytes;
+    reading it for a URL-key dedup would be the whole cost)."""
+    import re
+
+    from kafka_denormalization_spark.plans import explain_str
+    from kafka_denormalization_spark.queries import QUERIES
+
+    for name in ("url_dedup", "domain_filtered_corpus"):
+        plan = explain_str(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, name
+        for s in schemas:
+            assert "text" not in s, (name, s)
