@@ -454,6 +454,7 @@ def image_phash_dedup(
     blob_col: str = "blob",
     hamming_max: int = 3,
     max_bucket: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Image near-dedup retention: hash every image (image_dhash), find
     near-dup pairs (phash_near_dup_pairs), keep each image whose id is
@@ -466,8 +467,17 @@ def image_phash_dedup(
     Output: (id_col, b0..b3) — surviving images with their signatures.
     """
     sig = image_dhash(df, id_col, blob_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        # the signature frame (5 longs/image) is referenced 4x across
+        # the blocking/verify/retention joins; without a persist every
+        # reference re-runs the decode+hash mapInPandas over the BLOBS
+        # — measured ~4x the whole query at sf0.1. At cluster scale
+        # this is the "compute signatures once, never re-decode" rule.
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = phash_near_dup_pairs(sig, "id", hamming_max, max_bucket)
-    return (
+    out = (
         sig.join(
             pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
         )
@@ -475,3 +485,13 @@ def image_phash_dedup(
             F.col("id").alias(id_col), "b0", "b1", "b2", "b3"
         )
     )
+    caches = [sig] if persist else []
+    guard = getattr(pairs, "_sg_internal_cache", None)
+    if guard is not None:
+        caches.append(guard)
+    if caches:
+        # cleanup contract as elsewhere: callers unpersist these when
+        # done with the returned frame
+        out._sg_internal_cache = caches[0]
+        out._sg_internal_caches = caches
+    return out
