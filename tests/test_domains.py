@@ -149,3 +149,36 @@ def test_url_dedup_prunes_text_from_scan(spark):
         assert schemas, name
         for s in schemas:
             assert "text" not in s, (name, s)
+
+
+def test_continuous_url_dedup_with_restart(spark, tmp_path):
+    """Streaming twin of url_dedup by composition: normalize_url up
+    front, then the durable digest state of IngestDedup keyed on the
+    CANONICAL url — re-crawls of a page seen in any earlier batch are
+    dropped, across a restart (state is the parquet digest set)."""
+    from kafka_denormalization_spark.streaming.ingest_dedup import (
+        IngestDedup,
+    )
+
+    state = str(tmp_path / "state")
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        return df.withColumn("url_norm", D.normalize_url("url"))
+
+    d1 = IngestDedup(spark, state, "doc_id", "url_norm")
+    out1 = d1.process_batch(batch([
+        (1, "https://ex.com/p?utm_source=a"),
+        (2, "https://ex.com/p#top"),          # same canonical as 1
+        (3, "https://ex.com/q"),
+    ]))
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 3]
+
+    # restart: fresh instance over the same state dir
+    d2 = IngestDedup(spark, state, "doc_id", "url_norm")
+    out2 = d2.process_batch(batch([
+        (4, "https://ex.com/p/"),             # canonical seen in batch 1
+        (5, "https://EX.com/q?fbclid=z"),     # canonical seen in batch 1
+        (6, "https://ex.com/r"),
+    ]))
+    assert sorted(r["doc_id"] for r in out2.collect()) == [6]

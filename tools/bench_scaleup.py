@@ -171,6 +171,59 @@ def _bpe_doc_tokens(docs):
     return bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
 
 
+def _scaleup_url(replica_in_host: bool = True):
+    """Synthetic url column for the domain/url family: the registered
+    domain carries the REPLICA index so domain count scales with N
+    (constant per-domain width — fixed domains would grow hot keys
+    N-fold instead of growing the key space like a real crawl)."""
+    rep = F.expr(f"doc_id DIV {ID_SHIFT}")
+    sfx = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("co.uk"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("com.au"))
+        .otherwise(F.lit("io"))
+    )
+    host_mid = (
+        F.concat(F.col("source"), F.lit("-"), rep.cast("string"))
+        if replica_in_host
+        else F.col("source")
+    )
+    return F.concat(
+        F.lit("https://www."), host_mid, F.lit("."), sfx,
+        F.lit("/p/"), (F.col("doc_id") % 2000).cast("string"),
+    )
+
+
+def _domain_profile(docs):
+    from kafka_denormalization_spark.functions.domains import domain_profile
+
+    return domain_profile(docs.withColumn("url", _scaleup_url()), "url")
+
+
+def _url_dedup(docs):
+    from kafka_denormalization_spark.functions.domains import url_dedup
+
+    return url_dedup(
+        docs.withColumn("url", _scaleup_url()), "url", "doc_id"
+    ).select("doc_id", "url_norm")
+
+
+def _gopher_repetition(docs):
+    from kafka_denormalization_spark.functions.text import repetition_profile
+
+    return repetition_profile(docs, "doc_id", "text")
+
+
+def _shard_plan_bytes(docs):
+    from kafka_denormalization_spark.operators.sharding import shard_plan_bytes
+
+    n = docs.sparkSession.conf.get("bench.scaleup.n_rep", "1")
+    return shard_plan_bytes(
+        docs, "doc_id", "n_chars", n_shards=64 * int(n)
+    ).select("doc_id", "shard_id", "pos")
+
+
 # each op: name -> (table, id_col, builder, salt_text)
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
@@ -184,6 +237,10 @@ OPS = {
     "shard_plan": ("documents", "doc_id", _shard_plan, False),
     "image_phash_dedup": ("documents", "doc_id", _image_phash, False),
     "bpe_doc_tokens": ("documents", "doc_id", _bpe_doc_tokens, False),
+    "domain_profile": ("documents", "doc_id", _domain_profile, False),
+    "url_dedup": ("documents", "doc_id", _url_dedup, False),
+    "gopher_repetition": ("documents", "doc_id", _gopher_repetition, False),
+    "shard_plan_bytes": ("documents", "doc_id", _shard_plan_bytes, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
