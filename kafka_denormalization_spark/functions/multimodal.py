@@ -197,9 +197,10 @@ def image_dhash(
     the reference engine has no value-level compute at all, SURVEY
     §2.3 — this is a north-star extension).
 
-    Decode path: real codecs through Pillow (PNG/JPEG/...; active in
-    this container), the FAKB test container, else NotImplementedError
-    (honest gate — no silent fallbacks). Any decoded WxH grid with
+    Decode path: real codecs through Pillow (PNG/JPEG/...; import-gated
+    — container presence has varied round to round), the FAKB test
+    container, else NotImplementedError (honest gate — no silent
+    fallbacks). Any decoded WxH grid with
     W >= 9, H >= 8 is area-pooled to the canonical 9x8 dHash grid with
     EXACT integer arithmetic: cell (r, c) covers pixel rows
     [r·H DIV 8, (r+1)·H DIV 8) x cols [c·W DIV 9, (c+1)·W DIV 9), its

@@ -211,21 +211,21 @@ def test_phash_guard_rejects_bad_cap():
         M.phash_near_dup_pairs(None, "id", 3, max_bucket=1)
 
 
-def test_image_dhash_arbitrary_size_png(spark):
-    """Real corpora decode to arbitrary WxH: a 13x11 Pillow PNG (no
-    9k x 8k structure) hashes via the exact integral-image area pooling
-    — verified against an independent plain-Python pooling of the same
+def test_image_dhash_arbitrary_size(spark):
+    """Real corpora decode to arbitrary WxH: a 13x11 grid (no 9k x 8k
+    structure) hashes via the exact integral-image area pooling —
+    verified against an independent plain-Python pooling of the same
     grid (cell (r,c) = sum over rows [r*H//8,(r+1)*H//8) x cols
     [c*W//9,(c+1)*W//9) // area), and a 36x32 image hashes identically
-    to the legacy strict block-mean path (pool=4)."""
+    to the legacy strict block-mean path (pool=4). Pooling runs on the
+    DECODED grid, so the container (FAKB here, PNG below when Pillow
+    exists) is irrelevant to the arithmetic under test."""
     import random
-
-    PIL = pytest.importorskip("PIL")  # noqa: F841 — Pillow encode path
 
     rng = random.Random(3)
     w, h = 13, 11
     px = [rng.randrange(256) for _ in range(w * h)]
-    blob = M.make_png_image(w, h, bytes(px))
+    blob = M.make_image_blob(w, h, bytes(px))
     df = spark.createDataFrame(
         [(1, bytearray(blob))], "id long, blob binary"
     )
@@ -264,3 +264,25 @@ def test_image_dhash_arbitrary_size_png(spark):
     generic = M.image_dhash(df2, "id", "blob").collect()[0]
     strict = M.image_dhash(df2, "id", "blob", pool=4).collect()[0]
     assert tuple(generic) == tuple(strict)
+
+
+def test_image_dhash_arbitrary_size_png_roundtrip(spark):
+    """Same pooling through a real Pillow PNG decode (lossless, so the
+    grid — and therefore the hash — must equal the FAKB path bit for
+    bit). Skipped where Pillow is absent; the arithmetic itself is
+    covered container-independently above."""
+    import random
+
+    pytest.importorskip("PIL")
+
+    rng = random.Random(3)
+    w, h = 13, 11
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    rows = [
+        (1, bytearray(M.make_png_image(w, h, px))),
+        (2, bytearray(M.make_image_blob(w, h, px))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in M.image_dhash(df, "id", "blob").collect()}
+    assert out[1] == out[2]
