@@ -21,9 +21,12 @@ from pyspark.sql import functions as F
 
 # A deliberately small public-suffix sample for tests/demos. Production
 # passes the real Public Suffix List (https://publicsuffix.org/, ~9k
-# active rules) — the extraction below is rule-count-agnostic: isin over
-# string literals compiles to an Catalyst InSet (hash lookup), so even
-# the full PSL stays expression-side and codegen'd, never a join.
+# active rules) — through ``registered_domain_join`` (rules as a
+# broadcast table), NOT this expression path: the InSet literal probe
+# is O(1) per row but the 9k-literal expression tree costs seconds of
+# plan compile PER QUERY (measured 5.8-7.3 s vs 1.0-3.4 s for the
+# broadcast join at sf0.1 — docs/SCALE_NOTES.md "PSL-scale A/B").
+# Expression path for bounded curated rule sets; join path for the PSL.
 PUBLIC_SUFFIXES_MIN: tuple[str, ...] = (
     "com", "org", "net", "io", "dev", "edu", "gov",
     "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "co.jp", "com.br",
@@ -221,4 +224,75 @@ def url_dedup(
         normed.join(keep, "url_norm")
         .filter(F.col(id_col) == F.col("_keep_id"))
         .drop("_keep_id")
+    )
+
+
+def registered_domain_join(
+    docs: DataFrame,
+    host_col: str,
+    suffix_df: DataFrame,
+    out_col: str = "domain",
+    max_suffix_labels: int = 3,
+) -> DataFrame:
+    """Registered-domain extraction with the suffix rules as a TABLE —
+    the full-Public-Suffix-List deployment shape (the expression path
+    ``registered_domain`` bakes the rules into an InSet literal, which
+    is fine to a few thousand rules but couples plan size to rule
+    count; rules-as-a-table updates without replanning and broadcasts).
+
+    Topology: per host emit the last-k-label candidates for
+    k = 1..``max_suffix_labels`` (a narrow inline explode of <= 3
+    rows), broadcast-join the suffix table, keep the LONGEST matching
+    suffix per host (max over k), derive the registered domain from
+    the winner. Hosts with no matching suffix, or that ARE a bare
+    suffix, get NULL — same contract as ``registered_domain``.
+
+    Scale: the only join is broadcast (suffix table ~9k rows); the
+    explode multiplies rows by <= max_suffix_labels before the
+    per-host aggregation, whose key is the input row id — map-side
+    combinable, no skew (every host emits the same row count).
+
+    ``suffix_df`` schema: one string column named ``suffix``.
+
+    Output: ``docs`` + ``out_col``. Requires a unique ``__rid`` -free
+    input; the row id used internally is a monotonic physical id valid
+    within this plan only.
+    """
+    rid = F.monotonically_increasing_id()
+    base = docs.withColumn("_rid", rid)
+    labels = F.split(F.col(host_col), r"\.")
+    cands = base.select(
+        "_rid",
+        F.size(labels).alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(max_suffix_labels)),
+                lambda k: F.array_join(F.slice(labels, -k, k), "."),
+            )
+        ).alias("_k0", "suffix"),
+    ).withColumn("_k", F.col("_k0") + 1)
+    hits = (
+        cands.join(F.broadcast(suffix_df), "suffix")
+        # a bare-suffix host (size == k) has nothing registered
+        .filter(F.col("_n") > F.col("_k"))
+        .groupBy("_rid")
+        .agg(F.max(F.col("_k")).alias("_bestk"))
+    )
+    return (
+        base.join(hits, "_rid", "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_bestk").isNotNull(),
+                F.array_join(
+                    F.slice(
+                        F.split(F.col(host_col), r"\."),
+                        -(F.col("_bestk") + 1).cast("int"),
+                        (F.col("_bestk") + 1).cast("int"),
+                    ),
+                    ".",
+                ),
+            ),
+        )
+        .drop("_rid", "_bestk")
     )

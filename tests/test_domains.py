@@ -182,3 +182,30 @@ def test_continuous_url_dedup_with_restart(spark, tmp_path):
         (6, "https://ex.com/r"),
     ]))
     assert sorted(r["doc_id"] for r in out2.collect()) == [6]
+
+
+def test_registered_domain_join_matches_expression_path(spark):
+    """The rules-as-a-table variant (broadcast join, PSL deployment
+    shape) must agree with the InSet expression path on every host
+    shape: multi-label suffix wins, bare suffix -> NULL, no match ->
+    NULL, deep subdomains."""
+    hosts = [
+        "www.blog.example.co.uk", "example.co.uk", "sub.example.com",
+        "example.com", "co.uk", "com", "example.unknown",
+        "deep.a.b.site.com.au", "x.ac.uk", "ac.uk",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    expr_out = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", D.registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    sfx = spark.createDataFrame(
+        [(s,) for s in D.PUBLIC_SUFFIXES_MIN], "suffix string"
+    )
+    join_out = {
+        r["host"]: r["domain"]
+        for r in D.registered_domain_join(df, "host", sfx).collect()
+    }
+    assert join_out == expr_out
