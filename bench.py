@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "domain_profile",
     "domain_filtered_corpus",
     "url_dedup",
+    "domain_temperature_mix",
 ]
 
 

@@ -493,6 +493,31 @@ def q_domain_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "lang", "source", "n_chars")
 
 
+DOMAIN_TEMP_FRAC = 0.5
+DOMAIN_TEMP_SALT = "domtemp"
+
+
+def q_domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level anti-dominance by SAMPLING (the soft alternative to
+    domain_filtered_corpus's hard cap): registered-domain extraction,
+    then temperature-rebalanced sampling with the DOMAIN as the stratum
+    (operators/sampling.py temperature_sample) — over-represented
+    domains are down-sampled toward the alpha-tempered share under a
+    byte budget, deterministically per doc_id."""
+    from kafka_denormalization_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = _docs_with_urls(spark, sf_dir)
+    dd = docs.withColumn(
+        "domain", dom_fns.registered_domain(dom_fns.host_of(F.col("url")))
+    ).select("doc_id", "domain", "lang", "n_chars")
+    return temperature_sample(
+        dd, "domain", "n_chars", "doc_id",
+        budget_frac=DOMAIN_TEMP_FRAC, salt=DOMAIN_TEMP_SALT,
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level exact dedup (functions/domains.py normalize_url +
     url_dedup): re-crawl variants of one page — tracking params,
@@ -2733,6 +2758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_profile": q_domain_profile,
     "domain_filtered_corpus": q_domain_filtered_corpus,
     "url_dedup": q_url_dedup,
+    "domain_temperature_mix": q_domain_temperature_mix,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -2871,8 +2897,9 @@ _DRIVER_HEAD = [
     # r08 head.
     # (a) never driver-checked round-6 late additions (2)
     "gopher_repetition", "shard_plan_bytes",
-    # (b) round-7 additions (3)
+    # (b) round-7 additions (4)
     "domain_profile", "domain_filtered_corpus", "url_dedup",
+    "domain_temperature_mix",
     # (c) code touched this round (3)
     "bpe_doc_tokens", "bpe_sequence_packing", "image_phash_dedup",
     # (d) last checked r04 (26)
@@ -2889,7 +2916,7 @@ _DRIVER_HEAD = [
     "bpe_token_counts", "cluster_dedup_best", "containment_dedup",
     "copurchase_degree", "corpus_pipeline_v2", "corpus_pipeline_v3",
     "corpus_report", "corpus_to_shards", "customer_distribution",
-    "disjunctive_revenue", "dsir_sample", "dsir_weights",
+    "disjunctive_revenue", "dsir_sample",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3403,6 +3430,30 @@ ORACLE_SQL: dict[str, str] = {
       FROM d
     )
     SELECT doc_id, domain, lang, source, n_chars FROM capped WHERE rn <= 3
+    """,
+    "domain_temperature_mix": f"""
+    WITH dd AS (
+      SELECT doc_id, lang, n_chars, {_URL_DOMAIN_SQL} AS domain
+      FROM documents
+    ), w AS (
+      SELECT domain, CAST(SUM(n_chars) AS DOUBLE) AS wt FROM dd GROUP BY domain
+    ), p AS (
+      SELECT domain, wt,
+             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ), t AS (
+      SELECT domain,
+             printf('%08x', least(
+               CAST(floor(round(least(1.0, {DOMAIN_TEMP_FRAC} * tot * p / wt), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM p
+    )
+    SELECT d.doc_id, d.domain, d.lang, d.n_chars
+    FROM dd d JOIN t ON d.domain = t.domain
+    WHERE substr(md5(concat('{DOMAIN_TEMP_SALT}', '|', CAST(d.doc_id AS VARCHAR))), 1, 8)
+          < t.thr
     """,
     "url_dedup": """
     WITH canon AS (
