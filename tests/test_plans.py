@@ -208,6 +208,9 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # embedded merge-training rounds (same
                                     # topology as bpe_merges)
         "bpe_sequence_packing",     # same (embeds bpe_doc_tokens' encoder)
+        "domain_temperature_mix",   # temperature_fractions' 1-row
+                                    # strata-totals broadcast, domain strata
+                                    # (same stage as temperature_sample)
     }
     from kafka_denormalization_spark.plans import explain_str
 
