@@ -143,13 +143,18 @@ def domain_filtered_corpus(
 
     Scale: the blocklist is a literal InSet (the full PSL-scale variant
     would broadcast-anti-join a blocklist table — both shuffle-free on
-    the probe side). The cap is a row_number window partitioned by
-    domain; partition width = domain width, the exact skew the cap
-    EXISTS to bound — rows beyond the window's sort of a mega-domain
-    are cut right after the exchange, and a two-level pre-cap (cap
-    per (domain, input-partition) first, then globally) is the
-    documented escalation if one domain exceeds a single executor's
-    sort budget.
+    the probe side). The cap is TWO-LEVEL (salted-window pattern): a
+    pre-cap keeps the ``m`` smallest ids per (input partition, domain)
+    — its exchange spreads a mega-domain over P distinct keys instead
+    of concentrating it, and its per-group sort is bounded by partition
+    width — then the global row_number window finishes on at most
+    m x P rows per domain. The m globally-smallest ids of a domain are
+    each among the m smallest of whichever input partition holds them,
+    so the pre-cap provably drops nothing the global cap would keep
+    (result identical to the single-window formulation; pytest pins it
+    on a skewed frame). Cost: one extra exchange over the same row
+    volume; benefit: no single executor ever sorts a mega-domain's
+    full width — the exact skew the cap exists for.
 
     Output: input columns + ``domain``.
     """
@@ -160,11 +165,16 @@ def domain_filtered_corpus(
         F.col("domain").isNotNull() & ~F.col("domain").isin(list(blocklist))
     )
     if max_per_domain is not None:
+        pre = Window.partitionBy(
+            F.spark_partition_id(), F.col("domain")
+        ).orderBy(F.col(id_col))
         w = Window.partitionBy("domain").orderBy(F.col(id_col))
         out = (
-            out.withColumn("_rn", F.row_number().over(w))
+            out.withColumn("_prn", F.row_number().over(pre))
+            .where(F.col("_prn") <= max_per_domain)
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= max_per_domain)
-            .drop("_rn")
+            .drop("_prn", "_rn")
         )
     return out
 

@@ -209,3 +209,37 @@ def test_registered_domain_join_matches_expression_path(spark):
         for r in D.registered_domain_join(df, "host", sfx).collect()
     }
     assert join_out == expr_out
+
+
+def test_two_level_cap_matches_single_window(spark):
+    """The (input partition, domain) pre-cap must be result-identical
+    to the plain global window cap: the m globally-smallest ids of a
+    domain are each among the m smallest of their own input partition.
+    Skewed frame: one mega-domain spread over many partitions + small
+    domains, several partitionings."""
+    from pyspark.sql import Window
+
+    rows = [(i, f"https://mega.com/p/{i}") for i in range(500)]
+    rows += [(1000 + i, f"https://tiny{i % 7}.org/x") for i in range(70)]
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string"
+        ).repartition(nparts)
+        got = sorted(
+            r["doc_id"]
+            for r in D.domain_filtered_corpus(
+                df, "url", blocklist=[], max_per_domain=5
+            ).collect()
+        )
+        # reference: plain single-window cap
+        dom = D.registered_domain(D.host_of(F.col("url")))
+        base = df.withColumn("domain", dom).where(F.col("domain").isNotNull())
+        w = Window.partitionBy("domain").orderBy("doc_id")
+        ref = sorted(
+            r["doc_id"]
+            for r in base.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 5)
+            .collect()
+        )
+        assert got == ref, nparts
+        assert len(got) == 5 + 7 * 5  # mega capped + 7 tiny domains

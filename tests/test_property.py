@@ -392,3 +392,53 @@ def test_containment_pairs_randomized_vs_bruteforce(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+# --- registered-domain extraction: expression path == join path ---------
+
+_label_st = st.text(
+    alphabet="abcxyz019-", min_size=1, max_size=6
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_host_st = st.lists(_label_st, min_size=1, max_size=5).map(".".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(hosts=st.lists(_host_st, min_size=1, max_size=20))
+def test_registered_domain_paths_agree(spark, hosts):
+    """For ARBITRARY hosts (random labels, including ones that collide
+    with suffix rules, bare suffixes, and no-match shapes), the InSet
+    expression path and the broadcast-join path return the same
+    registered domain. Suffix set extended with single-label rules that
+    the random labels can actually hit ('com' etc. are in the default
+    set; 'a'/'x' widen the collision surface)."""
+    from pyspark.sql import functions as F
+
+    from kafka_denormalization_spark.functions import domains as D
+
+    suffixes = D.PUBLIC_SUFFIXES_MIN + ("a", "x", "x.a", "b.x")
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    expr_out = [
+        r["d"]
+        for r in df.select(
+            D.registered_domain(F.col("host"), suffixes).alias("d")
+        ).collect()
+    ]
+    sfx = spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+    join_rows = D.registered_domain_join(df, "host", sfx).collect()
+    join_out = [r["domain"] for r in join_rows]
+    # order: registered_domain_join preserves input row order per its
+    # left join on the row id, but be safe and compare as multisets
+    # alongside the per-host mapping
+    assert sorted(map(str, expr_out)) == sorted(map(str, join_out))
+    per_host_expr = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", D.registered_domain(F.col("host"), suffixes).alias("d")
+        ).collect()
+    }
+    for r in join_rows:
+        assert r["domain"] == per_host_expr[r["host"]], r["host"]
