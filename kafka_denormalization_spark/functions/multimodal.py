@@ -263,8 +263,39 @@ def image_dhash(
                 )
             return real_decode(b)
 
+        def pool_group(grids: "np.ndarray") -> "np.ndarray":
+            """Vectorized exact integral-image pooling: (n, h, w) int64
+            grids -> (n, 4) uint16 band values. Identical arithmetic to
+            the scalar formulation (block sum // area on DIV-grid
+            boundaries), one cumsum pass per batch instead of per
+            image."""
+            n, h, w = grids.shape
+            ii = np.zeros((n, h + 1, w + 1), dtype="int64")
+            ii[:, 1:, 1:] = grids.cumsum(axis=1).cumsum(axis=2)
+            rb = np.array([(r * h) // 8 for r in range(9)])
+            cb = np.array([(c * w) // 9 for c in range(10)])
+            sums = (
+                ii[:, rb[1:], :][:, :, cb[1:]]
+                - ii[:, rb[:-1], :][:, :, cb[1:]]
+                - ii[:, rb[1:], :][:, :, cb[:-1]]
+                + ii[:, rb[:-1], :][:, :, cb[:-1]]
+            )
+            area = (rb[1:] - rb[:-1])[None, :, None] * (
+                cb[1:] - cb[:-1]
+            )[None, None, :]
+            pooled = sums // area
+            bits = (pooled[:, :, :8] < pooled[:, :, 1:]).reshape(n, 4, 16)
+            return (bits * (1 << np.arange(16))[None, None, :]).sum(
+                axis=2, dtype="int64"
+            )
+
         for pdf in batches:
-            out = []
+            # decode per image, then VECTORIZE pooling per (h, w) group
+            # — one corpus usually decodes to few distinct shapes, so
+            # the hot arithmetic runs as whole-batch numpy, not a
+            # Python loop per image
+            by_shape: dict = {}
+            rids = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 grid = decode_grid(bytes(blob))
                 h, w = grid.shape
@@ -277,32 +308,23 @@ def image_dhash(
                     raise ValueError(
                         f"dhash needs at least a 9x8 image, got {w}x{h}"
                     )
-                # exact integral-image area pooling to 8 rows x 9 cols
-                ii = np.zeros((h + 1, w + 1), dtype="int64")
-                ii[1:, 1:] = grid.cumsum(axis=0).cumsum(axis=1)
-                rb = [(r * h) // 8 for r in range(9)]
-                cb = [(c * w) // 9 for c in range(10)]
-                pooled = np.empty((8, 9), dtype="int64")
-                for r in range(8):
-                    for c in range(9):
-                        s = (
-                            ii[rb[r + 1], cb[c + 1]]
-                            - ii[rb[r], cb[c + 1]]
-                            - ii[rb[r + 1], cb[c]]
-                            + ii[rb[r], cb[c]]
-                        )
-                        area = (rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c])
-                        pooled[r, c] = s // area
-                bits = pooled[:, :8] < pooled[:, 1:]
-                idx = np.arange(64).reshape(8, 8)
-                bands = [0, 0, 0, 0]
-                for r in range(8):
-                    for c in range(8):
-                        if bits[r, c]:
-                            k = int(idx[r, c])
-                            bands[k // 16] |= 1 << (k % 16)
-                out.append((rid, *bands))
-            yield pd.DataFrame(out, columns=["id", "b0", "b1", "b2", "b3"])
+                by_shape.setdefault((h, w), ([], []))
+                by_shape[(h, w)][0].append(len(rids))
+                by_shape[(h, w)][1].append(grid)
+                rids.append(rid)
+            bands = np.zeros((len(rids), 4), dtype="int64")
+            for (h, w), (pos, grids) in by_shape.items():
+                bands[np.array(pos)] = pool_group(np.stack(grids))
+            out = pd.DataFrame(
+                {
+                    "id": rids,
+                    "b0": bands[:, 0],
+                    "b1": bands[:, 1],
+                    "b2": bands[:, 2],
+                    "b3": bands[:, 3],
+                }
+            )
+            yield out
 
     return df.select(
         F.col(id_col).alias("id"), F.col(blob_col).alias("blob")
