@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "domain_filtered_corpus",
     "url_dedup",
     "domain_temperature_mix",
+    "blocklist_filter",
 ]
 
 

@@ -1084,3 +1084,35 @@ def bpe_encode_docs(
             .alias("n_bpe_tokens"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    blockwords: list[str],
+) -> DataFrame:
+    """C4-style bad-words document filter (Raffel et al. 2020 §2.2 —
+    C4 drops any page containing a word from a public blocklist): a doc
+    is dropped if ANY whitespace token, lowercased, is in
+    ``blockwords``. Token-level membership, not substring — 'class'
+    never matches a blocklist entry 'ass' (the standard footgun of the
+    naive contains-scan).
+
+    Expression-only: array_intersect of the lowered token array with
+    the literal blockword array (size-bounded by the list, InSet-style
+    — a PSL-scale word list would broadcast-anti-join a token explode
+    instead, same escalation as registered_domain_join). One scan, no
+    shuffle; the filter pushes into the projection.
+
+    Output: input columns + ``n_blockword_hits`` for surviving docs
+    (always 0 by construction) dropped; just the surviving rows.
+    """
+    t = tokens(F.col(text_col))
+    hits = F.size(
+        F.array_intersect(
+            F.transform(t, F.lower),
+            F.array(*[F.lit(w.lower()) for w in blockwords]),
+        )
+    )
+    return docs.where(hits == 0)

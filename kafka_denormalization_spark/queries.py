@@ -493,6 +493,20 @@ def q_domain_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "lang", "source", "n_chars")
 
 
+BLOCKWORDS = ["slow", "orphan"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words document filter (functions/text.py
+    blocklist_filter): drop any doc whose lowercased TOKEN set
+    intersects the blockword list — token-level membership, not
+    substring, so 'class' never matches 'ass'."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.blocklist_filter(docs, "doc_id", "text", BLOCKWORDS).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 DOMAIN_TEMP_FRAC = 0.5
 DOMAIN_TEMP_SALT = "domtemp"
 
@@ -2763,6 +2777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_filtered_corpus": q_domain_filtered_corpus,
     "url_dedup": q_url_dedup,
     "domain_temperature_mix": q_domain_temperature_mix,
+    "blocklist_filter": q_blocklist_filter,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -2901,9 +2916,9 @@ _DRIVER_HEAD = [
     # r08 head.
     # (a) never driver-checked round-6 late additions (2)
     "gopher_repetition", "shard_plan_bytes",
-    # (b) round-7 additions (4)
+    # (b) round-7 additions (5)
     "domain_profile", "domain_filtered_corpus", "url_dedup",
-    "domain_temperature_mix",
+    "domain_temperature_mix", "blocklist_filter",
     # (c) code touched this round (3)
     "bpe_doc_tokens", "bpe_sequence_packing", "image_phash_dedup",
     # (d) last checked r04 (26)
@@ -2920,7 +2935,7 @@ _DRIVER_HEAD = [
     "bpe_token_counts", "cluster_dedup_best", "containment_dedup",
     "copurchase_degree", "corpus_pipeline_v2", "corpus_pipeline_v3",
     "corpus_report", "corpus_to_shards", "customer_distribution",
-    "disjunctive_revenue", "dsir_sample",
+    "disjunctive_revenue",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3434,6 +3449,13 @@ ORACLE_SQL: dict[str, str] = {
       FROM d
     )
     SELECT doc_id, domain, lang, source, n_chars FROM capped WHERE rn <= 3
+    """,
+    "blocklist_filter": f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE len(list_intersect(
+            list_transform({_TOKS_SQL}, t -> lower(t)),
+            [{", ".join(repr(w) for w in BLOCKWORDS)}])) = 0
     """,
     "domain_temperature_mix": f"""
     WITH dd AS (

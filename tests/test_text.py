@@ -467,3 +467,25 @@ def test_repetition_profile_hand_computed(spark):
     assert (r2["dup5_tokens"], r2["dup5_chars"]) == (0, 0)
     r3 = rows[3]
     assert (r3["n_tokens"], r3["top2_count"], r3["dup5_tokens"]) == (1, 0, 0)
+
+
+def test_blocklist_filter_token_level(spark):
+    """Token membership, not substring: 'classify' survives a 'class'
+    blockword; case-insensitive; multi-hit docs dropped once."""
+    from kafka_denormalization_spark.functions.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a classify b"),        # substring only -> keep
+            (2, "a class b"),           # exact token -> drop
+            (3, "A CLASS b"),           # case-insensitive -> drop
+            (4, "clean text here"),     # keep
+            (5, "class bad class"),     # multi-hit -> drop (once)
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(docs, "doc_id", "text", ["class", "bad"]).collect()
+    )
+    assert out == [1, 4]
