@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "domain_temperature_mix",
     "blocklist_filter",
+    "epoch_shards",
 ]
 
 

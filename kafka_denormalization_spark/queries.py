@@ -507,6 +507,41 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_SHARD_N = 16
+EPOCH_SHARD_SALT = "eshard"
+
+
+def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-shard layout: the epoch-aware mixture
+    (operators/sampling.py epoch_mixture_sample — low-resource strata
+    REPEAT with an epoch index) composed with the deterministic hash
+    shard layout (operators/sharding.py shard_plan) over the composite
+    (doc_id, epoch) key — so each epoch's replica of a document lands
+    in its own reproducible shard position and a sequential reader sees
+    the tempered multi-epoch interleave. Pure functions of
+    (salt, doc_id, epoch) end-to-end: reruns at any partitioning yield
+    the identical layout."""
+    from kafka_denormalization_spark.operators.sampling import (
+        epoch_mixture_sample,
+    )
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = epoch_mixture_sample(
+        docs, "lang", "n_chars", "doc_id",
+        EPOCH_SHARES, EPOCH_BUDGET_FRAC, EPOCH_MAX, salt=EPOCH_SALT,
+    )
+    keyed = mixed.withColumn(
+        "_ekey",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ),
+    )
+    return shard_plan(
+        keyed, "_ekey", n_shards=EPOCH_SHARD_N, salt=EPOCH_SHARD_SALT
+    ).select("doc_id", "epoch", "lang", "shard_id", "pos")
+
+
 DOMAIN_TEMP_FRAC = 0.5
 DOMAIN_TEMP_SALT = "domtemp"
 
@@ -2778,6 +2813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "domain_temperature_mix": q_domain_temperature_mix,
     "blocklist_filter": q_blocklist_filter,
+    "epoch_shards": q_epoch_shards,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -2916,9 +2952,9 @@ _DRIVER_HEAD = [
     # r08 head.
     # (a) never driver-checked round-6 late additions (2)
     "gopher_repetition", "shard_plan_bytes",
-    # (b) round-7 additions (5)
+    # (b) round-7 additions (6)
     "domain_profile", "domain_filtered_corpus", "url_dedup",
-    "domain_temperature_mix", "blocklist_filter",
+    "domain_temperature_mix", "blocklist_filter", "epoch_shards",
     # (c) code touched this round (3)
     "bpe_doc_tokens", "bpe_sequence_packing", "image_phash_dedup",
     # (d) last checked r04 (26)
@@ -2935,7 +2971,6 @@ _DRIVER_HEAD = [
     "bpe_token_counts", "cluster_dedup_best", "containment_dedup",
     "copurchase_degree", "corpus_pipeline_v2", "corpus_pipeline_v3",
     "corpus_report", "corpus_to_shards", "customer_distribution",
-    "disjunctive_revenue",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3306,6 +3341,39 @@ _V3_SHIPPED_CTES_SQL: str = f"""{_SPAN_CTES_SQL},
       FROM surv s JOIN t ON s.lang = t.lang
       WHERE substr(md5(concat('{V3_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
             < t.thr
+    )"""
+
+# Epoch-aware mixture CTE chain shared by the epoch_mixture and
+# epoch_shards oracles (single source of truth mirroring
+# operators/sampling.py epoch_mixture_sample): plan from the rounded
+# grid, then the per-(doc, epoch) materialization as CTE `em`.
+_EPOCH_MIX_CTES_SQL: str = f"""WITH w AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(wt) AS tw FROM w),
+    plan AS (
+      SELECT lang,
+             round(least({EPOCH_BUDGET_FRAC} * tw *
+               (CASE lang {' '.join(f"WHEN '{s}' THEN {v}" for s, v in EPOCH_SHARES.items())} ELSE 0.0 END)
+               / wt, {EPOCH_MAX}), 6) AS eff
+      FROM w, tot
+    ), p2 AS (
+      SELECT lang, CAST(floor(eff) AS BIGINT) AS full_epochs,
+             printf('%08x', least(
+               CAST(floor(round(eff - floor(eff), 6) * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM plan
+    ), em AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars, e.epoch
+      FROM documents d
+      JOIN p2 ON d.lang = p2.lang
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(p2.full_epochs + 1)) AS epoch
+      ) e
+      WHERE e.epoch < p2.full_epochs
+         OR (e.epoch = p2.full_epochs AND
+             substr(md5(concat('{EPOCH_SALT}', '|',
+                    concat(CAST(d.doc_id AS VARCHAR), '#',
+                           CAST(p2.full_epochs AS VARCHAR)))), 1, 8) < p2.thr)
     )"""
 
 ORACLE_SQL: dict[str, str] = {
@@ -3881,33 +3949,29 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY g.doc_id
     """,
     "epoch_mixture": f"""
-    WITH w AS (
-      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY lang
-    ), tot AS (SELECT SUM(wt) AS tw FROM w),
-    plan AS (
-      SELECT lang,
-             round(least({EPOCH_BUDGET_FRAC} * tw *
-               (CASE lang {' '.join(f"WHEN '{s}' THEN {v}" for s, v in EPOCH_SHARES.items())} ELSE 0.0 END)
-               / wt, {EPOCH_MAX}), 6) AS eff
-      FROM w, tot
-    ), p2 AS (
-      SELECT lang, CAST(floor(eff) AS BIGINT) AS full_epochs,
-             printf('%08x', least(
-               CAST(floor(round(eff - floor(eff), 6) * 4294967296.0) AS BIGINT),
-               4294967295)) AS thr
-      FROM plan
+    {_EPOCH_MIX_CTES_SQL}
+    SELECT doc_id, lang, source, n_chars, epoch FROM em
+    """,
+    "epoch_shards": f"""
+    {_EPOCH_MIX_CTES_SQL},
+    keyed AS (
+      SELECT doc_id, epoch, lang,
+             concat(CAST(doc_id AS VARCHAR), '#', CAST(epoch AS VARCHAR))
+               AS ekey
+      FROM em
+    ), sp AS (
+      SELECT doc_id, epoch, lang, ekey,
+             md5(concat('{EPOCH_SHARD_SALT}', '|', ekey)) AS draw
+      FROM keyed
     )
-    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.epoch
-    FROM documents d
-    JOIN p2 ON d.lang = p2.lang
-    CROSS JOIN LATERAL (
-      SELECT unnest(range(p2.full_epochs + 1)) AS epoch
-    ) e
-    WHERE e.epoch < p2.full_epochs
-       OR (e.epoch = p2.full_epochs AND
-           substr(md5(concat('{EPOCH_SALT}', '|',
-                  concat(CAST(d.doc_id AS VARCHAR), '#',
-                         CAST(p2.full_epochs AS VARCHAR)))), 1, 8) < p2.thr)
+    SELECT doc_id, epoch, lang,
+           CAST(('0x' || substr(draw, 1, 8)) AS BIGINT) % {EPOCH_SHARD_N}
+             AS shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(draw, 1, 8)) AS BIGINT)
+                          % {EPOCH_SHARD_N}
+             ORDER BY draw, ekey) - 1 AS BIGINT) AS pos
+    FROM sp
     """,
     "bm25_search": f"""
     WITH t AS (

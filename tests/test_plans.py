@@ -211,6 +211,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "domain_temperature_mix",   # temperature_fractions' 1-row
                                     # strata-totals broadcast, domain strata
                                     # (same stage as temperature_sample)
+        "epoch_shards",             # epoch_mixture's 1-row corpus-total
+                                    # broadcast (embeds epoch_mixture_sample)
     }
     from kafka_denormalization_spark.plans import explain_str
 
