@@ -201,8 +201,10 @@ def normalize_url(url: Column | str) -> Column:
     query = F.regexp_replace(query, r"(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*", "$1")
     query = F.regexp_replace(query, r"&&+", "&")          # collapse holes
     query = F.regexp_replace(query, r"^&|&$", "")         # trim edges
-    # non-root trailing slash off the path; empty path -> /
-    path = F.regexp_replace(path, r"(.)/$", "$1")
+    # non-root trailing slashes off the path (ALL of them — one pass
+    # per slash would break idempotence, caught by the hypothesis
+    # fixed-point property on 'https://h///'); empty path -> /
+    path = F.regexp_replace(path, r"(.)/+$", "$1")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     return F.concat(
         scheme,

@@ -442,3 +442,49 @@ def test_registered_domain_paths_agree(spark, hosts):
     }
     for r in join_rows:
         assert r["domain"] == per_host_expr[r["host"]], r["host"]
+
+
+_url_path_st = st.text(alphabet="abcp019/", min_size=0, max_size=10)
+_url_q_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "utm_source", "utm_x", "fbclid", "gclid", "ref"]),
+        st.text(alphabet="xyz01", min_size=1, max_size=3),
+    ),
+    max_size=4,
+).map(lambda kvs: "&".join(f"{k}={v}" for k, v in kvs))
+_url_st = st.builds(
+    lambda host, port, path, q, frag: (
+        f"https://{host}{port}/{path}"
+        + (f"?{q}" if q else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    host=_host_st,
+    port=st.sampled_from(["", ":80", ":8443"]),
+    path=_url_path_st,
+    q=_url_q_st,
+    frag=st.text(alphabet="fg1", max_size=3),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(_url_st, min_size=1, max_size=16))
+def test_normalize_url_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u): the canonical form is a
+    fixed point for arbitrary generated URLs (tracking params in any
+    position, ports, fragments, trailing slashes, repeated separators) —
+    the invariant URL-level dedup state depends on across re-ingests of
+    already-normalized urls."""
+    from pyspark.sql import functions as F
+
+    from kafka_denormalization_spark.functions import domains as D
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(D.normalize_url("url").alias("url"))
+    twice = once.select(D.normalize_url("url").alias("url"))
+    assert sorted(r["url"] for r in once.collect()) == sorted(
+        r["url"] for r in twice.collect()
+    )
