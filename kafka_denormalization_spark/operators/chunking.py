@@ -81,6 +81,147 @@ def pack_chunks(
     )
 
 
+def exact_substr_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 16,
+) -> DataFrame:
+    """Rolling-window exact-substring deduplication — the stride-1
+    strengthening of ``span_dedup`` and the closest Spark-native
+    equivalent of Lee et al. 2021 ExactSubstr (suffix-array variant):
+    EVERY ``window_tokens``-token window (all starts, not just
+    chunk-aligned ones) is digested; a token survives iff at least one
+    window covering it is that window-text's globally-first occurrence
+    (minimum (doc id, start)). Chunk-aligned span_dedup misses
+    duplicated runs that straddle chunk boundaries or start mid-chunk;
+    this catches them all at window granularity. Documents shorter than
+    the window carry no window and survive intact (spans below the
+    match-length threshold are not dedup candidates — same rule as the
+    suffix-array ExactSubstr length cutoff).
+
+    Plan shape (100 TB): the window explode is ~n rows/doc (not the
+    naive n*W token-coverage explode — W-fold amplification avoided two
+    ways). First-occurrence is the same single partial-agg groupBy
+    (md5 digest -> min(struct(id, start))) as span_dedup — hot
+    boilerplate digests are absorbed map-side. Kept windows then merge
+    into coverage INTERVALS per doc (one per-doc window over starts:
+    running max of interval end, gap starts a new group), so the kept
+    token positions explode is bounded by the kept span, <= n. Per-doc
+    window partitions are bounded by document length, never corpus
+    width. Exact integer/string arithmetic end-to-end — the DuckDB
+    oracle (which replays the naive coverage semantics) matches
+    bitwise.
+
+    Output: (id_col, text_dedup, n_tokens, n_kept) — one row per input
+    document; text_dedup is '' when every token was covered only by
+    duplicate windows.
+    """
+    if window_tokens < 2:
+        raise ValueError("window_tokens must be >= 2")
+    w_ = int(window_tokens)
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), toks.alias("_w"), F.size(toks).alias("_n")
+    )
+    # every window start for docs long enough to carry one
+    wins = base.filter(F.col("_n") >= w_).select(
+        id_col,
+        "_w",
+        F.explode(F.sequence(F.lit(0), F.col("_n") - w_)).alias("_s"),
+    )
+    digested = wins.select(
+        id_col,
+        "_s",
+        F.md5(F.array_join(F.slice("_w", F.col("_s") + 1, w_), " ")).alias(
+            "_h"
+        ),
+    )
+    # globally-first occurrence per window text: one partial-agg groupBy
+    first = digested.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("_s").alias("s"))
+        ).alias("_k")
+    )
+    kept_wins = first.select(
+        F.col("_k.i").alias(id_col),
+        F.col("_k.s").alias("_s"),
+        (F.col("_k.s") + F.lit(w_ - 1)).alias("_e"),
+    )
+    # merge kept windows into coverage intervals: a window starts a new
+    # interval when it begins past the running max end of everything
+    # before it (positions inclusive, so contiguous means start <= end+1)
+    ww = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max("_e").over(
+        ww.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = kept_wins.select(
+        id_col,
+        "_s",
+        "_e",
+        F.sum(
+            F.when(
+                F.col("_s") > F.coalesce(prev_end, F.lit(-1)) + 1, 1
+            ).otherwise(0)
+        )
+        .over(ww)
+        .alias("_g"),
+    )
+    intervals = grouped.groupBy(id_col, "_g").agg(
+        F.min("_s").alias("_lo"), F.max("_e").alias("_hi")
+    )
+    kept_pos = intervals.select(
+        id_col, F.explode(F.sequence("_lo", "_hi")).alias("_p")
+    )
+    # rebuild: kept positions -> tokens (via the doc's token array),
+    # short docs (no windows) keep everything
+    rebuilt = (
+        base.filter(F.col("_n") >= w_)
+        .join(kept_pos, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_p").alias("p"),
+                                F.element_at(
+                                    "_w", (F.col("_p") + 1).cast("int")
+                                ).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("t"),
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    return (
+        base.select(
+            id_col,
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.when(F.col("_n") < w_, F.array_join("_w", " ")).alias(
+                "_short_text"
+            ),
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("_short_text"), F.col("text_dedup"), F.lit("")
+            ).alias("text_dedup"),
+            "n_tokens",
+            F.when(F.col("_short_text").isNotNull(), F.col("n_tokens"))
+            .otherwise(F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     id_col: str,
