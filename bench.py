@@ -116,6 +116,11 @@ BENCH_QUERIES = [
     "domain_temperature_mix",
     "blocklist_filter",
     "epoch_shards",
+    # round-8 operators
+    "line_dedup",
+    "ccnet_buckets",
+    "nb_quality",
+    "shard_manifest",
 ]
 
 

@@ -1116,3 +1116,245 @@ def blocklist_filter(
         )
     )
     return docs.where(hits == 0)
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str,
+    lines_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate line removal (Penedo et al.
+    2023 §G; Wenzek et al. 2020 §4.1): any line whose digest appears in
+    at least ``min_docs`` DISTINCT documents is removed from EVERY
+    document. Unlike ``span_dedup`` (which keeps the globally-first
+    occurrence of a repeated span), boilerplate removal wants NO copy
+    kept — navigation bars, cookie banners, and footers repeated across
+    a site carry no training signal at all.
+
+    Plan shape (100 TB): document text NEVER shuffles. The explode
+    carries only (id, pos, md5(line)) — 16-byte digests; line
+    document-frequency is a distinct + count over digests; the removal
+    list per doc is a tiny (id, positions[]) table that AQE broadcasts
+    back onto the corpus scan (docs with no boilerplate hit never leave
+    their input partition when the broadcast applies; otherwise one
+    id-hash exchange of the positions table, never of text). The
+    rebuild is an index-filter expression over the in-place lines
+    array.
+
+    Output: (id_col, text_clean, n_lines_kept, n_lines_removed) — one
+    row per input doc; a doc whose every line is boilerplate survives
+    with text_clean = '' and n_lines_kept = 0.
+
+    Reference parity note: the reference engine has no text operators
+    at all (SURVEY.md §2.3) — this is a north-star extension.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(lines_col)).alias("_pos", "_ln"),
+    ).select("_id", "_pos", F.md5(F.col("_ln")).alias("_h"))
+    dfreq = (
+        lines.select("_h", "_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+    rm = (
+        lines.join(dfreq, "_h")
+        .groupBy("_id")
+        .agg(F.collect_list("_pos").alias("_rm"))
+    )
+    rm_arr = F.coalesce(
+        F.col("_rm"), F.expr("CAST(array() AS array<int>)")
+    )
+    kept = F.filter(
+        F.col(lines_col),
+        lambda x, i: ~F.array_contains(rm_arr, i),
+    )
+    return (
+        docs.join(rm, docs[id_col] == rm["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, kept).alias("text_clean"),
+            (F.size(F.col(lines_col)) - F.coalesce(F.size("_rm"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_kept"),
+            F.coalesce(F.size("_rm"), F.lit(0)).cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+def lm_perplexity_buckets(
+    scored: DataFrame,
+    nll_col: str = "nll_r",
+    probs: tuple[float, float] = (0.25, 0.75),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
+    the corpus into head / middle / tail by corpus-level quantiles of
+    the per-doc LM score (low nll = fluent, in-domain). CCNet keeps the
+    head and middle thirds and drops (or down-weights) the tail; this
+    returns the label so the policy stays with the caller.
+
+    ``probs`` must be DYADIC quantile points (0.25/0.5/0.75): the exact
+    ``percentile`` aggregate linear-interpolates a + (b - a) * f, and a
+    dyadic f makes the interpolation bit-identical to DuckDB's
+    ``quantile_cont`` (same convention as operators/profile.py
+    percentile_profile). At 100 TB the thresholds would come from
+    ``approx_percentile`` over the same single pass — the plan shape
+    (one scan + a 1-row threshold aggregate broadcast back over the
+    scored rows) is unchanged.
+
+    Docs with NULL score (< 2 tokens: no bigram evidence) get label
+    NULL — no evidence, no bucket.
+
+    Output: scored's columns + ``bucket``.
+    """
+    lo, hi = probs
+    thr = scored.filter(F.col(nll_col).isNotNull()).agg(
+        F.expr(f"percentile({nll_col}, {lo})").alias("_plo"),
+        F.expr(f"percentile({nll_col}, {hi})").alias("_phi"),
+    )
+    head, middle, tail = labels
+    bucket = (
+        F.when(F.col(nll_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col(nll_col) <= F.col("_plo"), F.lit(head))
+        .when(F.col(nll_col) <= F.col("_phi"), F.lit(middle))
+        .otherwise(F.lit(tail))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .withColumn("bucket", bucket)
+        .drop("_plo", "_phi")
+    )
+
+def nb_quality_model(
+    docs: DataFrame,
+    text_col: str,
+    positive_pred,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the token log-odds model for ``nb_quality_score`` — exposed
+    separately so it can be frozen to parquet and applied statelessly
+    (same freeze/apply split as ``lm_model`` / ``lm_score_with_model``).
+
+    Returns (model, stats): per-token ``(_w, _lo)`` rounded log-odds
+    rows (vocab-bounded) and the 1-row ``(_dlo)`` default log-odds for
+    tokens unseen in training. Log-odds use Laplace smoothing:
+    lo(w) = ln((cp + a)/(Tp + a·V)) - ln((cn + a)/(Tn + a·V)) with cp/cn
+    the positive/negative class token counts, Tp/Tn the class totals, V
+    the training vocabulary — exact integers in, one 9-decimal-rounded
+    double out, so both engines land on identical model rows.
+    """
+    tok = docs.select(
+        positive_pred.alias("_y"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    counts = tok.groupBy("_w").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_cp"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_cn"),
+    )
+    stats = counts.agg(
+        F.sum("_cp").alias("_tp"),
+        F.sum("_cn").alias("_tn"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    a = F.lit(alpha)
+
+    def _lo(cp, cn, tp, tn, v):
+        av = a * v.cast("double")
+        return F.round(
+            F.log((cp.cast("double") + a) / (tp.cast("double") + av))
+            - F.log((cn.cast("double") + a) / (tn.cast("double") + av)),
+            9,
+        )
+
+    model = counts.crossJoin(F.broadcast(stats)).select(
+        "_w",
+        _lo(F.col("_cp"), F.col("_cn"), F.col("_tp"), F.col("_tn"),
+            F.col("_v")).alias("_lo"),
+    )
+    default = stats.select(
+        _lo(F.lit(0), F.lit(0), F.col("_tp"), F.col("_tn"),
+            F.col("_v")).alias("_dlo")
+    )
+    return model, default
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    positive_pred,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """fastText-lineage model-based quality scoring (the GPT-3 / PaLM
+    "classifier trained on a curated seed vs the raw crawl" filter,
+    Brown et al. 2020 §A): a Naive-Bayes token log-odds model is trained
+    with ``positive_pred`` marking the curated class, then every doc is
+    scored by the MEAN token log-odds — positive means "reads like the
+    curated seed". The linear-in-token-counts shape is exactly a
+    fastText classifier with unigram features and frozen softmax.
+
+    Deterministic cross-engine: class counts are exact integers, each
+    token's log-odds rounds to the 9-decimal grid, the per-doc sum folds
+    in token POSITION order, the mean rounds again (conventions of
+    ``lm_score``).
+
+    Plan shape (100 TB): ONE token-explode aggregation trains the model
+    (conditional sums per token — partial aggregation map-side), a
+    1-row class-totals broadcast finishes it; scoring is one corpus pass
+    with a single vocab-bounded model lookup (AQE broadcasts it when it
+    fits) and a per-doc sorted-array fold — no window, no second corpus
+    pass, text never shuffles (only (id, pos, token) rows).
+
+    Output: (id_col, n_tokens, logodds_r, keep) with keep = logodds_r > 0.
+    """
+    model, default = nb_quality_model(docs, text_col, positive_pred, alpha)
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
+    )
+    scored = (
+        tok.join(model, "_w", "left")
+        .crossJoin(F.broadcast(default))
+        .select("_id", "_pos", F.coalesce("_lo", "_dlo").alias("_lo"))
+    )
+    folded = (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("_pos").alias("p"),
+                                     F.col("_lo").alias("l"))
+                        )
+                    ),
+                    lambda s: s.getField("l"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_s"),
+        )
+        .select(
+            "_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("_s") / F.col("n_tokens").cast("double"), 9).alias(
+                "logodds_r"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(folded.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("logodds_r"),
+            (F.col("logodds_r") > 0).alias("keep"),
+        )
+    )

@@ -171,3 +171,74 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+def shard_manifest(
+    plan: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    shard_col: str = "shard_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Per-shard integrity manifest over a shard layout (the output of
+    ``shard_plan`` / ``shard_plan_bytes``): row count, byte total,
+    position envelope, a contiguity flag, and an ORDER-INDEPENDENT
+    content checksum — what a training-data loader verifies before it
+    trusts a 100-TB shard set (partial writes, duplicated retries, and
+    re-ordered rewrites all flip either the checksum or the contiguity
+    flag).
+
+    The checksum is the XOR fold of a 60-bit integer drawn from
+    md5(id @ pos) per row: XOR is commutative/associative, so the value
+    is independent of partitioning and aggregation order (no overflow,
+    no float), yet any single added, dropped, or re-positioned row
+    changes it. Covering (id, pos) — not just id — makes the LAYOUT
+    part of the contract: the same rows in a different read order fail.
+
+    One aggregation pass; only (shard, id, pos, bytes) shuffle.
+
+    Output: (shard_col, n_docs, total_bytes, pos_min, pos_max,
+    contiguous, checksum).
+    """
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "@",
+                    F.col(id_col).cast("string"),
+                    F.col(pos_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        plan.select(
+            F.col(shard_col),
+            F.col(pos_col),
+            F.col(bytes_col).cast("long").alias("_b"),
+            row_h.alias("_h"),
+        )
+        .groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_b").alias("total_bytes"),
+            F.min(pos_col).cast("long").alias("pos_min"),
+            F.max(pos_col).cast("long").alias("pos_max"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+        .select(
+            shard_col,
+            "n_docs",
+            "total_bytes",
+            "pos_min",
+            "pos_max",
+            (
+                (F.col("pos_min") == 0)
+                & (F.col("pos_max") == F.col("n_docs") - 1)
+            ).alias("contiguous"),
+            "checksum",
+        )
+    )

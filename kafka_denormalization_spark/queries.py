@@ -507,6 +507,39 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_SEG = 3  # tokens per synthetic "line" in the line-dedup fixture
+LINE_MIN_DOCS = 4  # boilerplate threshold: line in >= 4 distinct docs
+
+
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic synthetic ``lines`` column (testdata
+    text has no newlines): the whitespace token stream segmented into
+    3-token lines. With the fixture's ~31-word vocabulary this yields a
+    realistic boilerplate profile at sf0.01 — ~3% of line occurrences
+    belong to a line repeated in >= 4 distinct docs."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.withColumn("_w", text_fns.tokens(F.col("text"))).withColumn(
+        "lines",
+        F.expr(
+            f"transform(sequence(0, CAST((size(_w)-1) DIV {LINE_SEG} AS INT)),"
+            f" i -> array_join(slice(_w, i*{LINE_SEG}+1, {LINE_SEG}), ' '))"
+        ),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal (functions/text.py line_dedup —
+    RefinedWeb §G / CCNet §4.1 lineage): lines repeated across >= 4
+    distinct documents (nav bars, footers, cookie banners) are removed
+    from EVERY document, and documents are rebuilt from the surviving
+    lines. Distinct from span_dedup, which keeps the first occurrence:
+    boilerplate carries no training signal, so no copy survives."""
+    return text_fns.line_dedup(
+        _docs_with_lines(spark, sf_dir), "doc_id", "lines",
+        min_docs=LINE_MIN_DOCS,
+    )
+
+
 EPOCH_SHARD_N = 16
 EPOCH_SHARD_SALT = "eshard"
 
@@ -759,6 +792,34 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically."""
     docs = table(spark, sf_dir, "documents")
     return text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (functions/text.py
+    lm_perplexity_buckets over lm_score; Wenzek et al. 2020 §4.3): the
+    corpus split by dyadic quantiles (p25/p75) of the per-doc mean nll
+    under the lang='en' bigram model — head = most fluent quarter,
+    tail = least. One scoring pass + a 1-row threshold aggregate
+    broadcast; thresholds interpolate bit-identically to DuckDB's
+    quantile_cont."""
+    docs = table(spark, sf_dir, "documents")
+    scored = text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    return text_fns.lm_perplexity_buckets(scored)
+
+
+NB_SEED_SOURCES = ["src0", "src1", "src2"]
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (functions/text.py nb_quality_score —
+    the GPT-3 "curated seed vs raw crawl" classifier, Brown et al. 2020
+    §A): a Naive-Bayes token log-odds model trained with source in
+    {src0,src1,src2} as the curated class, every doc scored by mean
+    token log-odds. One training aggregation + one scoring pass."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.nb_quality_score(
+        docs, "doc_id", "text", F.col("source").isin(NB_SEED_SOURCES)
+    )
 
 
 KMEANS_K = 8
@@ -1189,6 +1250,22 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(docs, "doc_id", n_shards=8).select(
         "doc_id", "shard_id", "pos"
     )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest (operators/sharding.py
+    shard_manifest) over the shard_plan layout: row count, byte total,
+    position envelope + contiguity, and an order-independent 60-bit XOR
+    checksum of (doc_id @ pos) — the loader-side verification record a
+    reproducible corpus build publishes next to its shards."""
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_manifest,
+        shard_plan,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = shard_plan(docs, "doc_id", n_shards=8)
+    return shard_manifest(plan, "doc_id", "n_chars")
 
 
 def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2814,6 +2891,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_temperature_mix": q_domain_temperature_mix,
     "blocklist_filter": q_blocklist_filter,
     "epoch_shards": q_epoch_shards,
+    "line_dedup": q_line_dedup,
+    "ccnet_buckets": q_ccnet_buckets,
+    "nb_quality": q_nb_quality,
+    "shard_manifest": q_shard_manifest,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -2941,36 +3022,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- round-7 head: never-checked + touched-this-round + r04-stale ---
-    # Selection rule (VERDICT r06 tasks #3/#4): (a) the two round-6
-    # late additions that appear in NO driver artifact, (b) the two
-    # round-7 additions, (c) the three queries whose code paths changed
-    # this round (bpe empty-doc filter; phash refactor — guard default
-    # off but the blocking stage was factored out), (d) ALL 26 names
-    # last driver-checked in r04 (2 rounds stale), (e) r05-checked
-    # fills alphabetically to 50.  The remaining r05 names take the
-    # r08 head.
-    # (a) never driver-checked round-6 late additions (2)
-    "gopher_repetition", "shard_plan_bytes",
-    # (b) round-7 additions (6)
-    "domain_profile", "domain_filtered_corpus", "url_dedup",
-    "domain_temperature_mix", "blocklist_filter", "epoch_shards",
-    # (c) code touched this round (3)
-    "bpe_doc_tokens", "bpe_sequence_packing", "image_phash_dedup",
-    # (d) last checked r04 (26)
-    "cosine_dedup", "doc_chunks", "embedding_centroid", "funnel_counts",
-    "fuzzy_name_pairs", "grouping_sets", "lang_id",
-    "local_supplier_volume", "multimodal_metadata", "near_dup_clusters",
-    "pivot_event_counts", "profile_orders", "quality_checks",
-    "quality_filter", "range_join", "rank_distribution",
-    "rollup_timeseries", "scd2_as_of", "sequence_packing",
-    "session_window", "set_ops", "shipping_priority", "stats_agg",
-    "stratified_sample", "text_stats", "two_hop_denorm",
-    # (e) r05-checked fills, alphabetical (17)
-    "big_orders", "bm25_batch", "bm25_search", "bpe_merges",
-    "bpe_token_counts", "cluster_dedup_best", "containment_dedup",
-    "copurchase_degree", "corpus_pipeline_v2", "corpus_pipeline_v3",
-    "corpus_report", "corpus_to_shards", "customer_distribution",
+    # --- round-8 head: never-checked additions + every r05-stale name ---
+    # Selection rule (continues the r06/r07 rotation): (a) the four
+    # round-8 additions, never in any driver artifact; (b) ALL 37 names
+    # whose last driver check is the r05 artifact (neither the r06 head
+    # nor the r07 head touched them); (c) r06-checked fills
+    # alphabetically to 50.
+    # (a) round-8 additions (4)
+    "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
+    # (b) last driver-checked in r05 (37)
+    "temperature_sample", "pii_scrub", "gram_novelty",
+    "incremental_dedup", "incremental_near_dedup", "dsir_weights",
+    "dsir_sample", "epoch_mixture", "percentile_profile", "oov_rate",
+    "minhash_lsh_dedup", "leakage_safe_split", "packing_stats",
+    "shard_plan", "shard_stats", "span_dedup", "kmeans_clusters",
+    "semantic_dedup", "lm_perplexity", "quantize_embeddings",
+    "ann_int8_topk", "exists_late_ship", "small_qty_revenue",
+    "min_cost_per_part", "scd2_intervals", "volume_shipping",
+    "returned_items", "late_shipment_priority", "disjunctive_revenue",
+    "user_journeys", "moving_average", "forecast_revenue",
+    "top_supplier", "idle_rich_customers", "promo_revenue",
+    "rolling_zscore", "nation_year_revenue",
+    # (c) r06-checked fills, alphabetical (9)
+    "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
+    "ann_ivf_topk", "ann_lsh_topk", "anti_join_orphans", "approx_stats",
+    "asof_join", "canonical_dedup",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3525,6 +3601,40 @@ ORACLE_SQL: dict[str, str] = {
             list_transform({_TOKS_SQL}, t -> lower(t)),
             [{", ".join(repr(w) for w in BLOCKWORDS)}])) = 0
     """,
+    # line-level boilerplate removal: the oracle replays the synthetic
+    # 3-token segmentation and removes lines in >= LINE_MIN_DOCS distinct
+    # docs by STRING equality (the Spark side shuffles md5 digests — the
+    # differential checks digest-blocking against plain-text semantics)
+    "line_dedup": f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, i,
+             array_to_string(w[(i*{LINE_SEG}+1):(i*{LINE_SEG}+{LINE_SEG})], ' ') AS ln
+      FROM w, unnest(generate_series(0, (len(w)-1)//{LINE_SEG})) AS g(i)
+    ),
+    heavy AS (
+      SELECT ln FROM (
+        SELECT ln, count(DISTINCT doc_id) AS cd FROM l GROUP BY ln
+      ) WHERE cd >= {LINE_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT doc_id, i, ln FROM l WHERE ln NOT IN (SELECT ln FROM heavy)
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text_clean,
+             count(*) AS k
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.text_clean, '') AS text_clean,
+           CAST(COALESCE(r.k, 0) AS BIGINT) AS n_lines_kept,
+           CAST(t.n - COALESCE(r.k, 0) AS BIGINT) AS n_lines_removed
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
     "domain_temperature_mix": f"""
     WITH dd AS (
       SELECT doc_id, lang, n_chars, {_URL_DOMAIN_SQL} AS domain
@@ -3663,6 +3773,37 @@ ORACLE_SQL: dict[str, str] = {
            CAST(row_number() OVER (PARTITION BY shard_id
                                    ORDER BY draw, doc_id) - 1 AS BIGINT) AS pos
     FROM p
+    """,
+    "shard_manifest": """
+    WITH p AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS b,
+             md5(concat('shard', '|', CAST(doc_id AS VARCHAR))) AS draw,
+             CAST(('0x' || substr(md5(concat('shard', '|',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8
+               AS shard_id
+      FROM documents
+    ),
+    plan AS (
+      SELECT doc_id, b, shard_id,
+             CAST(row_number() OVER (PARTITION BY shard_id
+                                     ORDER BY draw, doc_id) - 1 AS BIGINT)
+               AS pos
+      FROM p
+    ),
+    h AS (
+      SELECT shard_id, b, pos,
+             CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '@',
+                    CAST(pos AS VARCHAR))), 1, 15)) AS BIGINT) AS rh
+      FROM plan
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b) AS BIGINT) AS total_bytes,
+           CAST(min(pos) AS BIGINT) AS pos_min,
+           CAST(max(pos) AS BIGINT) AS pos_max,
+           (min(pos) = 0 AND max(pos) = count(*) - 1) AS contiguous,
+           bit_xor(rh) AS checksum
+    FROM h GROUP BY shard_id
     """,
     "shard_plan_bytes": """
     WITH sized AS (
@@ -4044,6 +4185,75 @@ ORACLE_SQL: dict[str, str] = {
     SELECT doc.doc_id, CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            f.nll_r
     FROM documents doc LEFT JOIN lmfold f USING (doc_id)
+    """,
+    # naive-bayes quality classifier: exact class counts -> 9-decimal
+    # log-odds model rows -> position-ordered per-doc fold (lm_score
+    # conventions); seed class = source in NB_SEED_SOURCES
+    "nb_quality": f"""
+    WITH d AS (
+      SELECT doc_id,
+             source IN ({", ".join(repr(s) for s in NB_SEED_SOURCES)}) AS y,
+             {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, y, pos, w
+      FROM (
+        SELECT doc_id, y,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> {{'pos': i, 'w': toks[i]}}), recursive := true)
+        FROM d
+      )
+    ),
+    counts AS (
+      SELECT w,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+      FROM tok GROUP BY w
+    ),
+    st AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM counts),
+    model AS (
+      SELECT w,
+             round(ln((CAST(cp AS DOUBLE) + 1.0)
+                      / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+                 - ln((CAST(cn AS DOUBLE) + 1.0)
+                      / (CAST(tn AS DOUBLE) + CAST(v AS DOUBLE))), 9) AS lo
+      FROM counts CROSS JOIN st
+    ),
+    sc AS (SELECT t.doc_id, t.pos, m.lo FROM tok t JOIN model m USING (w)),
+    fold AS (
+      SELECT doc_id, count(*) AS n,
+             round(list_reduce(list_prepend(0.0, list(lo ORDER BY pos)),
+                               (x, y) -> x + y)
+                   / CAST(count(*) AS DOUBLE), 9) AS logodds_r
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc.doc_id, CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
+           f.logodds_r, f.logodds_r > 0 AS keep
+    FROM documents doc LEFT JOIN fold f USING (doc_id)
+    """,
+    # ccnet bucketing: same lm CTEs; thresholds via quantile_cont at the
+    # dyadic p25/p75 points (bit-identical to Spark's exact percentile)
+    "ccnet_buckets": f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks FROM documents
+    ), {_lm_cte_sql("d")},
+    scored AS (
+      SELECT doc.doc_id, CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             f.nll_r
+      FROM documents doc LEFT JOIN lmfold f USING (doc_id)
+    ),
+    thr AS (
+      SELECT quantile_cont(nll_r, 0.25) AS plo,
+             quantile_cont(nll_r, 0.75) AS phi
+      FROM scored WHERE nll_r IS NOT NULL
+    )
+    SELECT doc_id, n_bigrams, nll_r,
+           CASE WHEN nll_r IS NULL THEN NULL
+                WHEN nll_r <= plo THEN 'head'
+                WHEN nll_r <= phi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, thr
     """,
     "span_dedup": f"""
     WITH {_SPAN_CTES_SQL}

@@ -194,6 +194,12 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "semantic_dedup",           # same (embeds kmeans_clusters)
         "lm_perplexity",            # 1-row vocab-stats aggregate broadcast
                                     # over the bigram probability rows
+        "ccnet_buckets",            # same lm_score 1-row broadcasts plus the
+                                    # 1-row p25/p75 threshold aggregate
+                                    # broadcast back over the scored rows
+        "nb_quality",               # 1-row class-totals + 1-row default
+                                    # log-odds aggregate broadcasts over the
+                                    # vocab-bounded model rows
         "bpe_merges",               # 1-row best-pair aggregate broadcast
                                     # over the vocab table, once per round
         "bpe_token_counts",         # same 1-row best-pair broadcasts (the

@@ -254,3 +254,66 @@ def test_ingest_shard_file_stream_e2e(spark, tmp_path):
         by_shard[r["shard_id"]].append(r["pos"])
     for positions in by_shard.values():
         assert sorted(positions) == list(range(len(positions)))
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest (loader-side integrity record)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_intact_plan(spark):
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_manifest,
+        shard_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(40)], "doc_id long, n_bytes long"
+    )
+    plan = shard_plan(docs, "doc_id", n_shards=4)
+    man = {r["shard_id"]: r for r in shard_manifest(plan, "doc_id", "n_bytes").collect()}
+    assert set(man) <= set(range(4))
+    assert sum(r["n_docs"] for r in man.values()) == 40
+    assert sum(r["total_bytes"] for r in man.values()) == sum(10 + i for i in range(40))
+    for r in man.values():
+        assert r["contiguous"]
+        assert r["pos_min"] == 0 and r["pos_max"] == r["n_docs"] - 1
+
+
+def test_shard_manifest_detects_mutations(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_manifest,
+        shard_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(30)], "doc_id long, n_bytes long"
+    )
+    plan = shard_plan(docs, "doc_id", n_shards=2).cache()
+    base = {r["shard_id"]: r for r in shard_manifest(plan, "doc_id", "n_bytes").collect()}
+
+    # dropping an interior row breaks contiguity AND the checksum
+    victim = plan.filter((F.col("shard_id") == 0) & (F.col("pos") == 1))
+    vid = victim.first()["doc_id"]
+    broken = shard_manifest(
+        plan.filter(F.col("doc_id") != vid), "doc_id", "n_bytes"
+    )
+    b0 = {r["shard_id"]: r for r in broken.collect()}[0]
+    assert not b0["contiguous"]
+    assert b0["checksum"] != base[0]["checksum"]
+
+    # swapping two rows' positions keeps counts/bytes/envelope but
+    # flips the checksum (the layout is part of the contract)
+    swapped = plan.withColumn(
+        "pos",
+        F.when((F.col("shard_id") == 0) & (F.col("pos") == 0), F.lit(1))
+        .when((F.col("shard_id") == 0) & (F.col("pos") == 1), F.lit(0))
+        .otherwise(F.col("pos")),
+    )
+    s0 = {r["shard_id"]: r for r in shard_manifest(swapped, "doc_id", "n_bytes").collect()}[0]
+    assert s0["n_docs"] == base[0]["n_docs"]
+    assert s0["contiguous"]
+    assert s0["checksum"] != base[0]["checksum"]
+    plan.unpersist()

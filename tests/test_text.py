@@ -489,3 +489,140 @@ def test_blocklist_filter_token_level(spark):
         for r in blocklist_filter(docs, "doc_id", "text", ["class", "bad"]).collect()
     )
     assert out == [1, 4]
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (boilerplate line removal)
+# ---------------------------------------------------------------------------
+
+
+def _lines_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lines array<string>")
+
+
+def test_line_dedup_removes_heavy_lines_everywhere(spark):
+    # "footer" appears in 3 distinct docs -> removed from ALL of them
+    df = _lines_df(
+        spark,
+        [
+            (1, ["alpha", "footer", "beta"]),
+            (2, ["footer", "gamma"]),
+            (3, ["delta", "footer"]),
+            (4, ["epsilon"]),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.line_dedup(df, "doc_id", "lines", min_docs=3).collect()
+    }
+    assert out[1]["text_clean"] == "alpha\nbeta"
+    assert out[2]["text_clean"] == "gamma"
+    assert out[3]["text_clean"] == "delta"
+    assert out[4]["text_clean"] == "epsilon"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_line_dedup_within_doc_repeats_dont_count(spark):
+    # "x" repeated 5x inside ONE doc: distinct-doc count is 1 -> kept
+    df = _lines_df(spark, [(1, ["x", "x", "x", "x", "x"]), (2, ["y"])])
+    out = {
+        r["doc_id"]: r
+        for r in T.line_dedup(df, "doc_id", "lines", min_docs=2).collect()
+    }
+    assert out[1]["text_clean"] == "x\nx\nx\nx\nx"
+    assert out[1]["n_lines_kept"] == 5
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    df = _lines_df(spark, [(1, ["nav"]), (2, ["nav"]), (3, ["nav", "body"])])
+    out = {
+        r["doc_id"]: r
+        for r in T.line_dedup(df, "doc_id", "lines", min_docs=2).collect()
+    }
+    assert out[1]["text_clean"] == ""
+    assert out[1]["n_lines_kept"] == 0
+    assert out[1]["n_lines_removed"] == 1
+    assert out[3]["text_clean"] == "body"
+    # every input doc has exactly one output row
+    assert set(out) == {1, 2, 3}
+
+
+def test_line_dedup_removes_all_copies_unlike_span_dedup(spark):
+    # heavy line occurring twice in one doc AND once in another: every
+    # occurrence goes (boilerplate semantics, not first-wins)
+    df = _lines_df(spark, [(1, ["ad", "body", "ad"]), (2, ["ad", "tail"])])
+    out = {
+        r["doc_id"]: r
+        for r in T.line_dedup(df, "doc_id", "lines", min_docs=2).collect()
+    }
+    assert out[1]["text_clean"] == "body"
+    assert out[1]["n_lines_removed"] == 2
+    assert out[2]["text_clean"] == "tail"
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_buckets_split_and_nulls(spark):
+    rows = [(i, float(i)) for i in range(1, 9)] + [(99, None)]
+    scored = spark.createDataFrame(rows, "doc_id long, nll_r double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in T.lm_perplexity_buckets(scored).collect()
+    }
+    # p25 of 1..8 = 2.75, p75 = 6.25
+    assert [out[i] for i in range(1, 9)] == [
+        "head", "head", "middle", "middle", "middle", "middle", "tail", "tail"
+    ]
+    assert out[99] is None
+
+
+def test_lm_perplexity_buckets_keeps_columns(spark):
+    scored = spark.createDataFrame(
+        [(1, 4, 0.5), (2, 6, 1.5)], "doc_id long, n_bigrams long, nll_r double"
+    )
+    out = T.lm_perplexity_buckets(scored)
+    assert set(out.columns) == {"doc_id", "n_bigrams", "nll_r", "bucket"}
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_score (curated-seed Naive-Bayes quality classifier)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_quality_score_separates_classes(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "good fine good prose", True),
+            (2, "good prose fine text", True),
+            (3, "spam junk spam junk", False),
+            (4, "junk spam junk noise", False),
+        ],
+        "doc_id long, text string, curated boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.nb_quality_score(
+            docs, "doc_id", "text", F.col("curated")
+        ).collect()
+    }
+    assert out[1]["logodds_r"] > 0 and out[1]["keep"]
+    assert out[3]["logodds_r"] < 0 and not out[3]["keep"]
+    assert out[1]["n_tokens"] == 4
+
+
+def test_nb_quality_frozen_model_handles_unseen_tokens(spark):
+    train = spark.createDataFrame(
+        [(1, "good prose", True), (2, "spam junk", False)],
+        "doc_id long, text string, y boolean",
+    )
+    model, default = T.nb_quality_model(train, "text", F.col("y"))
+    d = default.first()["_dlo"]
+    # unseen tokens fall back to the default log-odds (= 0 when the
+    # class totals are symmetric, as here: Tp == Tn)
+    assert abs(d) < 1e-12
+    m = {r["_w"]: r["_lo"] for r in model.collect()}
+    assert m["good"] > 0 > m["spam"]

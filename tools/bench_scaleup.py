@@ -224,6 +224,56 @@ def _shard_plan_bytes(docs):
     ).select("doc_id", "shard_id", "pos")
 
 
+def _line_dedup(docs):
+    """3-token synthetic lines (queries._docs_with_lines shape). Runs
+    SALTED: with unsalted replicas every line crosses the min_docs
+    threshold at x8 and the whole corpus degenerates to boilerplate —
+    salting keeps the removed fraction constant per replica (each
+    site's own footer), so the result scales linearly like a crawl."""
+    from kafka_denormalization_spark.functions.text import line_dedup, tokens
+    from kafka_denormalization_spark.queries import LINE_MIN_DOCS, LINE_SEG
+
+    with_lines = docs.withColumn("_w", tokens(F.col("text"))).withColumn(
+        "lines",
+        F.expr(
+            f"transform(sequence(0, CAST((size(_w)-1) DIV {LINE_SEG} AS INT)),"
+            f" i -> array_join(slice(_w, i*{LINE_SEG}+1, {LINE_SEG}), ' '))"
+        ),
+    )
+    return line_dedup(with_lines, "doc_id", "lines", min_docs=LINE_MIN_DOCS)
+
+
+def _ccnet_buckets(docs):
+    from kafka_denormalization_spark.functions.text import (
+        lm_perplexity_buckets,
+        lm_score,
+    )
+
+    return lm_perplexity_buckets(
+        lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    )
+
+
+def _nb_quality(docs):
+    from kafka_denormalization_spark.functions.text import nb_quality_score
+    from kafka_denormalization_spark.queries import NB_SEED_SOURCES
+
+    return nb_quality_score(
+        docs, "doc_id", "text", F.col("source").isin(NB_SEED_SOURCES)
+    )
+
+
+def _shard_manifest(docs):
+    from kafka_denormalization_spark.operators.sharding import (
+        shard_manifest,
+        shard_plan,
+    )
+
+    n = docs.sparkSession.conf.get("bench.scaleup.n_rep", "1")
+    plan = shard_plan(docs, "doc_id", n_shards=64 * int(n))
+    return shard_manifest(plan, "doc_id", "n_chars")
+
+
 # each op: name -> (table, id_col, builder, salt_text)
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
@@ -241,6 +291,10 @@ OPS = {
     "url_dedup": ("documents", "doc_id", _url_dedup, False),
     "gopher_repetition": ("documents", "doc_id", _gopher_repetition, False),
     "shard_plan_bytes": ("documents", "doc_id", _shard_plan_bytes, False),
+    "line_dedup": ("documents", "doc_id", _line_dedup, True),
+    "ccnet_buckets": ("documents", "doc_id", _ccnet_buckets, False),
+    "nb_quality": ("documents", "doc_id", _nb_quality, False),
+    "shard_manifest": ("documents", "doc_id", _shard_manifest, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
