@@ -807,6 +807,35 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.lm_perplexity_buckets(scored)
 
 
+DIFF_ADD_SHIFT = 1_000_000
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/diff.py corpus_diff): classify
+    every doc id across two builds as added / removed / changed /
+    unchanged by content digest — only (id, md5) rows move, never text.
+    Fixture: the "next crawl" drops doc_id%7==0, appends ' rev2' to the
+    text of doc_id%5==0 survivors, and adds an id-shifted addendum doc
+    for doc_id%11==0."""
+    from kafka_denormalization_spark.operators.diff import corpus_diff
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + DIFF_ADD_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
+    )
+    new = survivors.unionByName(added)
+    return corpus_diff(docs, new, "doc_id", "text")
+
+
 NB_SEED_SOURCES = ["src0", "src1", "src2"]
 
 
@@ -2895,6 +2924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "nb_quality": q_nb_quality,
     "shard_manifest": q_shard_manifest,
+    "corpus_diff": q_corpus_diff,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3028,8 +3058,9 @@ _DRIVER_HEAD = [
     # whose last driver check is the r05 artifact (neither the r06 head
     # nor the r07 head touched them); (c) r06-checked fills
     # alphabetically to 50.
-    # (a) round-8 additions (4)
+    # (a) round-8 additions (5)
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
+    "corpus_diff",
     # (b) last driver-checked in r05 (37)
     "temperature_sample", "pii_scrub", "gram_novelty",
     "incremental_dedup", "incremental_near_dedup", "dsir_weights",
@@ -3043,10 +3074,10 @@ _DRIVER_HEAD = [
     "user_journeys", "moving_average", "forecast_revenue",
     "top_supplier", "idle_rich_customers", "promo_revenue",
     "rolling_zscore", "nation_year_revenue",
-    # (c) r06-checked fills, alphabetical (9)
+    # (c) r06-checked fills, alphabetical (8)
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
     "ann_ivf_topk", "ann_lsh_topk", "anti_join_orphans", "approx_stats",
-    "asof_join", "canonical_dedup",
+    "asof_join",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4185,6 +4216,29 @@ ORACLE_SQL: dict[str, str] = {
     SELECT doc.doc_id, CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            f.nll_r
     FROM documents doc LEFT JOIN lmfold f USING (doc_id)
+    """,
+    # corpus snapshot diff: the oracle replays the synthetic next-crawl
+    # mutations and classifies by full-outer digest join
+    "corpus_diff": f"""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS old_digest FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END)
+               AS new_digest
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + {DIFF_ADD_SHIFT}, md5(text || ' addendum')
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_digest, n.new_digest
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     """,
     # naive-bayes quality classifier: exact class counts -> 9-decimal
     # log-odds model rows -> position-ordered per-doc fold (lm_score

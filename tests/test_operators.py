@@ -317,3 +317,25 @@ def test_probe_masks_guard():
     assert len(_probe_masks(4, 1)) == 5
     with _pytest.raises(ValueError, match="num_planes"):
         _probe_masks(32, 1)
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff (snapshot versioning)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_classifies_all_statuses(spark):
+    from kafka_denormalization_spark.operators.diff import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert out[1]["status"] == "unchanged"
+    assert out[2]["status"] == "changed"
+    assert out[3]["status"] == "removed" and out[3]["new_digest"] is None
+    assert out[4]["status"] == "added" and out[4]["old_digest"] is None
+    assert set(out) == {1, 2, 3, 4}

@@ -263,6 +263,25 @@ def _nb_quality(docs):
     )
 
 
+def _corpus_diff(docs):
+    """Next-crawl mutations as in queries.q_corpus_diff (drop %7,
+    revise %5, add %11 id-shifted) — diff size scales linearly."""
+    from kafka_denormalization_spark.operators.diff import corpus_diff
+
+    base = docs.select("doc_id", "text")
+    survivors = base.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
+    )
+    return corpus_diff(base, survivors.unionByName(added), "doc_id", "text")
+
+
 def _shard_manifest(docs):
     from kafka_denormalization_spark.operators.sharding import (
         shard_manifest,
@@ -295,6 +314,7 @@ OPS = {
     "ccnet_buckets": ("documents", "doc_id", _ccnet_buckets, False),
     "nb_quality": ("documents", "doc_id", _nb_quality, False),
     "shard_manifest": ("documents", "doc_id", _shard_manifest, False),
+    "corpus_diff": ("documents", "doc_id", _corpus_diff, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
