@@ -1149,20 +1149,52 @@ def line_dedup(
     Reference parity note: the reference engine has no text operators
     at all (SURVEY.md §2.3) — this is a north-star extension.
     """
+    heavy = boilerplate_lines(docs, id_col, lines_col, min_docs)
+    return line_dedup_with_lines(docs, id_col, lines_col, heavy, sep=sep)
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str,
+    lines_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The corpus-global half of ``line_dedup``, exposed so the heavy-
+    line set can be trained once in batch, FROZEN to parquet, and
+    applied statelessly to a stream (same freeze/apply split as
+    ``lm_model`` / ``nb_quality_model``). Returns the 1-column ``_h``
+    table of md5 digests of lines appearing in >= ``min_docs`` distinct
+    documents — bounded by the boilerplate population, tiny next to the
+    corpus."""
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(lines_col)).alias("_pos", "_ln"),
-    ).select("_id", "_pos", F.md5(F.col("_ln")).alias("_h"))
-    dfreq = (
-        lines.select("_h", "_id")
-        .distinct()
+    ).select("_id", F.md5(F.col("_ln")).alias("_h"))
+    return (
+        lines.distinct()
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_docs)
         .select("_h")
     )
+
+
+def line_dedup_with_lines(
+    docs: DataFrame,
+    id_col: str,
+    lines_col: str,
+    heavy: DataFrame,
+    sep: str = "\n",
+) -> DataFrame:
+    """The apply half of ``line_dedup`` over a PROVIDED (frozen) heavy-
+    line digest table — stateless given ``heavy``, so it drops into a
+    streaming foreachBatch unchanged."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(lines_col)).alias("_pos", "_ln"),
+    ).select("_id", "_pos", F.md5(F.col("_ln")).alias("_h"))
     rm = (
-        lines.join(dfreq, "_h")
+        lines.join(heavy, "_h")
         .groupBy("_id")
         .agg(F.collect_list("_pos").alias("_rm"))
     )
@@ -1313,6 +1345,21 @@ def nb_quality_score(
     Output: (id_col, n_tokens, logodds_r, keep) with keep = logodds_r > 0.
     """
     model, default = nb_quality_model(docs, text_col, positive_pred, alpha)
+    return nb_score_with_model(docs, id_col, text_col, model, default)
+
+
+def nb_score_with_model(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    default: DataFrame,
+) -> DataFrame:
+    """The ``nb_quality_score`` scoring half over PROVIDED (frozen)
+    model tables — arithmetic identical by delegation, stateless given
+    the model, so it drops into a streaming ``doc_filter`` hook
+    unchanged (same split as ``lm_score_with_model``). Tokens unseen in
+    training fall back to the 1-row ``default`` log-odds."""
     tok = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),

@@ -335,3 +335,131 @@ def test_frozen_model_doc_filter_e2e(spark, tmp_path):
     for d in got:
         assert got[d]["text_dedup"] == ref[d]["text_dedup"], d
         assert got[d]["shard_id"] == ref[d]["shard_id"], d
+
+
+def test_frozen_boilerplate_and_nb_filter_e2e(spark, tmp_path):
+    """Round-8 frozen-model composition: the heavy-LINE set
+    (functions/text.py boilerplate_lines — corpus-global, so batch-
+    trained) and the NB quality model (nb_quality_model) are frozen to
+    parquet, reloaded, and applied to a stream — the line strip as a
+    stateless PRE-stage (line_dedup_with_lines, the same composition
+    pattern as the url_dedup streaming twin), the NB gate through
+    IngestCuration's doc_filter hook. Parity: the streamed shipped set
+    must equal the batch chain with the SAME frozen filters at the same
+    points, and no shipped text may contain a boilerplate line."""
+    from kafka_denormalization_spark.functions.similarity import (
+        ngram_jaccard_pairs,
+    )
+    from kafka_denormalization_spark.functions.text import (
+        boilerplate_lines,
+        line_dedup_with_lines,
+        nb_quality_model,
+        nb_score_with_model,
+    )
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+    from kafka_denormalization_spark.streaming.ingest_curation import (
+        IngestCuration,
+    )
+
+    BOILER = "subscribe to our newsletter today"
+
+    # --- batch: train + freeze both models -------------------------------
+    hist = spark.createDataFrame(
+        [
+            (100, f"{BOILER}\ngood clean prose here", True),
+            (101, f"{BOILER}\nmore good clean text", True),
+            (102, f"{BOILER}\nfine curated writing", True),
+            (103, "zz spam qq junk vv noise", False),
+            (104, "qq junk zz spam xx drivel", False),
+        ],
+        "doc_id long, text string, curated boolean",
+    ).withColumn("lines", F.split(F.col("text"), "\n"))
+    heavy = boilerplate_lines(hist, "doc_id", "lines", min_docs=3)
+    model, default = nb_quality_model(hist, "text", F.col("curated"))
+    mdl = str(tmp_path / "frozen")
+    heavy.write.parquet(f"{mdl}/heavy")
+    model.write.parquet(f"{mdl}/model")
+    default.write.parquet(f"{mdl}/default")
+    heavy_f = spark.read.parquet(f"{mdl}/heavy")
+    model_f = spark.read.parquet(f"{mdl}/model")
+    default_f = spark.read.parquet(f"{mdl}/default")
+
+    # --- stream corpus: boilerplate-carrying good docs + junk docs -------
+    def good(i):
+        return f"{BOILER}\ngood clean prose p{i} q{i}"
+
+    def junk(i):
+        return f"{BOILER}\nzz spam qq junk j{i}"
+
+    batches = [
+        [(1, good(1)), (2, junk(2))],
+        [(3, good(3)), (4, good(4)), (5, junk(5))],
+        [(6, good(6))],
+    ]
+    all_rows = [r for b in batches for r in b]
+    union = spark.createDataFrame(all_rows, "doc_id long, text string")
+
+    def strip(df):
+        """Frozen-line strip as a stateless pre-stage (rewrites text)."""
+        with_lines = df.withColumn("lines", F.split(F.col("text"), "\n"))
+        out = line_dedup_with_lines(
+            with_lines, "doc_id", "lines", F.broadcast(heavy_f)
+        )
+        return out.filter(F.col("n_lines_kept") > 0).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+
+    def nb_gate(df):
+        keep = (
+            nb_score_with_model(
+                df, "doc_id", "text_dedup", model_f, default_f
+            )
+            .filter(F.col("logodds_r") > 0)
+            .select("doc_id")
+        )
+        return df.join(F.broadcast(keep), "doc_id", "left_semi")
+
+    # --- stream through pre-stage + hook ----------------------------------
+    cur = IngestCuration(
+        spark, str(tmp_path / "state"), "doc_id", "text",
+        n_shards=4, chunk_tokens=2, doc_filter=nb_gate,
+    )
+    shipped = []
+    for batch in batches:
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        shipped.extend(
+            r.asDict() for r in cur.process_batch(strip(df)).collect()
+        )
+    got = {r["doc_id"]: r for r in shipped}
+
+    # no shipped text carries the boilerplate line
+    assert got and all(BOILER not in r["text_dedup"] for r in got.values())
+    # junk docs were NB-gated out; at least one good doc shipped
+    assert not ({2, 5} & set(got))
+    assert set(got) <= {1, 3, 4, 6}
+
+    # --- batch reference: same chain, same frozen filters ----------------
+    stripped = strip(union)
+    spanned = span_dedup(stripped, "doc_id", "text", chunk_tokens=2)
+    gated = spanned.filter(
+        (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
+        & (F.length("text_dedup") > 0)
+    )
+    filtered = nb_gate(gated)
+    pairs = ngram_jaccard_pairs(
+        filtered.select("doc_id", F.col("text_dedup").alias("text")),
+        "doc_id", "text", threshold=0.5,
+    )
+    survivors = filtered.join(
+        pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
+    )
+    ref = {
+        r["doc_id"]: r
+        for r in shard_plan(
+            survivors, "doc_id", n_shards=4, salt="shard"
+        ).collect()
+    }
+    assert sorted(got) == sorted(ref)
+    for d in got:
+        assert got[d]["shard_id"] == ref[d]["shard_id"]
