@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "nb_quality",
     "shard_manifest",
+    "corpus_diff",
+    "corpus_pipeline_v4",
 ]
 
 

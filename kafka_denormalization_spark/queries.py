@@ -1493,6 +1493,82 @@ def _corpus_v3_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+V4_SALT = "temp4"
+
+
+def _corpus_v4_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 curation chain up to the temperature mix: boilerplate
+    LINE strip (line_dedup over the synthetic 3-token lines — docs
+    REBUILT before any downstream stage sees them) -> span dedup +
+    mostly-duplicated gate -> CCNet LM fluency gate -> Naive-Bayes
+    curated-seed quality gate (nb_quality_score, trained on the
+    LM-surviving set with source in NB_SEED_SOURCES as the seed) ->
+    temperature mix over deduped char weights. Rows still carry
+    ``text_dedup``."""
+    from pyspark import StorageLevel
+
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+    from kafka_denormalization_spark.operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    stripped = text_fns.line_dedup(
+        _docs_with_lines(spark, sf_dir), "doc_id", "lines",
+        min_docs=LINE_MIN_DOCS,
+    )
+    docs4 = (
+        stripped.filter(F.col("n_lines_kept") > 0)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id", F.col("text_clean").alias("text"), "lang", "source"
+        )
+    )
+    sd = span_dedup(docs4, "doc_id", "text", chunk_tokens=16)
+    kept = (
+        sd.join(docs4.select("doc_id", "lang", "source"), "doc_id")
+        .filter(
+            (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
+            & (F.length("text_dedup") > 0)
+        )
+        .select(
+            "doc_id", "lang", "source", "text_dedup",
+            F.length("text_dedup").cast("long").alias("n_chars_dedup"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lm = text_fns.lm_score(kept, "doc_id", "text_dedup", F.col("lang") == "en")
+    lm_surv = kept.join(
+        lm.filter(
+            (F.col("n_bigrams") >= 1) & (F.col("nll_r") <= LM_NLL_CUTOFF)
+        ).select("doc_id"),
+        "doc_id",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nb = text_fns.nb_quality_score(
+        lm_surv, "doc_id", "text_dedup", F.col("source").isin(NB_SEED_SOURCES)
+    )
+    surv = lm_surv.join(
+        nb.filter(F.col("logodds_r") > 0).select("doc_id"), "doc_id"
+    )
+    return temperature_sample(
+        surv, "lang", "n_chars_dedup", "doc_id",
+        alpha=0.5, salt=V4_SALT, budget_frac=TEMP_BUDGET_FRAC,
+    )
+
+
+def q_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 composed curation pipeline — every corpus-rewriting
+    and model-gating stage in one lazy plan: boilerplate line removal
+    (repeated lines stripped from every doc, docs rebuilt) -> span-level
+    exact-substring dedup -> mostly-duplicated gate -> CCNet LM fluency
+    gate on the deduped text -> Naive-Bayes curated-seed quality gate ->
+    temperature mix -> PII scrub on shipped rows only. Extends v3 with
+    the two round-8 model stages; full-pipeline oracle hash match."""
+    mixed = _corpus_v4_mixed(spark, sf_dir)
+    return mixed.select(
+        "doc_id", "lang", "source", "n_chars_dedup",
+        text_fns.scrub_pii(F.col("text_dedup")).alias("text_scrubbed"),
+    )
+
+
 def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-5 composed curation pipeline — span-level dedup feeding
     an LM fluency gate: chunk-granular exact-substring dedup over the
@@ -2925,6 +3001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_quality": q_nb_quality,
     "shard_manifest": q_shard_manifest,
     "corpus_diff": q_corpus_diff,
+    "corpus_pipeline_v4": q_corpus_pipeline_v4,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3058,9 +3135,9 @@ _DRIVER_HEAD = [
     # whose last driver check is the r05 artifact (neither the r06 head
     # nor the r07 head touched them); (c) r06-checked fills
     # alphabetically to 50.
-    # (a) round-8 additions (5)
+    # (a) round-8 additions (6)
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
-    "corpus_diff",
+    "corpus_diff", "corpus_pipeline_v4",
     # (b) last driver-checked in r05 (37)
     "temperature_sample", "pii_scrub", "gram_novelty",
     "incremental_dedup", "incremental_near_dedup", "dsir_weights",
@@ -3074,10 +3151,9 @@ _DRIVER_HEAD = [
     "user_journeys", "moving_average", "forecast_revenue",
     "top_supplier", "idle_rich_customers", "promo_revenue",
     "rolling_zscore", "nation_year_revenue",
-    # (c) r06-checked fills, alphabetical (8)
+    # (c) r06-checked fills, alphabetical (7)
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
     "ann_ivf_topk", "ann_lsh_topk", "anti_join_orphans", "approx_stats",
-    "asof_join",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3167,8 +3243,13 @@ def _kmeans_oracle_sql(
 
 # Shared span-dedup CTE chain: per-doc (doc_id, text_dedup, n_chunks,
 # n_dropped) as CTE ``spanout`` — mirrors operators/chunking.py span_dedup.
-_SPAN_CTES_SQL = """spt AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+def _span_ctes_sql(src: str = "documents") -> str:
+    """CTE chain computing span_dedup's (doc_id, text_dedup, n_chunks,
+    n_dropped) as CTE ``spanout`` from ``src`` with columns
+    (doc_id, text) — parameterized so composed pipelines (v4) can run
+    it over a derived corpus instead of the base table."""
+    return f"""spt AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM {src}
     ), spc AS (
       SELECT doc_id, w,
              unnest(range(greatest(1, (len(w) + 15) // 16))) AS chunk_id
@@ -3195,6 +3276,49 @@ _SPAN_CTES_SQL = """spt AS (
              CAST(greatest(1, (len(w) + 15) // 16) - coalesce(r.n_kept, 0)
                   AS BIGINT) AS n_dropped
       FROM spt LEFT JOIN sprebuilt r USING (doc_id)
+    )"""
+
+
+_SPAN_CTES_SQL = _span_ctes_sql()
+
+
+def _nb_ctes_sql(src: str) -> str:
+    """CTE chain computing nb_quality_score's per-doc (doc_id, n,
+    logodds_r) as CTE ``nbfold`` from ``src`` with columns
+    (doc_id, y BOOLEAN, toks LIST) — mirrors functions/text.py
+    nb_quality_model + nb_score_with_model (alpha = 1). CTE names are
+    nb-prefixed so the chain composes next to _lm_cte_sql in one WITH."""
+    return f"""nbtok AS (
+      SELECT doc_id, y, pos, w
+      FROM (
+        SELECT doc_id, y,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> {{'pos': i, 'w': toks[i]}}), recursive := true)
+        FROM {src}
+      )
+    ),
+    nbcounts AS (
+      SELECT w,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+      FROM nbtok GROUP BY w
+    ),
+    nbst AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM nbcounts),
+    nbmodel AS (
+      SELECT w,
+             round(ln((CAST(cp AS DOUBLE) + 1.0)
+                      / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+                 - ln((CAST(cn AS DOUBLE) + 1.0)
+                      / (CAST(tn AS DOUBLE) + CAST(v AS DOUBLE))), 9) AS lo
+      FROM nbcounts CROSS JOIN nbst
+    ),
+    nbsc AS (SELECT t.doc_id, t.pos, m.lo FROM nbtok t JOIN nbmodel m USING (w)),
+    nbfold AS (
+      SELECT doc_id, count(*) AS n,
+             round(list_reduce(list_prepend(0.0, list(lo ORDER BY pos)),
+                               (x, y) -> x + y)
+                   / CAST(count(*) AS DOUBLE), 9) AS logodds_r
+      FROM nbsc GROUP BY doc_id
     )"""
 
 
@@ -3993,6 +4117,82 @@ ORACLE_SQL: dict[str, str] = {
            {_pii_chain_sql("text_dedup")} AS text_scrubbed
     FROM shipped
     """,
+    # v4: line strip -> span chain over the REBUILT corpus -> LM gate ->
+    # NB gate (trained on the LM survivors) -> temperature mix -> scrub
+    "corpus_pipeline_v4": f"""
+    WITH w4 AS (
+      SELECT doc_id, lang, source,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), l4 AS (
+      SELECT doc_id, i,
+             array_to_string(w[(i*{LINE_SEG}+1):(i*{LINE_SEG}+{LINE_SEG})], ' ') AS ln
+      FROM w4, unnest(generate_series(0, (len(w)-1)//{LINE_SEG})) AS g(i)
+    ), heavy4 AS (
+      SELECT ln FROM (
+        SELECT ln, count(DISTINCT doc_id) AS cd FROM l4 GROUP BY ln
+      ) WHERE cd >= {LINE_MIN_DOCS}
+    ), kept4 AS (
+      SELECT doc_id, i, ln FROM l4 WHERE ln NOT IN (SELECT ln FROM heavy4)
+    ), docs4 AS (
+      SELECT w4.doc_id, w4.lang, w4.source,
+             string_agg(kept4.ln, chr(10) ORDER BY kept4.i) AS text
+      FROM w4 JOIN kept4 USING (doc_id)
+      GROUP BY w4.doc_id, w4.lang, w4.source
+    ),
+    {_span_ctes_sql("docs4")},
+    kept AS (
+      SELECT s.doc_id, d.lang, d.source, s.text_dedup,
+             CAST(length(s.text_dedup) AS BIGINT) AS n_chars_dedup
+      FROM spanout s JOIN docs4 d USING (doc_id)
+      WHERE 2 * s.n_dropped <= s.n_chunks AND length(s.text_dedup) > 0
+    ),
+    k2 AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
+      FROM kept
+    ),
+    {_lm_cte_sql("k2")},
+    lmsurv AS (
+      SELECT kept.* FROM kept JOIN lmfold f USING (doc_id)
+      WHERE f.n_bigrams >= 1 AND f.nll_r <= {LM_NLL_CUTOFF}
+    ),
+    n4 AS (
+      SELECT doc_id,
+             source IN ({", ".join(repr(s) for s in NB_SEED_SOURCES)}) AS y,
+             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
+      FROM lmsurv
+    ),
+    {_nb_ctes_sql("n4")},
+    surv AS (
+      SELECT lmsurv.* FROM lmsurv JOIN nbfold nf USING (doc_id)
+      WHERE nf.logodds_r > 0
+    ),
+    w AS (
+      SELECT lang, CAST(SUM(n_chars_dedup) AS DOUBLE) AS wt FROM surv GROUP BY lang
+    ), p AS (
+      SELECT lang, wt,
+             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ), t AS (
+      SELECT lang,
+             printf('%08x', least(
+               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM p
+    ),
+    shipped AS (
+      SELECT s.doc_id, s.lang, s.source, s.n_chars_dedup, s.text_dedup
+      FROM surv s JOIN t ON s.lang = t.lang
+      WHERE substr(md5(concat('{V4_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
+            < t.thr
+    )
+    SELECT doc_id, lang, source, n_chars_dedup,
+           {_pii_chain_sql("text_dedup")} AS text_scrubbed
+    FROM shipped
+    """,
     "corpus_to_shards": f"""
     WITH {_V3_SHIPPED_CTES_SQL},
     sp AS (
@@ -4250,41 +4450,10 @@ ORACLE_SQL: dict[str, str] = {
              {_TOKS_SQL} AS toks
       FROM documents
     ),
-    tok AS (
-      SELECT doc_id, y, pos, w
-      FROM (
-        SELECT doc_id, y,
-               unnest(list_transform(range(1, len(toks) + 1),
-                 i -> {{'pos': i, 'w': toks[i]}}), recursive := true)
-        FROM d
-      )
-    ),
-    counts AS (
-      SELECT w,
-             sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
-             sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
-      FROM tok GROUP BY w
-    ),
-    st AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM counts),
-    model AS (
-      SELECT w,
-             round(ln((CAST(cp AS DOUBLE) + 1.0)
-                      / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
-                 - ln((CAST(cn AS DOUBLE) + 1.0)
-                      / (CAST(tn AS DOUBLE) + CAST(v AS DOUBLE))), 9) AS lo
-      FROM counts CROSS JOIN st
-    ),
-    sc AS (SELECT t.doc_id, t.pos, m.lo FROM tok t JOIN model m USING (w)),
-    fold AS (
-      SELECT doc_id, count(*) AS n,
-             round(list_reduce(list_prepend(0.0, list(lo ORDER BY pos)),
-                               (x, y) -> x + y)
-                   / CAST(count(*) AS DOUBLE), 9) AS logodds_r
-      FROM sc GROUP BY doc_id
-    )
+    {_nb_ctes_sql("d")}
     SELECT doc.doc_id, CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
            f.logodds_r, f.logodds_r > 0 AS keep
-    FROM documents doc LEFT JOIN fold f USING (doc_id)
+    FROM documents doc LEFT JOIN nbfold f USING (doc_id)
     """,
     # ccnet bucketing: same lm CTEs; thresholds via quantile_cont at the
     # dyadic p25/p75 points (bit-identical to Spark's exact percentile)

@@ -200,6 +200,9 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "nb_quality",               # 1-row class-totals + 1-row default
                                     # log-odds aggregate broadcasts over the
                                     # vocab-bounded model rows
+        "corpus_pipeline_v4",       # embeds lm_score + nb_quality + the
+                                    # temperature stage — the same 1-row
+                                    # aggregate broadcasts as v3/nb_quality
         "bpe_merges",               # 1-row best-pair aggregate broadcast
                                     # over the vocab table, once per round
         "bpe_token_counts",         # same 1-row best-pair broadcasts (the
