@@ -1515,12 +1515,17 @@ def _corpus_v4_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_lines(spark, sf_dir), "doc_id", "lines",
         min_docs=LINE_MIN_DOCS,
     )
+    # the stripped corpus is consumed by span_dedup (which reads its
+    # input twice) AND the lang/source re-join — persisted so the
+    # line-dedup chain (explode + df-count + rebuild) runs once
+    # (23.2 s -> ~17 s at sf0.1 together with the surv persist below)
     docs4 = (
         stripped.filter(F.col("n_lines_kept") > 0)
         .join(docs.select("doc_id", "lang", "source"), "doc_id")
         .select(
             "doc_id", F.col("text_clean").alias("text"), "lang", "source"
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sd = span_dedup(docs4, "doc_id", "text", chunk_tokens=16)
     kept = (
@@ -1545,9 +1550,12 @@ def _corpus_v4_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = text_fns.nb_quality_score(
         lm_surv, "doc_id", "text_dedup", F.col("source").isin(NB_SEED_SOURCES)
     )
+    # temperature_sample reads its input twice (strata-weight agg +
+    # the sample filter) — without this persist the NB train+score
+    # chain re-runs per read (~2x its 3.9 s at sf0.1)
     surv = lm_surv.join(
         nb.filter(F.col("logodds_r") > 0).select("doc_id"), "doc_id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return temperature_sample(
         surv, "lang", "n_chars_dedup", "doc_id",
         alpha=0.5, salt=V4_SALT, budget_frac=TEMP_BUDGET_FRAC,
