@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "corpus_diff",
     "corpus_pipeline_v4",
+    "token_fertility",
 ]
 
 

@@ -1371,6 +1371,38 @@ def q_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_bpe_tokens", "pack_id", "pack_offset")
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-efficiency report: fertility (BPE tokens
+    per whitespace word) and chars-per-token under the learned 3-merge
+    tokenizer — the standard multi-lingual tokenizer audit (a language
+    with high fertility pays more sequence length per word, which skews
+    effective mixture weights). One encode pass (bpe_encode_docs) + one
+    aggregation; ratios from exact integer sums, rounded to 6 decimals
+    on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    counted = text_fns.bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
+    joined = counted.join(
+        docs.select("doc_id", "lang", F.length("text").alias("_chars")),
+        "doc_id",
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens").cast("double")
+            / F.sum("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum("_chars").cast("double")
+            / F.sum("n_bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing: 64-token chunks packed into
     256-token context windows per source stream. One window cumsum per
@@ -3010,6 +3042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "corpus_diff": q_corpus_diff,
     "corpus_pipeline_v4": q_corpus_pipeline_v4,
+    "token_fertility": q_token_fertility,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3143,9 +3176,9 @@ _DRIVER_HEAD = [
     # whose last driver check is the r05 artifact (neither the r06 head
     # nor the r07 head touched them); (c) r06-checked fills
     # alphabetically to 50.
-    # (a) round-8 additions (6)
+    # (a) round-8 additions (7)
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
-    "corpus_diff", "corpus_pipeline_v4",
+    "corpus_diff", "corpus_pipeline_v4", "token_fertility",
     # (b) last driver-checked in r05 (37)
     "temperature_sample", "pii_scrub", "gram_novelty",
     "incremental_dedup", "incremental_near_dedup", "dsir_weights",
@@ -3159,9 +3192,9 @@ _DRIVER_HEAD = [
     "user_journeys", "moving_average", "forecast_revenue",
     "top_supplier", "idle_rich_customers", "promo_revenue",
     "rolling_zscore", "nation_year_revenue",
-    # (c) r06-checked fills, alphabetical (7)
+    # (c) r06-checked fills, alphabetical (6)
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
-    "ann_ivf_topk", "ann_lsh_topk", "anti_join_orphans", "approx_stats",
+    "ann_ivf_topk", "ann_lsh_topk", "anti_join_orphans",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3494,7 +3527,7 @@ def _bpe_oracle_sql(num_merges: int, output: str = "merges") -> str:
             f"(SELECT f, unnest(syms) AS token FROM s{num_merges}) "
             f"GROUP BY token"
         )
-    if output in ("doc_tokens", "packing"):
+    if output in ("doc_tokens", "packing", "fertility"):
         # per-doc encode: (doc, word, count) explode joined to the
         # merged-vocab symbol lengths — mirrors text.py bpe_encode_docs
         parts.append(
@@ -3515,6 +3548,25 @@ def _bpe_oracle_sql(num_merges: int, output: str = "merges") -> str:
                 "CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words, "
                 "CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens "
                 "FROM documents d LEFT JOIN perdoc p USING (doc_id)"
+            )
+        if output == "fertility":
+            # per-language tokenizer-efficiency report over the encode
+            return (
+                ",\n    ".join(parts)
+                + "\n    SELECT d.lang, "
+                "CAST(count(*) AS BIGINT) AS n_docs, "
+                "CAST(sum(length(d.text)) AS BIGINT) AS n_chars, "
+                "CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_words, "
+                "CAST(sum(coalesce(p.n_bpe_tokens, 0)) AS BIGINT) "
+                "AS n_bpe_tokens, "
+                "round(CAST(sum(coalesce(p.n_bpe_tokens, 0)) AS DOUBLE) "
+                "/ CAST(sum(coalesce(p.n_words, 0)) AS DOUBLE), 6) "
+                "AS fertility, "
+                "round(CAST(sum(length(d.text)) AS DOUBLE) "
+                "/ CAST(sum(coalesce(p.n_bpe_tokens, 0)) AS DOUBLE), 6) "
+                "AS chars_per_token "
+                "FROM documents d LEFT JOIN perdoc p USING (doc_id) "
+                "GROUP BY d.lang"
             )
         # packing: concat-and-cut over the per-source doc stream with
         # BPE token budgets — mirrors chunking.py pack_chunks fed by
@@ -3922,6 +3974,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_merges": _bpe_oracle_sql(3),
     "bpe_token_counts": _bpe_oracle_sql(3, output="tokens"),
     "bpe_doc_tokens": _bpe_oracle_sql(3, output="doc_tokens"),
+    "token_fertility": _bpe_oracle_sql(3, output="fertility"),
     "bpe_sequence_packing": _bpe_oracle_sql(3, output="packing"),
     "shard_plan": """
     WITH p AS (

@@ -216,6 +216,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "bpe_doc_tokens",           # 1-row best-pair broadcasts from the
                                     # embedded merge-training rounds (same
                                     # topology as bpe_merges)
+        "token_fertility",          # same embedded merge-training 1-row
+                                    # broadcasts (aggregates bpe_encode_docs)
         "bpe_sequence_packing",     # same (embeds bpe_doc_tokens' encoder)
         "domain_temperature_mix",   # temperature_fractions' 1-row
                                     # strata-totals broadcast, domain strata

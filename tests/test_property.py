@@ -488,3 +488,48 @@ def test_normalize_url_idempotent(spark, urls):
     assert sorted(r["url"] for r in once.collect()) == sorted(
         r["url"] for r in twice.collect()
     )
+
+
+def test_line_dedup_randomized_vs_model(spark):
+    """For random line corpora: the rebuilt text equals the python model
+    (remove EVERY occurrence of any line appearing in >= min_docs
+    DISTINCT docs, preserve order of the rest), counts reconcile, every
+    input doc has exactly one output row, and the operator is
+    deterministic."""
+    import random as rnd
+
+    from kafka_denormalization_spark.functions.text import line_dedup
+
+    rnd.seed(23)
+    vocab = [f"line {i} text" for i in range(9)]  # tiny pool -> collisions
+    MIN_DOCS = 3
+    docs = []
+    for i in range(40):
+        n = rnd.randrange(1, 8)
+        docs.append((i, [rnd.choice(vocab) for _ in range(n)]))
+    df = spark.createDataFrame(docs, "doc_id long, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, "doc_id", "lines", min_docs=MIN_DOCS).collect()
+    }
+    again = {
+        r["doc_id"]: r
+        for r in line_dedup(df, "doc_id", "lines", min_docs=MIN_DOCS).collect()
+    }
+    assert {k: v["text_clean"] for k, v in out.items()} == {
+        k: v["text_clean"] for k, v in again.items()
+    }
+
+    # driver-side model
+    doc_count: dict[str, set[int]] = {}
+    for i, lines in docs:
+        for ln in lines:
+            doc_count.setdefault(ln, set()).add(i)
+    heavy = {ln for ln, ids in doc_count.items() if len(ids) >= MIN_DOCS}
+    assert heavy, "fixture must actually produce boilerplate"
+    assert set(out) == {i for i, _ in docs}
+    for i, lines in docs:
+        kept = [ln for ln in lines if ln not in heavy]
+        assert out[i]["text_clean"] == "\n".join(kept)
+        assert out[i]["n_lines_kept"] == len(kept)
+        assert out[i]["n_lines_removed"] == len(lines) - len(kept)
