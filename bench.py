@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "corpus_pipeline_v4",
     "token_fertility",
+    "prototype_prune",
 ]
 
 

@@ -36,7 +36,7 @@ columnar cache, not the source scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^36: exact binary scale for the fixed-point centroid sums (shared
@@ -216,3 +216,57 @@ def semantic_dedup(
     return with_vec.join(dropped, id_col, "left_anti").select(
         id_col, "cluster_id"
     )
+
+def prototype_prune(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    keep_frac: float = 0.5,
+    keep: str = "hard",
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): cluster the embedding corpus, rank each
+    cluster's members by distance to their centroid, and keep a
+    fraction per cluster — ``keep='hard'`` retains the FARTHEST
+    (prunes easy/prototypical examples, the right policy in the
+    abundant-data regime the paper establishes), ``keep='easy'`` the
+    closest (the scarce-data policy). Per-cluster ranking keeps the
+    pruning topic-balanced — a global distance cut would empty the
+    tightest clusters first.
+
+    Deterministic cross-engine: distances come from ``kmeans_assign``'s
+    9-decimal grid with id tiebreaks; the per-cluster quota is
+    ceil(keep_frac * cluster_size) with a dyadic ``keep_frac``
+    recommended (exact IEEE product either way at these magnitudes).
+
+    Plan shape (100 TB): the Lloyd rounds are kmeans_assign's (k-row
+    centroid broadcast per round); the prune adds ONE cluster-id hash
+    exchange shared by the rank and size windows. At production scale k
+    grows with the corpus (tens of thousands of clusters), keeping every
+    cluster's window partition small — same scaling argument as
+    semantic_dedup.
+
+    Output: (id_col, cluster_id, dist_r, rank) for kept rows; rank is
+    1-based within the cluster in the kept ordering.
+    """
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    asg = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters)
+    order = (
+        [F.col("dist_r").desc(), F.col(id_col).asc()]
+        if keep == "hard"
+        else [F.col("dist_r").asc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = asg.select(
+        id_col,
+        "cluster_id",
+        "dist_r",
+        F.row_number().over(w.orderBy(*order)).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    return ranked.filter(
+        F.col("rank") <= F.ceil(F.lit(keep_frac) * F.col("_n"))
+    ).drop("_n")

@@ -869,6 +869,26 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROTO_KEEP_FRAC = 0.5
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based data pruning (operators/clustering.py
+    prototype_prune; Sorscher et al. 2022): per k-means cluster, keep
+    the half of the embeddings FARTHEST from their centroid — prune the
+    easy/prototypical examples, the abundant-data policy. Ranking is
+    per-cluster so the prune stays topic-balanced."""
+    from kafka_denormalization_spark.operators.clustering import (
+        prototype_prune,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return prototype_prune(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS,
+        keep_frac=PROTO_KEEP_FRAC, keep="hard",
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granular exact-substring dedup (operators/chunking.py
     span_dedup; Lee et al. 2021 ExactSubstr at 16-token chunk
@@ -3043,6 +3063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "corpus_pipeline_v4": q_corpus_pipeline_v4,
     "token_fertility": q_token_fertility,
+    "prototype_prune": q_prototype_prune,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3176,9 +3197,10 @@ _DRIVER_HEAD = [
     # whose last driver check is the r05 artifact (neither the r06 head
     # nor the r07 head touched them); (c) r06-checked fills
     # alphabetically to 50.
-    # (a) round-8 additions (7)
+    # (a) round-8 additions (8)
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
+    "prototype_prune",
     # (b) last driver-checked in r05 (37)
     "temperature_sample", "pii_scrub", "gram_novelty",
     "incremental_dedup", "incremental_near_dedup", "dsir_weights",
@@ -3192,9 +3214,9 @@ _DRIVER_HEAD = [
     "user_journeys", "moving_average", "forecast_revenue",
     "top_supplier", "idle_rich_customers", "promo_revenue",
     "rolling_zscore", "nation_year_revenue",
-    # (c) r06-checked fills, alphabetical (6)
+    # (c) r06-checked fills, alphabetical (5)
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
-    "ann_ivf_topk", "ann_lsh_topk", "anti_join_orphans",
+    "ann_ivf_topk", "ann_lsh_topk",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4439,6 +4461,20 @@ ORACLE_SQL: dict[str, str] = {
     LIMIT 20
     """,
     "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+    "prototype_prune": _kmeans_oracle_sql(
+        KMEANS_K,
+        KMEANS_ITERS,
+        tail=(
+            ", protoranked AS (SELECT _vid, _cid, round(_d, 9) AS dist_r, "
+            "row_number() OVER (PARTITION BY _cid "
+            "ORDER BY round(_d, 9) DESC, _vid) AS rk, "
+            "count(*) OVER (PARTITION BY _cid) AS n "
+            f"FROM asg{KMEANS_ITERS - 1})\n"
+            "    SELECT _vid AS vec_id, _cid AS cluster_id, dist_r, "
+            "CAST(rk AS BIGINT) AS rank FROM protoranked "
+            f"WHERE rk <= CAST(ceil({PROTO_KEEP_FRAC} * n) AS BIGINT)"
+        ),
+    ),
     "semantic_dedup": _kmeans_oracle_sql(
         KMEANS_K,
         KMEANS_ITERS,

@@ -490,3 +490,58 @@ def test_minhash_hot_bucket_guard_rejects_bad_cap():
 
     with _pytest.raises(ValueError, match="max_bucket"):
         S.minhash_band_buckets(None, 32, 16, max_bucket=1)
+
+
+# ---------------------------------------------------------------------------
+# prototype_prune (Sorscher et al. data pruning)
+# ---------------------------------------------------------------------------
+
+
+def test_prototype_prune_policies(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_denormalization_spark.operators.clustering import (
+        kmeans_assign,
+        prototype_prune,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    asg = {r["vec_id"]: r for r in kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2).collect()}
+    kept_hard = {
+        r["vec_id"]: r
+        for r in prototype_prune(
+            emb, "vec_id", "embedding", k=4, iters=2, keep_frac=0.5
+        ).collect()
+    }
+    # per-cluster quota: ceil(0.5 * n) kept, ranks dense from 1
+    from collections import Counter
+    import math
+    sizes = Counter(r["cluster_id"] for r in asg.values())
+    kept_sizes = Counter(r["cluster_id"] for r in kept_hard.values())
+    for cid, n in sizes.items():
+        assert kept_sizes[cid] == math.ceil(0.5 * n)
+    # keep='hard': every kept distance >= every pruned distance in-cluster
+    for cid in sizes:
+        kept_d = [r["dist_r"] for r in kept_hard.values() if r["cluster_id"] == cid]
+        pruned_d = [
+            r["dist_r"] for v, r in asg.items()
+            if r["cluster_id"] == cid and v not in kept_hard
+        ]
+        if kept_d and pruned_d:
+            assert min(kept_d) >= max(pruned_d)
+    # keep='easy' is the complement policy: closest retained
+    kept_easy = {
+        r["vec_id"]: r
+        for r in prototype_prune(
+            emb, "vec_id", "embedding", k=4, iters=2, keep_frac=0.25,
+            keep="easy",
+        ).collect()
+    }
+    for cid in sizes:
+        easy_d = [r["dist_r"] for r in kept_easy.values() if r["cluster_id"] == cid]
+        rest_d = [
+            r["dist_r"] for v, r in asg.items()
+            if r["cluster_id"] == cid and v not in kept_easy
+        ]
+        if easy_d and rest_d:
+            assert max(easy_d) <= min(rest_d)
