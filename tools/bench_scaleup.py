@@ -293,6 +293,39 @@ def _shard_manifest(docs):
     return shard_manifest(plan, "doc_id", "n_chars")
 
 
+def _token_fertility(docs):
+    from kafka_denormalization_spark.functions.text import bpe_encode_docs
+
+    counted = bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
+    joined = counted.join(
+        docs.select("doc_id", "lang", F.length("text").alias("_chars")),
+        "doc_id",
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _prototype_prune(emb):
+    """Fixed k=8 (the kmeans_clusters scale-row convention) so the row
+    isolates the PRUNE's marginal cost over the shared Lloyd base.
+    NB: exact Lloyd's with corpus-proportional k (the constant-cluster-
+    size deployment) is O(N·k) by construction — measured 18.9x time at
+    32x data with k=8n; at real scale the assignment step goes through
+    an ANN-assisted / hierarchical assigner, the same escalation the
+    IVF family documents."""
+    from kafka_denormalization_spark.operators.clustering import (
+        prototype_prune,
+    )
+
+    return prototype_prune(
+        emb, "vec_id", "embedding", k=8, iters=3, keep_frac=0.5
+    )
+
+
 # each op: name -> (table, id_col, builder, salt_text)
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
@@ -315,6 +348,8 @@ OPS = {
     "nb_quality": ("documents", "doc_id", _nb_quality, False),
     "shard_manifest": ("documents", "doc_id", _shard_manifest, False),
     "corpus_diff": ("documents", "doc_id", _corpus_diff, False),
+    "token_fertility": ("documents", "doc_id", _token_fertility, False),
+    "prototype_prune": ("embeddings", "vec_id", _prototype_prune, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
