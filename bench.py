@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "corpus_pipeline_v4",
     "token_fertility",
     "prototype_prune",
+    "icp_packing",
 ]
 
 

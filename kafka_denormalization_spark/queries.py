@@ -869,6 +869,39 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ICP_BUDGET = 256
+
+
+def q_icp_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Context Pretraining packing (Shi et al. 2023: pack
+    semantically RELATED documents into the same training sequence so
+    cross-document attention sees coherent context, instead of the
+    random-concat baseline): k-means over the embedding corpus assigns
+    each doc a semantic cluster, then concat-and-cut packing runs per
+    CLUSTER stream (operators/chunking.py pack_chunks) — documents
+    sharing a sequence share a topic. Deterministic: cluster ids from
+    the fixed-point Lloyd rounds, stream order (doc_id), integer
+    cumsum. The embeddings table's vec_id is the documents doc_id by
+    testdata construction."""
+    from kafka_denormalization_spark.operators.chunking import pack_chunks
+    from kafka_denormalization_spark.operators.clustering import kmeans_assign
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+    ).select(F.col("vec_id").alias("doc_id"), "cluster_id")
+    joined = docs.join(asg, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        text_fns.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_chunks(
+        joined, "cluster_id", ["doc_id"], token_col="n_tokens",
+        budget=ICP_BUDGET,
+    )
+
+
 PROTO_KEEP_FRAC = 0.5
 
 
@@ -3064,6 +3097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline_v4": q_corpus_pipeline_v4,
     "token_fertility": q_token_fertility,
     "prototype_prune": q_prototype_prune,
+    "icp_packing": q_icp_packing,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3197,10 +3231,10 @@ _DRIVER_HEAD = [
     # whose last driver check is the r05 artifact (neither the r06 head
     # nor the r07 head touched them); (c) r06-checked fills
     # alphabetically to 50.
-    # (a) round-8 additions (8)
+    # (a) round-8 additions (9)
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
-    "prototype_prune",
+    "prototype_prune", "icp_packing",
     # (b) last driver-checked in r05 (37)
     "temperature_sample", "pii_scrub", "gram_novelty",
     "incremental_dedup", "incremental_near_dedup", "dsir_weights",
@@ -3214,9 +3248,9 @@ _DRIVER_HEAD = [
     "user_journeys", "moving_average", "forecast_revenue",
     "top_supplier", "idle_rich_customers", "promo_revenue",
     "rolling_zscore", "nation_year_revenue",
-    # (c) r06-checked fills, alphabetical (5)
+    # (c) r06-checked fills, alphabetical (4)
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
-    "ann_ivf_topk", "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4461,6 +4495,22 @@ ORACLE_SQL: dict[str, str] = {
     LIMIT 20
     """,
     "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+    "icp_packing": _kmeans_oracle_sql(
+        KMEANS_K,
+        KMEANS_ITERS,
+        tail=(
+            ", icp AS (SELECT d.doc_id, a._cid AS cluster_id, "
+            f"CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens "
+            f"FROM documents d JOIN asg{KMEANS_ITERS - 1} a "
+            "ON d.doc_id = a._vid),\n"
+            "    icps AS (SELECT doc_id, cluster_id, n_tokens, "
+            "SUM(n_tokens) OVER (PARTITION BY cluster_id ORDER BY doc_id) "
+            "- n_tokens AS s FROM icp)\n"
+            "    SELECT doc_id, cluster_id, n_tokens, "
+            f"CAST(s // {ICP_BUDGET} AS BIGINT) AS pack_id, "
+            f"CAST(s % {ICP_BUDGET} AS BIGINT) AS pack_offset FROM icps"
+        ),
+    ),
     "prototype_prune": _kmeans_oracle_sql(
         KMEANS_K,
         KMEANS_ITERS,

@@ -194,6 +194,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "semantic_dedup",           # same (embeds kmeans_clusters)
         "prototype_prune",          # same k-row centroid broadcasts
                                     # (embeds kmeans_clusters)
+        "icp_packing",              # same (embeds kmeans_clusters for the
+                                    # semantic stream assignment)
         "lm_perplexity",            # 1-row vocab-stats aggregate broadcast
                                     # over the bigram probability rows
         "ccnet_buckets",            # same lm_score 1-row broadcasts plus the
