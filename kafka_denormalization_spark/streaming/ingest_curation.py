@@ -70,11 +70,18 @@ class IngestCuration:
         chunk_tokens: int = 16,
         near_threshold: float = 0.5,
         doc_filter=None,
+        pre_transform=None,
         shard_salt: str = "shard",
         n_buckets: int = 32,
     ) -> None:
         self.id_col = id_col
         self.doc_filter = doc_filter
+        # stateless batch_df -> batch_df rewrite applied BEFORE the span
+        # stage — the hook for frozen corpus-rewriting models (e.g. the
+        # boilerplate heavy-line strip, functions/text.py
+        # line_dedup_with_lines over a parquet-frozen digest set). Must
+        # preserve (id_col, text_col); may drop rows.
+        self.pre_transform = pre_transform
         self.span = IngestSpanDedup(
             spark, state_dir, id_col, text_col, chunk_tokens, n_buckets
         )
@@ -94,6 +101,8 @@ class IngestCuration:
         )
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        if self.pre_transform is not None:
+            batch_df = self.pre_transform(batch_df)
         spanned = self.span.process_batch(batch_df, epoch_id)
         gated = spanned.filter(
             (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))

@@ -420,16 +420,17 @@ def test_frozen_boilerplate_and_nb_filter_e2e(spark, tmp_path):
         )
         return df.join(F.broadcast(keep), "doc_id", "left_semi")
 
-    # --- stream through pre-stage + hook ----------------------------------
+    # --- stream through both hooks (pre_transform + doc_filter) ----------
     cur = IngestCuration(
         spark, str(tmp_path / "state"), "doc_id", "text",
         n_shards=4, chunk_tokens=2, doc_filter=nb_gate,
+        pre_transform=strip,
     )
     shipped = []
     for batch in batches:
         df = spark.createDataFrame(batch, "doc_id long, text string")
         shipped.extend(
-            r.asDict() for r in cur.process_batch(strip(df)).collect()
+            r.asDict() for r in cur.process_batch(df).collect()
         )
     got = {r["doc_id"]: r for r in shipped}
 
