@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "token_fertility",
     "prototype_prune",
     "icp_packing",
+    "v4_funnel",
 ]
 
 

@@ -1581,7 +1581,9 @@ def _corpus_v3_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 V4_SALT = "temp4"
 
 
-def _corpus_v4_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_v4_mixed(
+    spark: SparkSession, sf_dir: str, return_stages: bool = False
+):
     """The round-8 curation chain up to the temperature mix: boilerplate
     LINE strip (line_dedup over the synthetic 3-token lines — docs
     REBUILT before any downstream stage sees them) -> span dedup +
@@ -1641,10 +1643,20 @@ def _corpus_v4_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = lm_surv.join(
         nb.filter(F.col("logodds_r") > 0).select("doc_id"), "doc_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    return temperature_sample(
+    mixed = temperature_sample(
         surv, "lang", "n_chars_dedup", "doc_id",
         alpha=0.5, salt=V4_SALT, budget_frac=TEMP_BUDGET_FRAC,
     )
+    if return_stages:
+        return mixed, {
+            "input": docs,
+            "line_stripped": docs4,
+            "span_kept": kept,
+            "lm_survivors": lm_surv,
+            "nb_survivors": surv,
+            "shipped": mixed,
+        }
+    return mixed
 
 
 def q_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,6 +1672,28 @@ def q_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars_dedup",
         text_fns.scrub_pii(F.col("text_dedup")).alias("text_scrubbed"),
     )
+
+
+def q_v4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: one row per v4 pipeline stage with
+    its surviving doc count — the per-build report a data team reads
+    before trusting a corpus rebuild (a stage whose survival rate jumps
+    between builds is the first place to look). The counts are 1-row
+    aggregates over the chain's persisted stage frames, so the funnel
+    costs one extra pass over frames the pipeline materializes anyway."""
+    _, stages = _corpus_v4_mixed(spark, sf_dir, return_stages=True)
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        for i, (name, df) in enumerate(stages.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3095,6 +3129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "corpus_diff": q_corpus_diff,
     "corpus_pipeline_v4": q_corpus_pipeline_v4,
+    "v4_funnel": q_v4_funnel,
     "token_fertility": q_token_fertility,
     "prototype_prune": q_prototype_prune,
     "icp_packing": q_icp_packing,
@@ -3231,10 +3266,10 @@ _DRIVER_HEAD = [
     # whose last driver check is the r05 artifact (neither the r06 head
     # nor the r07 head touched them); (c) r06-checked fills
     # alphabetically to 50.
-    # (a) round-8 additions (9)
+    # (a) round-8 additions (10)
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
-    "prototype_prune", "icp_packing",
+    "prototype_prune", "icp_packing", "v4_funnel",
     # (b) last driver-checked in r05 (37)
     "temperature_sample", "pii_scrub", "gram_novelty",
     "incremental_dedup", "incremental_near_dedup", "dsir_weights",
@@ -3248,9 +3283,8 @@ _DRIVER_HEAD = [
     "user_journeys", "moving_average", "forecast_revenue",
     "top_supplier", "idle_rich_customers", "promo_revenue",
     "rolling_zscore", "nation_year_revenue",
-    # (c) r06-checked fills, alphabetical (4)
+    # (c) r06-checked fills, alphabetical (3)
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
-    "ann_ivf_topk",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3722,6 +3756,80 @@ _EPOCH_MIX_CTES_SQL: str = f"""WITH w AS (
                     concat(CAST(d.doc_id AS VARCHAR), '#',
                            CAST(p2.full_epochs AS VARCHAR)))), 1, 8) < p2.thr)
     )"""
+
+# The full v4 curation CTE chain (line strip -> span -> LM gate -> NB
+# gate -> temperature mix) through CTE ``shipped`` — shared by the
+# corpus_pipeline_v4 and v4_funnel oracles.
+_V4_CTES_SQL: str = f"""w4 AS (
+      SELECT doc_id, lang, source,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), l4 AS (
+      SELECT doc_id, i,
+             array_to_string(w[(i*{LINE_SEG}+1):(i*{LINE_SEG}+{LINE_SEG})], ' ') AS ln
+      FROM w4, unnest(generate_series(0, (len(w)-1)//{LINE_SEG})) AS g(i)
+    ), heavy4 AS (
+      SELECT ln FROM (
+        SELECT ln, count(DISTINCT doc_id) AS cd FROM l4 GROUP BY ln
+      ) WHERE cd >= {LINE_MIN_DOCS}
+    ), kept4 AS (
+      SELECT doc_id, i, ln FROM l4 WHERE ln NOT IN (SELECT ln FROM heavy4)
+    ), docs4 AS (
+      SELECT w4.doc_id, w4.lang, w4.source,
+             string_agg(kept4.ln, chr(10) ORDER BY kept4.i) AS text
+      FROM w4 JOIN kept4 USING (doc_id)
+      GROUP BY w4.doc_id, w4.lang, w4.source
+    ),
+    {_span_ctes_sql("docs4")},
+    kept AS (
+      SELECT s.doc_id, d.lang, d.source, s.text_dedup,
+             CAST(length(s.text_dedup) AS BIGINT) AS n_chars_dedup
+      FROM spanout s JOIN docs4 d USING (doc_id)
+      WHERE 2 * s.n_dropped <= s.n_chunks AND length(s.text_dedup) > 0
+    ),
+    k2 AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
+      FROM kept
+    ),
+    {_lm_cte_sql("k2")},
+    lmsurv AS (
+      SELECT kept.* FROM kept JOIN lmfold f USING (doc_id)
+      WHERE f.n_bigrams >= 1 AND f.nll_r <= {LM_NLL_CUTOFF}
+    ),
+    n4 AS (
+      SELECT doc_id,
+             source IN ({", ".join(repr(s) for s in NB_SEED_SOURCES)}) AS y,
+             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
+      FROM lmsurv
+    ),
+    {_nb_ctes_sql("n4")},
+    surv AS (
+      SELECT lmsurv.* FROM lmsurv JOIN nbfold nf USING (doc_id)
+      WHERE nf.logodds_r > 0
+    ),
+    w AS (
+      SELECT lang, CAST(SUM(n_chars_dedup) AS DOUBLE) AS wt FROM surv GROUP BY lang
+    ), p AS (
+      SELECT lang, wt,
+             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ), t AS (
+      SELECT lang,
+             printf('%08x', least(
+               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM p
+    ),
+    shipped AS (
+      SELECT s.doc_id, s.lang, s.source, s.n_chars_dedup, s.text_dedup
+      FROM surv s JOIN t ON s.lang = t.lang
+      WHERE substr(md5(concat('{V4_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
+            < t.thr
+    )"""
+
 
 ORACLE_SQL: dict[str, str] = {
     "denorm_inner": _denorm_sql("JOIN", right_filter=False),
@@ -4237,78 +4345,20 @@ ORACLE_SQL: dict[str, str] = {
     # v4: line strip -> span chain over the REBUILT corpus -> LM gate ->
     # NB gate (trained on the LM survivors) -> temperature mix -> scrub
     "corpus_pipeline_v4": f"""
-    WITH w4 AS (
-      SELECT doc_id, lang, source,
-             regexp_split_to_array(trim(text), '\\s+') AS w
-      FROM documents
-    ), l4 AS (
-      SELECT doc_id, i,
-             array_to_string(w[(i*{LINE_SEG}+1):(i*{LINE_SEG}+{LINE_SEG})], ' ') AS ln
-      FROM w4, unnest(generate_series(0, (len(w)-1)//{LINE_SEG})) AS g(i)
-    ), heavy4 AS (
-      SELECT ln FROM (
-        SELECT ln, count(DISTINCT doc_id) AS cd FROM l4 GROUP BY ln
-      ) WHERE cd >= {LINE_MIN_DOCS}
-    ), kept4 AS (
-      SELECT doc_id, i, ln FROM l4 WHERE ln NOT IN (SELECT ln FROM heavy4)
-    ), docs4 AS (
-      SELECT w4.doc_id, w4.lang, w4.source,
-             string_agg(kept4.ln, chr(10) ORDER BY kept4.i) AS text
-      FROM w4 JOIN kept4 USING (doc_id)
-      GROUP BY w4.doc_id, w4.lang, w4.source
-    ),
-    {_span_ctes_sql("docs4")},
-    kept AS (
-      SELECT s.doc_id, d.lang, d.source, s.text_dedup,
-             CAST(length(s.text_dedup) AS BIGINT) AS n_chars_dedup
-      FROM spanout s JOIN docs4 d USING (doc_id)
-      WHERE 2 * s.n_dropped <= s.n_chunks AND length(s.text_dedup) > 0
-    ),
-    k2 AS (
-      SELECT doc_id, (lang = 'en') AS tgt,
-             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
-      FROM kept
-    ),
-    {_lm_cte_sql("k2")},
-    lmsurv AS (
-      SELECT kept.* FROM kept JOIN lmfold f USING (doc_id)
-      WHERE f.n_bigrams >= 1 AND f.nll_r <= {LM_NLL_CUTOFF}
-    ),
-    n4 AS (
-      SELECT doc_id,
-             source IN ({", ".join(repr(s) for s in NB_SEED_SOURCES)}) AS y,
-             regexp_split_to_array(trim(text_dedup), '\\s+') AS toks
-      FROM lmsurv
-    ),
-    {_nb_ctes_sql("n4")},
-    surv AS (
-      SELECT lmsurv.* FROM lmsurv JOIN nbfold nf USING (doc_id)
-      WHERE nf.logodds_r > 0
-    ),
-    w AS (
-      SELECT lang, CAST(SUM(n_chars_dedup) AS DOUBLE) AS wt FROM surv GROUP BY lang
-    ), p AS (
-      SELECT lang, wt,
-             sqrt(wt) / SUM(sqrt(wt)) OVER () AS p,
-             SUM(wt) OVER () AS tot
-      FROM w
-    ), t AS (
-      SELECT lang,
-             printf('%08x', least(
-               CAST(floor(round(least(1.0, {TEMP_BUDGET_FRAC} * tot * p / wt), 6)
-                          * 4294967296.0) AS BIGINT),
-               4294967295)) AS thr
-      FROM p
-    ),
-    shipped AS (
-      SELECT s.doc_id, s.lang, s.source, s.n_chars_dedup, s.text_dedup
-      FROM surv s JOIN t ON s.lang = t.lang
-      WHERE substr(md5(concat('{V4_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
-            < t.thr
-    )
+    WITH {_V4_CTES_SQL}
     SELECT doc_id, lang, source, n_chars_dedup,
            {_pii_chain_sql("text_dedup")} AS text_scrubbed
     FROM shipped
+    """,
+    "v4_funnel": f"""
+    WITH {_V4_CTES_SQL}
+    SELECT CAST(0 AS BIGINT) AS stage_ord, 'input' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL SELECT 1, 'line_stripped', count(*) FROM docs4
+    UNION ALL SELECT 2, 'span_kept', count(*) FROM kept
+    UNION ALL SELECT 3, 'lm_survivors', count(*) FROM lmsurv
+    UNION ALL SELECT 4, 'nb_survivors', count(*) FROM surv
+    UNION ALL SELECT 5, 'shipped', count(*) FROM shipped
     """,
     "corpus_to_shards": f"""
     WITH {_V3_SHIPPED_CTES_SQL},

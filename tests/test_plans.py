@@ -207,6 +207,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "corpus_pipeline_v4",       # embeds lm_score + nb_quality + the
                                     # temperature stage — the same 1-row
                                     # aggregate broadcasts as v3/nb_quality
+        "v4_funnel",                # same chain (per-stage 1-row counts
+                                    # over the v4 stage frames)
         "bpe_merges",               # 1-row best-pair aggregate broadcast
                                     # over the vocab table, once per round
         "bpe_token_counts",         # same 1-row best-pair broadcasts (the
