@@ -129,3 +129,128 @@ class IngestShard:
         folded = self._bases().localCheckpoint(eager=True)
         folded.write.mode("overwrite").parquet(self.state_dir)
         return folded.count()
+
+
+_MANIFEST_SCHEMA = (
+    "shard_id long, n_docs long, total_bytes long, pos_max long, "
+    "checksum long"
+)
+
+
+class IngestManifest:
+    """Continuously-maintained shard integrity manifest — the streaming
+    face of operators/sharding.py ``shard_manifest``: per batch, the
+    newly laid-out rows fold into durable per-shard totals (docs, bytes,
+    max position, and the order-independent 60-bit XOR checksum over
+    md5(id @ pos)). XOR's associativity is what makes the incremental
+    fold exact: the checksum of the union IS the XOR of the per-batch
+    checksums, so ``manifest()`` over any batch sequence equals the
+    batch twin computed over the union of shipped rows (pytest-pinned).
+
+    State is append-only parquet, one row per (batch, shard) — tiny,
+    summed/XOR-folded on read; ``compact()`` folds history to one row
+    per shard. Same exactly-once caveat as IngestShard's counters:
+    wrap the sink in ``idempotent_foreach_batch`` so a replayed epoch
+    cannot double-fold.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        bytes_col: str,
+        shard_col: str = "shard_id",
+        pos_col: str = "pos",
+    ) -> None:
+        self.spark = spark
+        self.state_dir = os.path.join(state_dir, "shard_manifest")
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.shard_col = shard_col
+        self.pos_col = pos_col
+
+    def _state(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(_MANIFEST_SCHEMA).parquet(
+                self.state_dir
+            )
+        except AnalysisException:
+            return self.spark.createDataFrame([], _MANIFEST_SCHEMA)
+
+    def update(self, laid_out: DataFrame) -> None:
+        """Fold one batch's laid-out rows (the output of
+        ``IngestShard.process_batch``) into the manifest state."""
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "@",
+                        F.col(self.id_col).cast("string"),
+                        F.col(self.pos_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        (
+            laid_out.select(
+                F.col(self.shard_col).alias("shard_id"),
+                F.col(self.pos_col).alias("_pos"),
+                F.col(self.bytes_col).cast("long").alias("_b"),
+                row_h.alias("_h"),
+            )
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_b").alias("total_bytes"),
+                F.max("_pos").alias("pos_max"),
+                F.expr("bit_xor(_h)").alias("checksum"),
+            )
+            .write.mode("append")
+            .parquet(self.state_dir)
+        )
+
+    def manifest(self) -> DataFrame:
+        """The current manifest: folded state, with the contiguity flag
+        derived the same way as the batch twin (pos_min is 0 by the
+        append-offset construction, so contiguity is
+        pos_max == n_docs - 1)."""
+        return (
+            self._state()
+            .groupBy("shard_id")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_bytes").alias("total_bytes"),
+                F.max("pos_max").alias("pos_max"),
+                F.expr("bit_xor(checksum)").alias("checksum"),
+            )
+            .select(
+                "shard_id",
+                "n_docs",
+                "total_bytes",
+                F.lit(0).cast("long").alias("pos_min"),
+                "pos_max",
+                (F.col("pos_max") == F.col("n_docs") - 1).alias("contiguous"),
+                "checksum",
+            )
+        )
+
+    def compact(self) -> int:
+        """Fold manifest history into one row per shard."""
+        folded = (
+            self._state()
+            .groupBy("shard_id")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_bytes").alias("total_bytes"),
+                F.max("pos_max").alias("pos_max"),
+                F.expr("bit_xor(checksum)").alias("checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        folded.write.mode("overwrite").parquet(self.state_dir)
+        return folded.count()

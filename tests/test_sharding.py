@@ -317,3 +317,55 @@ def test_shard_manifest_detects_mutations(spark):
     assert s0["contiguous"]
     assert s0["checksum"] != base[0]["checksum"]
     plan.unpersist()
+
+
+def test_ingest_manifest_matches_batch_twin(spark, tmp_path):
+    """Streaming manifest fold == batch shard_manifest over the union of
+    all streamed layout rows (XOR associativity makes the incremental
+    fold exact); restart reads the same durable state; compact is
+    lossless."""
+    from kafka_denormalization_spark.operators.sharding import shard_manifest
+    from kafka_denormalization_spark.streaming.ingest_shard import (
+        IngestManifest,
+        IngestShard,
+    )
+
+    sh = IngestShard(spark, str(tmp_path), "doc_id", n_shards=3)
+    man = IngestManifest(spark, str(tmp_path), "doc_id", "n_bytes")
+    batches = [
+        [(i, 100 + i) for i in range(8)],
+        [(i, 100 + i) for i in range(8, 20)],
+        [(i, 100 + i) for i in range(20, 25)],
+    ]
+    laid = []
+    for b in batches:
+        df = spark.createDataFrame(b, "doc_id long, n_bytes long")
+        out = sh.process_batch(df)
+        man.update(out)
+        laid.extend(r.asDict() for r in out.collect())
+
+    union = spark.createDataFrame(
+        laid, "doc_id long, n_bytes long, shard_id long, pos long"
+    )
+    ref = {r["shard_id"]: r for r in shard_manifest(union, "doc_id", "n_bytes").collect()}
+    got = {r["shard_id"]: r for r in man.manifest().collect()}
+    assert set(got) == set(ref)
+    for sid in ref:
+        for col in ("n_docs", "total_bytes", "pos_min", "pos_max",
+                    "contiguous", "checksum"):
+            assert got[sid][col] == ref[sid][col], (sid, col)
+
+    # restart memory: a fresh instance over the same state dir agrees
+    man2 = IngestManifest(spark, str(tmp_path), "doc_id", "n_bytes")
+    got2 = {r["shard_id"]: r for r in man2.manifest().collect()}
+    assert {k: v["checksum"] for k, v in got2.items()} == {
+        k: v["checksum"] for k, v in got.items()
+    }
+
+    # compact folds losslessly
+    n_rows = man.compact()
+    assert n_rows == len(ref)
+    got3 = {r["shard_id"]: r for r in man.manifest().collect()}
+    for sid in ref:
+        assert got3[sid]["checksum"] == ref[sid]["checksum"]
+        assert got3[sid]["n_docs"] == ref[sid]["n_docs"]
