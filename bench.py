@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "prototype_prune",
     "icp_packing",
     "v4_funnel",
+    "curriculum_shards",
 ]
 
 

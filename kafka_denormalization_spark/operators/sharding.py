@@ -242,3 +242,59 @@ def shard_manifest(
             "checksum",
         )
     )
+
+def curriculum_shards(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_shards: int,
+    decimals: int = 2,
+) -> DataFrame:
+    """Curriculum-ordered shard layout: rank the corpus easiest-first by
+    a per-doc difficulty score (ascending — e.g. LM nll, so fluent
+    in-domain docs lead), then deal the serpentine round-robin so every
+    shard sees the same difficulty PROGRESSION. A sequential reader of
+    any one shard walks the curriculum; shards stay interchangeable
+    (each round hands every shard one item from the same difficulty
+    band, the shard_plan_bytes balance guarantee applied to difficulty
+    instead of bytes).
+
+    The global rank uses the same no-global-window decomposition as
+    ``shard_plan_bytes``, with one adaptation: a near-continuous score
+    would make the distinct-value offsets table corpus-sized, so the
+    score is first quantized to ``decimals`` places — curriculum BANDS.
+    Within a band, order is (id) — deterministic and curriculum-
+    equivalent (a band is by construction one difficulty step). Rows
+    with NULL score (no evidence, e.g. < 2 tokens for an LM score) sort
+    into a final +inf band: no evidence, end of curriculum.
+
+    Output: all input columns + (band, shard_id, pos); pure function of
+    the (round(score), id) multiset — identical on any partitioning or
+    engine.
+    """
+    band = F.coalesce(
+        F.round(F.col(score_col).cast("double"), decimals),
+        F.lit(float("inf")),
+    )
+    banded = scored.withColumn("_band", band)
+    by_band = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.orderBy(F.col("_band").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = by_band.select(
+        "_band", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_band").orderBy(id_col)
+    ranked = banded.join(F.broadcast(offsets), "_band").withColumn(
+        "_r", F.col("_off") + F.row_number().over(w_in) - F.lit(1)
+    )
+    rnd = F.expr(f"_r DIV {int(n_shards)}")
+    slot = F.col("_r") % F.lit(n_shards)
+    shard = F.when(rnd % 2 == 0, slot).otherwise(F.lit(n_shards - 1) - slot)
+    return (
+        ranked.withColumn("band", F.col("_band"))
+        .withColumn("shard_id", shard.cast("long"))
+        .withColumn("pos", rnd.cast("long"))
+        .drop("_band", "_off", "_r")
+    )

@@ -1674,6 +1674,29 @@ def q_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_SHARD_N = 4
+
+
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training shards (operators/sharding.py
+    curriculum_shards): corpus ranked easiest-first by the lm_score nll
+    (fluent in-domain docs lead, no-evidence docs close the tail), then
+    dealt serpentine so every shard walks the same difficulty
+    progression. Quantized difficulty bands (2 decimals) keep the
+    rank's offsets table bounded — the shard_plan_bytes no-global-
+    window decomposition applied to difficulty."""
+    from kafka_denormalization_spark.operators.sharding import (
+        curriculum_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    return curriculum_shards(
+        scored.select("doc_id", "nll_r"), "doc_id", "nll_r",
+        n_shards=CURRICULUM_SHARD_N,
+    ).select("doc_id", "band", "shard_id", "pos")
+
+
 def q_v4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel observability: one row per v4 pipeline stage with
     its surviving doc count — the per-build report a data team reads
@@ -3130,6 +3153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "corpus_pipeline_v4": q_corpus_pipeline_v4,
     "v4_funnel": q_v4_funnel,
+    "curriculum_shards": q_curriculum_shards,
     "token_fertility": q_token_fertility,
     "prototype_prune": q_prototype_prune,
     "icp_packing": q_icp_packing,
@@ -3266,10 +3290,10 @@ _DRIVER_HEAD = [
     # whose last driver check is the r05 artifact (neither the r06 head
     # nor the r07 head touched them); (c) r06-checked fills
     # alphabetically to 50.
-    # (a) round-8 additions (10)
+    # (a) round-8 additions (11)
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
-    "prototype_prune", "icp_packing", "v4_funnel",
+    "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
     # (b) last driver-checked in r05 (37)
     "temperature_sample", "pii_scrub", "gram_novelty",
     "incremental_dedup", "incremental_near_dedup", "dsir_weights",
@@ -3283,8 +3307,8 @@ _DRIVER_HEAD = [
     "user_journeys", "moving_average", "forecast_revenue",
     "top_supplier", "idle_rich_customers", "promo_revenue",
     "rolling_zscore", "nation_year_revenue",
-    # (c) r06-checked fills, alphabetical (3)
-    "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
+    # (c) r06-checked fills, alphabetical (2)
+    "agg_fanout_topk", "agg_pricing_summary",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4651,6 +4675,37 @@ ORACLE_SQL: dict[str, str] = {
     SELECT doc.doc_id, CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
            f.logodds_r, f.logodds_r > 0 AS keep
     FROM documents doc LEFT JOIN nbfold f USING (doc_id)
+    """,
+    # curriculum layout: lm CTEs -> banded rank -> serpentine deal
+    "curriculum_shards": f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks FROM documents
+    ), {_lm_cte_sql("d")},
+    banded AS (
+      SELECT doc.doc_id,
+             COALESCE(round(f.nll_r, 2), CAST('infinity' AS DOUBLE)) AS band
+      FROM documents doc LEFT JOIN lmfold f USING (doc_id)
+    ),
+    byb AS (SELECT band, count(*) AS c FROM banded GROUP BY band),
+    off AS (
+      SELECT band,
+             COALESCE(SUM(c) OVER (ORDER BY band ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM byb
+    ),
+    ranked AS (
+      SELECT b.doc_id, b.band,
+             o.o + row_number() OVER (PARTITION BY b.band
+                                      ORDER BY b.doc_id) - 1 AS r
+      FROM banded b JOIN off o USING (band)
+    )
+    SELECT doc_id, band,
+           CAST(CASE WHEN (r // {CURRICULUM_SHARD_N}) % 2 = 0
+                     THEN r % {CURRICULUM_SHARD_N}
+                     ELSE {CURRICULUM_SHARD_N - 1} - (r % {CURRICULUM_SHARD_N})
+                END AS BIGINT) AS shard_id,
+           CAST(r // {CURRICULUM_SHARD_N} AS BIGINT) AS pos
+    FROM ranked
     """,
     # ccnet bucketing: same lm CTEs; thresholds via quantile_cont at the
     # dyadic p25/p75 points (bit-identical to Spark's exact percentile)

@@ -209,6 +209,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # aggregate broadcasts as v3/nb_quality
         "v4_funnel",                # same chain (per-stage 1-row counts
                                     # over the v4 stage frames)
+        "curriculum_shards",        # embedded lm_score 1-row vocab-stats
+                                    # broadcast (difficulty scoring)
         "bpe_merges",               # 1-row best-pair aggregate broadcast
                                     # over the vocab table, once per round
         "bpe_token_counts",         # same 1-row best-pair broadcasts (the

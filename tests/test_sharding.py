@@ -369,3 +369,44 @@ def test_ingest_manifest_matches_batch_twin(spark, tmp_path):
     for sid in ref:
         assert got3[sid]["checksum"] == ref[sid]["checksum"]
         assert got3[sid]["n_docs"] == ref[sid]["n_docs"]
+
+
+def test_curriculum_shards_progression_and_balance(spark):
+    """Every shard receives exactly one item per full round (dense pos),
+    within-shard read order is monotone in difficulty band, NULL scores
+    land in the final +inf band, and the layout is a pure function of
+    the input multiset (partitioning-independent)."""
+    from kafka_denormalization_spark.operators.sharding import (
+        curriculum_shards,
+    )
+
+    rows = [(i, float(i % 7) + (i % 3) * 0.01) for i in range(37)]
+    rows += [(100 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = {r["doc_id"]: r for r in curriculum_shards(df, "doc_id", "score", n_shards=4).collect()}
+    assert set(out) == {i for i, _ in rows}
+    # NULL scores -> +inf band, at the end of the curriculum
+    import math
+    for i in range(5):
+        assert math.isinf(out[100 + i]["band"])
+    max_pos = max(r["pos"] for r in out.values())
+    inf_pos = min(out[100 + i]["pos"] for i in range(5))
+    assert inf_pos >= max_pos - 2  # tail rounds
+    # per-shard: pos dense from 0, band monotone nondecreasing in pos
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in out.values():
+        by_shard[r["shard_id"]].append((r["pos"], r["band"]))
+    for sid, items in by_shard.items():
+        items.sort()
+        assert [p for p, _ in items] == list(range(len(items)))
+        bands = [b for _, b in items]
+        assert bands == sorted(bands)
+    # partitioning independence
+    out2 = {
+        r["doc_id"]: (r["shard_id"], r["pos"])
+        for r in curriculum_shards(
+            df.repartition(7), "doc_id", "score", n_shards=4
+        ).collect()
+    }
+    assert out2 == {k: (v["shard_id"], v["pos"]) for k, v in out.items()}
