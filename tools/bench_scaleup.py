@@ -282,6 +282,45 @@ def _corpus_diff(docs):
     return corpus_diff(base, survivors.unionByName(added), "doc_id", "text")
 
 
+def _icp_packing(docs):
+    """Embeddings replicated with the SAME id shift as documents so the
+    1:1 vec_id=doc_id testdata mapping survives replication; k fixed
+    (kmeans_clusters convention)."""
+    from kafka_denormalization_spark.operators.chunking import pack_chunks
+    from kafka_denormalization_spark.operators.clustering import kmeans_assign
+    from kafka_denormalization_spark.functions.text import token_count
+
+    spark = docs.sparkSession
+    n = int(spark.conf.get("bench.scaleup.n_rep", "1"))
+    emb = replicate(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), "vec_id", n
+    )
+    asg = kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    joined = docs.join(asg, "doc_id").select(
+        "doc_id", "cluster_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_chunks(
+        joined, "cluster_id", ["doc_id"], token_col="n_tokens", budget=256
+    )
+
+
+def _curriculum_shards(docs):
+    from kafka_denormalization_spark.functions.text import lm_score
+    from kafka_denormalization_spark.operators.sharding import (
+        curriculum_shards,
+    )
+
+    n = docs.sparkSession.conf.get("bench.scaleup.n_rep", "1")
+    scored = lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    return curriculum_shards(
+        scored.select("doc_id", "nll_r"), "doc_id", "nll_r",
+        n_shards=64 * int(n),
+    ).select("doc_id", "band", "shard_id", "pos")
+
+
 def _shard_manifest(docs):
     from kafka_denormalization_spark.operators.sharding import (
         shard_manifest,
@@ -350,6 +389,8 @@ OPS = {
     "corpus_diff": ("documents", "doc_id", _corpus_diff, False),
     "token_fertility": ("documents", "doc_id", _token_fertility, False),
     "prototype_prune": ("embeddings", "vec_id", _prototype_prune, False),
+    "icp_packing": ("documents", "doc_id", _icp_packing, False),
+    "curriculum_shards": ("documents", "doc_id", _curriculum_shards, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
