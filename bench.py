@@ -128,6 +128,12 @@ BENCH_QUERIES = [
     "icp_packing",
     "v4_funnel",
     "curriculum_shards",
+    # round-8 late additions (corpus audit + mixture design)
+    "quality_signals",
+    "ngram_diversity",
+    "source_overlap",
+    "unimax_mixture",
+    "doremi_weights",
 ]
 
 

@@ -1281,3 +1281,97 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= F.lit(threshold))
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-slice n-gram overlap audit: exact Jaccard similarity between
+    the DISTINCT n-gram sets of every pair of corpus slices (sources,
+    crawls, snapshots) that share at least one gram — the standard
+    "how much of source B is already in source A" signal driving
+    source-level dedup priorities and mixture design (cf. the
+    cross-snapshot overlap tables in RefinedWeb, Penedo et al. 2023).
+
+    Output: (src_a, src_b, n_grams_a, n_grams_b, n_common, jaccard_r)
+    for src_a < src_b, jaccard = common / (a + b - common) on the
+    9-decimal grid from exact integer set sizes. Pairs with ZERO common
+    grams are omitted by design (the equi-join on the gram key produces
+    only witnessed pairs — no |slices|^2 cross join anywhere).
+
+    Plan shape (100 TB): one gram pass (posexplode + per-doc lead
+    window), distinct on (slice, gram) — partial aggregation collapses
+    duplicate occurrences map-side, so the exchange carries the distinct
+    pair set. The pair count then self-joins the (slice, gram) table on
+    the GRAM key: a gram held by k slices emits C(k, 2) pair rows,
+    bounded by the slice count squared — slices are corpus metadata
+    (dozens-to-thousands), never document-scale, so the fan-out is flat
+    per gram. Slice sizes ride a |slices|-row broadcast.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_grp"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_t"
+        ),
+    )
+    if n == 1:
+        grams = toks.select("_grp", F.col("_t").alias("_g"))
+    else:
+        w = Window.partitionBy("_id").orderBy("_pos")
+        leads = [F.lead("_t", i).over(w) for i in range(1, n)]
+        grams = (
+            toks.select(
+                "_grp",
+                F.concat_ws(" ", F.col("_t"), *leads).alias("_g"),
+                leads[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .drop("_last")
+        )
+    gset = grams.filter(F.col("_g") != "").distinct()
+    sizes = gset.groupBy("_grp").agg(F.count(F.lit(1)).alias("_sz"))
+    a = gset.select(F.col("_grp").alias("src_a"), "_g")
+    b = gset.select(F.col("_grp").alias("src_b"), "_g")
+    common = (
+        a.join(b, "_g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("_grp").alias("src_a"), F.col("_sz").alias("n_grams_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("_grp").alias("src_b"), F.col("_sz").alias("n_grams_b")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+                ).cast("double"),
+                9,
+            ).alias("jaccard_r"),
+        )
+    )

@@ -1117,12 +1117,25 @@ def blocklist_filter(
     )
     return docs.where(hits == 0)
 
+def line_digest_rows(
+    docs: DataFrame, id_col: str, lines_col: str
+) -> DataFrame:
+    """The (_id, _pos, _h) line-digest explode shared by both halves of
+    ``line_dedup`` — one row per (doc, line position) carrying only the
+    16-byte md5 of the line, never the text."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(lines_col)).alias("_pos", "_ln"),
+    ).select("_id", "_pos", F.md5(F.col("_ln")).alias("_h"))
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str,
     lines_col: str,
     min_docs: int = 2,
     sep: str = "\n",
+    share_digest: bool = False,
 ) -> DataFrame:
     """RefinedWeb/CCNet-style boilerplate line removal (Penedo et al.
     2023 §G; Wenzek et al. 2020 §4.1): any line whose digest appears in
@@ -1148,7 +1161,37 @@ def line_dedup(
 
     Reference parity note: the reference engine has no text operators
     at all (SURVEY.md §2.3) — this is a north-star extension.
+
+    ``share_digest``: explode + hash the corpus ONCE — persist the
+    (_id, _pos, _h) digest frame and feed both the document-frequency
+    aggregation and the removal join from the same cache (default runs
+    the explode twice, once per half). The cache is digest-sized
+    (id + pos + 16-byte hash per line), never text-sized; the heavy-
+    line aggregation sits on the build side of the removal join, so its
+    stage materializes the cache before the probe side's second read
+    (the ``share_grams`` sequencing argument in similarity.py). The
+    persisted handle rides on the result as ``_sg_internal_cache`` so
+    callers can unpersist once materialized. At cluster scale where
+    even the digest frame is unwelcome in cache, leave the default:
+    two digest explodes, zero cache pressure.
     """
+    if share_digest:
+        from pyspark import StorageLevel
+
+        digest = line_digest_rows(docs, id_col, lines_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        heavy = (
+            digest.select("_id", "_h")
+            .distinct()
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= min_docs)
+            .select("_h")
+        )
+        out = _line_rebuild(docs, id_col, lines_col, digest, heavy, sep)
+        out._sg_internal_cache = digest
+        return out
     heavy = boilerplate_lines(docs, id_col, lines_col, min_docs)
     return line_dedup_with_lines(docs, id_col, lines_col, heavy, sep=sep)
 
@@ -1166,10 +1209,7 @@ def boilerplate_lines(
     table of md5 digests of lines appearing in >= ``min_docs`` distinct
     documents — bounded by the boilerplate population, tiny next to the
     corpus."""
-    lines = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.col(lines_col)).alias("_pos", "_ln"),
-    ).select("_id", F.md5(F.col("_ln")).alias("_h"))
+    lines = line_digest_rows(docs, id_col, lines_col).select("_id", "_h")
     return (
         lines.distinct()
         .groupBy("_h")
@@ -1189,12 +1229,23 @@ def line_dedup_with_lines(
     """The apply half of ``line_dedup`` over a PROVIDED (frozen) heavy-
     line digest table — stateless given ``heavy``, so it drops into a
     streaming foreachBatch unchanged."""
-    lines = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.col(lines_col)).alias("_pos", "_ln"),
-    ).select("_id", "_pos", F.md5(F.col("_ln")).alias("_h"))
+    lines = line_digest_rows(docs, id_col, lines_col)
+    return _line_rebuild(docs, id_col, lines_col, lines, heavy, sep)
+
+
+def _line_rebuild(
+    docs: DataFrame,
+    id_col: str,
+    lines_col: str,
+    digest: DataFrame,
+    heavy: DataFrame,
+    sep: str,
+) -> DataFrame:
+    """Shared apply half: join the digest rows against the heavy-line
+    set, collect per-doc removal positions, rebuild each doc's lines
+    array in place."""
     rm = (
-        lines.join(heavy, "_h")
+        digest.join(heavy, "_h")
         .groupBy("_id")
         .agg(F.collect_list("_pos").alias("_rm"))
     )
@@ -1405,3 +1456,160 @@ def nb_score_with_model(
             (F.col("logodds_r") > 0).alias("keep"),
         )
     )
+
+
+def quality_signals(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """RedPajama-v2-style per-document quality-signal bundle (Together
+    2023, "RedPajama-Data-v2"; the flat signal table every downstream
+    filter reads instead of re-deriving its own stats): one wide row per
+    document carrying the standard lexical statistics —
+
+    - ``n_words`` / ``n_chars``: whitespace token count, raw length
+    - ``mean_word_len_r``: word chars / words
+    - ``frac_unique_r``: distinct words / words (type-token ratio;
+      low = repetitive boilerplate)
+    - ``top_word_frac_r``: occurrences of the modal word / words
+      (Gopher's "fraction in most common word" analog)
+    - ``stop_frac_r``: STOPWORDS_EN hits / words (fluency proxy)
+
+    Ratios are IEEE double divisions of exact integer counts, rounded
+    to the 9-decimal grid (repo convention) — bit-identical on any
+    engine. Empty/whitespace-only docs carry ``n_words = 0`` and NULL
+    ratios (the '' token from splitting empty text is filtered, the
+    ``_dsir_gram_rows`` convention).
+
+    Plan shape (100 TB): the array-expression signals are a narrow
+    single pass fused into the scan; only the modal-word count needs
+    rows — one posexplode + (id, word) count + per-id max, all on the
+    hash(id) exchange the final join reuses (subset rule). Nothing
+    corpus-global, nothing driver-side.
+
+    Reference parity note: the reference engine has no text operators
+    (SURVEY.md §2.3) — north-star extension.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    wc = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    )
+    base = docs.select(
+        F.col(id_col),
+        wc.cast("long").alias("n_words"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        word_chars.alias("_wchars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_uniq"),
+        stop_hits.cast("long").alias("_stop"),
+    )
+    top = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(toks).alias("_w"),
+        )
+        .groupBy("_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id")
+        .agg(F.max("_c").alias("_top"))
+    )
+    wcd = F.col("n_words").cast("double")
+    return (
+        base.join(
+            top.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("_wchars").cast("double") / wcd, 9),
+            ).alias("mean_word_len_r"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("_uniq").cast("double") / wcd, 9),
+            ).alias("frac_unique_r"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("_top").cast("double") / wcd, 9),
+            ).alias("top_word_frac_r"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("_stop").cast("double") / wcd, 9),
+            ).alias("stop_frac_r"),
+        )
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    id_col: str,
+    max_n: int = 3,
+) -> DataFrame:
+    """Distinct-n diversity profile per corpus slice (Li et al. 2016
+    "distinct-1/2" generalized to a corpus audit): for each ``group_col``
+    value and each n in 1..``max_n``, total n-gram occurrences vs
+    distinct n-grams and their ratio — the standard lexical-diversity /
+    memorization-risk dashboard over a training mix (a slice whose
+    diversity collapses is template spam or a dedup failure).
+
+    Output: (group, n, total_ngrams, distinct_ngrams, diversity_r)
+    with diversity_r = distinct/total on the 9-decimal grid.
+
+    Plan shape (100 TB): per n one gram pass (posexplode + per-DOC lead
+    window — grams never cross document boundaries and the window key
+    is the high-cardinality doc id, not the handful of groups) into a
+    (group, gram) count — partial aggregation absorbs the duplicate
+    mass map-side, so the exchange carries distinct (group, gram)
+    pairs, not occurrences; the per-group rollup is |groups|-sized.
+    The n passes union after aggregation (each a few rows per group).
+    """
+    out = None
+    for n in range(1, max_n + 1):
+        toks = docs.select(
+            F.col(group_col).alias("_grp"),
+            F.col(id_col).alias("_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
+        )
+        if n == 1:
+            grams = toks.select("_grp", F.col("_t").alias("_g"))
+        else:
+            w = Window.partitionBy("_id").orderBy("_pos")
+            leads = [F.lead("_t", i).over(w) for i in range(1, n)]
+            grams = (
+                toks.select(
+                    "_grp",
+                    F.concat_ws(" ", F.col("_t"), *leads).alias("_g"),
+                    leads[-1].alias("_last"),
+                )
+                .filter(F.col("_last").isNotNull())
+                .drop("_last")
+            )
+        grams = grams.filter(F.col("_g") != "")
+        agg = (
+            grams.groupBy("_grp", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_grp")
+            .agg(
+                F.sum("_c").alias("total_ngrams"),
+                F.count(F.lit(1)).alias("distinct_ngrams"),
+            )
+            .select(
+                F.col("_grp").alias(group_col),
+                F.lit(n).alias("n"),
+                F.col("total_ngrams").cast("long").alias("total_ngrams"),
+                F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+                F.round(
+                    F.col("distinct_ngrams").cast("double")
+                    / F.col("total_ngrams").cast("double"),
+                    9,
+                ).alias("diversity_r"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -464,3 +464,171 @@ def dsir_resample(
         .orderBy(F.col("score_r").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def unimax_plan(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    budget_frac: float,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    distribute a total training budget over strata (languages) as
+    uniformly as possible subject to a per-stratum repetition cap —
+    each stratum gets ``min(max_epochs * size, fair share)``, where the
+    fair share is recomputed over the strata the cap has not yet
+    exhausted, walking strata smallest-first.
+
+    Closed form instead of the paper's sequential loop: with strata
+    sorted ascending by size, stratum i is cap-bound iff
+    ``max_epochs * s_i * (L - i + 1) <= B - P_{i-1}`` (P = running sum
+    of capped allocations) — once one stratum goes budget-bound every
+    larger one is too (sizes ascend, the fair share is constant from
+    there), so the first budget-bound index k* splits the plan:
+    ``alloc_i = max_epochs * s_i`` for i < k*, else
+    ``(B - P_{k*-1}) / (L - k* + 1)``. The bound test multiplies
+    EXACT integers (no float in the branch decision); only the final
+    fair-share division and the epochs ratio are doubles, rounded to
+    the 9-decimal grid.
+
+    Output per stratum: (strata_col, size_weight, capped,
+    alloc_weight_r, epochs_r), epochs_r = alloc / size.
+
+    Plan shape (100 TB): one aggregation to |strata| rows, then window
+    arithmetic on that tiny frame — the window is deliberately
+    unpartitioned because the frame is strata-metadata-sized (languages:
+    dozens), the shard_plan_bytes precedent. The 1-row (k*, P_{k*-1},
+    B, L) summary broadcasts back via a scalar-aggregate cross join
+    (the repo's allow-listed 1-row BNLJ shape). Nothing row-scale ever
+    reaches the driver.
+    """
+    if not 0.0 < budget_frac <= float(max_epochs):
+        raise ValueError(f"budget_frac must be in (0, {max_epochs}], got {budget_frac}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    sizes = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("_s")
+    )
+    w = Window.orderBy("_s", strata_col)
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("_s", strata_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cap = F.lit(int(max_epochs)) * F.col("_s")
+    annotated = sizes.select(
+        F.col(strata_col),
+        F.col("_s"),
+        cap.alias("_cap"),
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1)).over(wall).alias("_l"),
+        F.coalesce(F.sum(cap).over(wp), F.lit(0)).cast("long").alias("_p"),
+        F.floor(
+            F.lit(float(budget_frac)) * F.sum("_s").over(wall).cast("double")
+        ).cast("long").alias("_b"),
+    ).withColumn(
+        # exact-integer bound test: cap * remaining_strata <= remaining budget
+        "_capped",
+        F.col("_cap") * (F.col("_l") - F.col("_i") + 1)
+        <= (F.col("_b") - F.col("_p")),
+    )
+    kstar = annotated.agg(
+        F.min(F.when(~F.col("_capped"), F.col("_i"))).alias("_k")
+    )
+    # P_{k*-1} and the constant fair share live on the k* row itself
+    fair = annotated.join(F.broadcast(kstar), F.col("_i") == F.col("_k")).select(
+        F.col("_k").alias("_k2"),
+        F.round(
+            (F.col("_b") - F.col("_p")).cast("double")
+            / (F.col("_l") - F.col("_k") + 1).cast("double"),
+            9,
+        ).alias("_fair"),
+    )
+    out = annotated.crossJoin(F.broadcast(kstar))
+    out = out.join(
+        F.broadcast(fair), out["_k"] == fair["_k2"], "left"
+    )
+    alloc = F.when(
+        F.col("_k").isNull() | (F.col("_i") < F.col("_k")),
+        F.col("_cap").cast("double"),
+    ).otherwise(F.col("_fair"))
+    return out.select(
+        F.col(strata_col),
+        F.col("_s").alias("size_weight"),
+        (F.col("_k").isNull() | (F.col("_i") < F.col("_k"))).alias("capped"),
+        F.round(alloc, 9).alias("alloc_weight_r"),
+        F.round(alloc / F.col("_s").cast("double"), 9).alias("epochs_r"),
+    )
+
+
+def doremi_weights(
+    per_doc: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    nll_col: str,
+    eta: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style domain reweighting, one exponentiated-gradient step
+    (Xie et al. 2023, arXiv:2305.10429, simplified to a single update
+    under a frozen scorer): per-domain EXCESS loss over the best-fit
+    domain drives a multiplicative update of the token-share prior —
+    ``w_d ∝ share_d * exp(eta * (mean_nll_d - min_e mean_nll_e))``,
+    normalized. Domains the frozen model finds hardest (highest mean
+    NLL) are up-weighted, the DoReMi direction; eta scales the step.
+
+    Determinism: per-domain NLL sums fold the 9-decimal-rounded per-doc
+    scores through DECIMAL(38,9) — exact, order-free, engine-portable —
+    and every double division/exp result lands back on the 9-decimal
+    grid before the next cross-row fold (scores re-enter DECIMAL for
+    the normalizer). NULL-nll docs (< 2 tokens) are excluded from the
+    mean but still count toward the token-share prior.
+
+    Output per domain: (domain_col, n_docs, share_r, mean_nll_r,
+    excess_r, weight_r).
+
+    Plan shape (100 TB): one partial-aggregated pass to |domains| rows,
+    one 1-row global broadcast back (the allow-listed scalar-aggregate
+    cross-join shape) — the corpus is touched exactly once; everything
+    after is metadata-sized.
+    """
+    dom = per_doc.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(weight_col)).cast("long").alias("_w"),
+        F.sum(F.col(nll_col).cast("decimal(38,9)")).alias("_nsum"),
+        F.count(F.col(nll_col)).alias("_nn"),
+    )
+    mean_nll = F.round(
+        F.col("_nsum").cast("double") / F.col("_nn").cast("double"), 9
+    )
+    dom = dom.withColumn("_mnll", mean_nll)
+    tot = dom.agg(
+        F.sum("_w").alias("_tw"),
+        F.min("_mnll").alias("_base"),
+    )
+    dom = dom.crossJoin(F.broadcast(tot)).withColumn(
+        "share_r",
+        F.round(F.col("_w").cast("double") / F.col("_tw").cast("double"), 9),
+    ).withColumn(
+        "excess_r", F.round(F.col("_mnll") - F.col("_base"), 9)
+    ).withColumn(
+        "_score",
+        F.round(
+            F.col("share_r") * F.exp(F.lit(float(eta)) * F.col("excess_r")), 9
+        ),
+    )
+    norm = dom.agg(
+        F.sum(F.col("_score").cast("decimal(38,9)")).alias("_z")
+    )
+    return (
+        dom.crossJoin(F.broadcast(norm))
+        .select(
+            F.col(domain_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "share_r",
+            F.col("_mnll").alias("mean_nll_r"),
+            "excess_r",
+            F.round(
+                F.col("_score") / F.col("_z").cast("double"), 9
+            ).alias("weight_r"),
+        )
+    )

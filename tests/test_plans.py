@@ -232,6 +232,11 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # (same stage as temperature_sample)
         "epoch_shards",             # epoch_mixture's 1-row corpus-total
                                     # broadcast (embeds epoch_mixture_sample)
+        "unimax_mixture",           # 1-row k*-summary aggregate broadcast
+                                    # back over |languages| plan rows
+        "doremi_weights",           # embedded lm_score 1-row vocab-stats
+                                    # broadcast + two 1-row domain-total /
+                                    # normalizer broadcasts over |domains|
     }
     from kafka_denormalization_spark.plans import explain_str
 

@@ -221,3 +221,113 @@ def test_leakage_safe_split_clusters_travel_together(spark):
     n = len(rows)
     assert 0.7 < counts["train"] / n < 0.9
     assert counts["val"] > 0 and counts["test"] > 0
+
+
+# ---------------------------------------------------------------------------
+# unimax_plan
+# ---------------------------------------------------------------------------
+
+
+def _weights_df(spark, rows):
+    return spark.createDataFrame(rows, "lang string, n_chars long")
+
+
+def test_unimax_plan_waterfill_split(spark):
+    """Hand-computed fixture: sizes 10/20/30/100, cap 2 epochs, budget
+    1.0x corpus (160): the two smallest strata are cap-bound, the two
+    largest split the remaining budget evenly (50 each)."""
+    from kafka_denormalization_spark.operators.sampling import unimax_plan
+
+    df = _weights_df(
+        spark,
+        [("a", 10), ("b", 20), ("c", 30), ("d", 100)],
+    )
+    out = {
+        r["lang"]: r
+        for r in unimax_plan(df, "lang", "n_chars", 1.0, 2).collect()
+    }
+    assert out["a"]["capped"] and out["a"]["alloc_weight_r"] == 20.0
+    assert out["b"]["capped"] and out["b"]["alloc_weight_r"] == 40.0
+    assert not out["c"]["capped"] and out["c"]["alloc_weight_r"] == 50.0
+    assert not out["d"]["capped"] and out["d"]["alloc_weight_r"] == 50.0
+    assert out["a"]["epochs_r"] == 2.0
+    assert out["c"]["epochs_r"] == 1.666666667
+    assert out["d"]["epochs_r"] == 0.5
+    # allocations exhaust the budget exactly
+    assert sum(r["alloc_weight_r"] for r in out.values()) == 160.0
+
+
+def test_unimax_plan_all_capped(spark):
+    """Budget >= total caps: every stratum runs the full epoch cap and
+    the budget-bound branch never fires (k* is NULL end-to-end)."""
+    from kafka_denormalization_spark.operators.sampling import unimax_plan
+
+    df = _weights_df(
+        spark,
+        [("a", 10), ("b", 20), ("c", 30), ("d", 100)],
+    )
+    rows = unimax_plan(df, "lang", "n_chars", 2.0, 2).collect()
+    assert all(r["capped"] for r in rows)
+    assert all(r["epochs_r"] == 2.0 for r in rows)
+
+
+def test_unimax_plan_arg_validation(spark):
+    from kafka_denormalization_spark.operators.sampling import unimax_plan
+
+    import pytest
+
+    df = _weights_df(spark, [("a", 10)])
+    with pytest.raises(ValueError):
+        unimax_plan(df, "lang", "n_chars", 0.0, 2)
+    with pytest.raises(ValueError):
+        unimax_plan(df, "lang", "n_chars", 3.0, 2)  # frac > max_epochs
+    with pytest.raises(ValueError):
+        unimax_plan(df, "lang", "n_chars", 0.5, 0)
+
+
+# ---------------------------------------------------------------------------
+# doremi_weights
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_weights_one_step(spark):
+    """Hand-computed: domain x (mean nll 1.5) is up-weighted over
+    domain y (mean nll 0.5, the baseline) by exactly e^1 over the
+    equal token-share prior; a NULL-nll doc counts toward the share
+    but not the mean."""
+    import math
+
+    from kafka_denormalization_spark.operators.sampling import doremi_weights
+
+    per_doc = spark.createDataFrame(
+        [
+            (1, "x", 10, 1.0),
+            (2, "x", 10, 2.0),
+            (3, "y", 10, 0.5),
+            (4, "y", 10, None),  # <2-token doc: share yes, mean no
+        ],
+        "doc_id long, source string, n_chars long, nll_r double",
+    )
+    out = {
+        r["source"]: r
+        for r in doremi_weights(
+            per_doc, "source", "n_chars", "nll_r", eta=1.0
+        ).collect()
+    }
+    assert out["x"]["mean_nll_r"] == 1.5
+    assert out["y"]["mean_nll_r"] == 0.5
+    assert out["x"]["excess_r"] == 1.0
+    assert out["y"]["excess_r"] == 0.0
+    assert out["x"]["share_r"] == 0.5 and out["y"]["share_r"] == 0.5
+    expected_x = round(
+        round(0.5 * math.exp(1.0), 9)
+        / (round(0.5 * math.exp(1.0), 9) + 0.5),
+        9,
+    )
+    assert out["x"]["weight_r"] == expected_x
+    assert out["y"]["weight_r"] == round(1.0 - expected_x, 9) or (
+        abs(out["x"]["weight_r"] + out["y"]["weight_r"] - 1.0) < 1e-8
+    )
+    # harder domain strictly up-weighted over its prior
+    assert out["x"]["weight_r"] > out["x"]["share_r"]
+    assert out["y"]["weight_r"] < out["y"]["share_r"]

@@ -545,3 +545,48 @@ def test_prototype_prune_policies(spark):
         ]
         if easy_d and rest_d:
             assert max(easy_d) <= min(rest_d)
+
+
+# ---------------------------------------------------------------------------
+# source_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_exact_jaccard(spark):
+    """A/B share one trigram of two each (J = 1/3); C overlaps nothing
+    and must be ABSENT (witnessed-pairs-only design)."""
+    from kafka_denormalization_spark.functions.similarity import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "w1 w2 w3 w4"),
+            (2, "B", "w2 w3 w4 w5"),
+            (3, "C", "x y z"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = source_overlap(df, "source", "doc_id", "text", n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("A", "B")
+    assert r["n_grams_a"] == 2 and r["n_grams_b"] == 2 and r["n_common"] == 1
+    assert r["jaccard_r"] == round(1 / 3, 9)
+
+
+def test_source_overlap_dedups_gram_multiplicity(spark):
+    """Set semantics: repeated grams within a source count once."""
+    from kafka_denormalization_spark.functions.similarity import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "p q r"),
+            (2, "A", "p q r"),  # duplicate doc, same gram set
+            (3, "B", "p q r"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = source_overlap(df, "source", "doc_id", "text", n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_grams_a"] == 1 and r["n_grams_b"] == 1 and r["n_common"] == 1
+    assert r["jaccard_r"] == 1.0

@@ -561,6 +561,35 @@ def test_line_dedup_removes_all_copies_unlike_span_dedup(spark):
     assert out[2]["text_clean"] == "tail"
 
 
+def test_line_dedup_share_digest_parity(spark):
+    # share_digest=True (single persisted explode feeding both the
+    # df-count and the removal join) must be row-identical to the
+    # default two-explode formulation, and must expose the persisted
+    # digest frame for caller-side unpersist.
+    df = _lines_df(
+        spark,
+        [
+            (1, ["alpha", "footer", "beta", "footer"]),
+            (2, ["footer", "gamma"]),
+            (3, ["delta", "footer"]),
+            (4, ["epsilon"]),
+            (5, ["footer"]),
+        ],
+    )
+    base = sorted(
+        T.line_dedup(df, "doc_id", "lines", min_docs=3).collect()
+    )
+    shared_df = T.line_dedup(
+        df, "doc_id", "lines", min_docs=3, share_digest=True
+    )
+    shared = sorted(shared_df.collect())
+    assert shared == base
+    cache = shared_df._sg_internal_cache
+    assert cache.is_cached
+    cache.unpersist()
+    assert not cache.is_cached
+
+
 # ---------------------------------------------------------------------------
 # lm_perplexity_buckets (CCNet head/middle/tail)
 # ---------------------------------------------------------------------------
@@ -626,3 +655,53 @@ def test_nb_quality_frozen_model_handles_unseen_tokens(spark):
     assert abs(d) < 1e-12
     m = {r["_w"]: r["_lo"] for r in model.collect()}
     assert m["good"] > 0 > m["spam"]
+
+
+# ---------------------------------------------------------------------------
+# quality_signals / ngram_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_quality_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat the mat"), (2, "zzz"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.quality_signals(df, "doc_id", "text").collect()
+    }
+    r1 = out[1]
+    assert r1["n_words"] == 4 and r1["n_chars"] == 15
+    assert r1["mean_word_len_r"] == 3.0  # (3+3+3+3)/4
+    assert r1["frac_unique_r"] == 0.75  # {the, cat, mat}
+    assert r1["top_word_frac_r"] == 0.5  # 'the' x2
+    assert r1["stop_frac_r"] == 0.5  # 'the' is a stopword
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["frac_unique_r"] == 1.0
+    assert r2["stop_frac_r"] == 0.0
+    # whitespace-only doc: zero words, NULL ratios (the '' token filtered)
+    r3 = out[3]
+    assert r3["n_words"] == 0
+    assert r3["mean_word_len_r"] is None
+    assert r3["top_word_frac_r"] is None
+
+
+def test_ngram_diversity_grams_stay_within_docs(spark):
+    """Distinct-n per group; bigram/trigram construction must not
+    bridge document boundaries (doc2 contributes no trigram)."""
+    df = spark.createDataFrame(
+        [(1, "g1", "a b a b"), (2, "g1", "a b")],
+        "doc_id long, grp string, text string",
+    )
+    out = {
+        r["n"]: r
+        for r in T.ngram_diversity(df, "grp", "text", "doc_id", 3).collect()
+    }
+    assert out[1]["total_ngrams"] == 6 and out[1]["distinct_ngrams"] == 2
+    assert out[1]["diversity_r"] == round(2 / 6, 9)
+    # bigrams: doc1 {a b, b a, a b}, doc2 {a b} -> 4 total, 2 distinct
+    assert out[2]["total_ngrams"] == 4 and out[2]["distinct_ngrams"] == 2
+    # trigrams: doc1 only (a b a, b a b); a cross-doc gram would add more
+    assert out[3]["total_ngrams"] == 2 and out[3]["distinct_ngrams"] == 2
+    assert out[3]["diversity_r"] == 1.0
