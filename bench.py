@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "unimax_mixture",
     "doremi_weights",
+    "lm_burstiness",
 ]
 
 

@@ -772,7 +772,7 @@ def lm_model(
     return uni, bi_model, stats
 
 
-def lm_score_with_model(
+def _lm_scored_rows(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -782,10 +782,12 @@ def lm_score_with_model(
     lam: float = 0.5,
     alpha: float = 0.5,
 ) -> DataFrame:
-    """The ``lm_score`` scoring half over PROVIDED (frozen) model
-    tables — arithmetic identical to ``lm_score`` by construction
-    (``lm_score`` delegates here). Stateless given the model: one pass
-    over ``docs``, two vocab-bounded lookups."""
+    """Per-bigram-position interpolated log-probabilities under the
+    frozen model: (_id, _pos, _lnp) rows, each ln rounded to the
+    9-decimal grid — the shared scoring pass behind
+    ``lm_score_with_model`` (mean nll) and ``lm_burstiness``
+    (mean + spread). One corpus pass, two vocab-bounded lookups
+    (the lead-carried unigram trick: one probe serves prev and cur)."""
     all_tok_pos = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t"),
@@ -816,8 +818,25 @@ def lm_score_with_model(
         F.col("_T").cast("double") + av
     )
     lnp = F.round(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni), 9)
+    return joined.select("_id", "_pos", lnp.alias("_lnp"))
+
+
+def lm_score_with_model(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    bi_model: DataFrame,
+    stats: DataFrame,
+    lam: float = 0.5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The ``lm_score`` scoring half over PROVIDED (frozen) model
+    tables — arithmetic identical to ``lm_score`` by construction
+    (``lm_score`` delegates here). Stateless given the model: one pass
+    over ``docs``, two vocab-bounded lookups."""
     folded = (
-        joined.select("_id", "_pos", lnp.alias("_lnp"))
+        _lm_scored_rows(docs, id_col, text_col, uni, bi_model, stats, lam, alpha)
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -1613,3 +1632,91 @@ def ngram_diversity(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def lm_burstiness(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    lam: float = 0.5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Machine-generated-text heuristic: per-document mean AND spread
+    of token-level log-probabilities under the frozen bigram model —
+    the perplexity + burstiness pair (Gehrmann et al. 2019 GLTR;
+    popularized by MGT detectors): human text is "bursty" (high
+    variance across positions — some tokens surprise the model), while
+    sampled/templated text is uniformly probable (low spread at a given
+    mean). Emits the statistics; the gate policy (e.g. flag low-std
+    low-nll docs) belongs downstream.
+
+    Arithmetic: per-position lnp rounds to the 9-decimal grid
+    (identical to ``lm_score`` — shared ``_lm_scored_rows`` pass), then
+    TWO position-ordered folds per doc (Σ lnp and Σ round(lnp², 9)),
+    population variance s2/n − (s1/n)², clamped at 0 before the sqrt;
+    mean and std land back on the 9-decimal grid. Bit-identical
+    cross-engine: both engines fold the same rounded doubles in the
+    same order.
+
+    Output: (id_col, n_bigrams, nll_r, nll_std_r); docs with < 2
+    tokens carry NULLs and n_bigrams = 0.
+
+    Plan shape (100 TB): identical to ``lm_score`` — two narrow
+    target-subset passes build the model, one corpus pass scores;
+    the extra moment rides the SAME per-doc fold (no new exchange).
+    """
+    uni, bi_model, stats = lm_model(docs, text_col, target_pred, id_col)
+    scored = _lm_scored_rows(
+        docs, id_col, text_col, uni, bi_model, stats, lam, alpha
+    )
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("_pos").alias("p"), F.col("_lnp").alias("l"))
+            )
+        ),
+        lambda s: s.getField("l"),
+    )
+    folded = (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                ordered, F.lit(0.0), lambda acc, x: acc + x
+            ).alias("_s1"),
+            F.aggregate(
+                ordered,
+                F.lit(0.0),
+                lambda acc, x: acc + F.round(x * x, 9),
+            ).alias("_s2"),
+        )
+        .select(
+            "_id",
+            "n_bigrams",
+            F.round(
+                -F.col("_s1") / F.col("n_bigrams").cast("double"), 9
+            ).alias("nll_r"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("_s2") / F.col("n_bigrams").cast("double")
+                        - (F.col("_s1") / F.col("n_bigrams").cast("double"))
+                        * (F.col("_s1") / F.col("n_bigrams").cast("double")),
+                        F.lit(0.0),
+                    )
+                ),
+                9,
+            ).alias("nll_std_r"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(folded.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("nll_r"),
+            F.col("nll_std_r"),
+        )
+    )

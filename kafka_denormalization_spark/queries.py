@@ -3171,6 +3171,18 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity + burstiness MGT heuristic (functions/text.py
+    lm_burstiness; GLTR-style): per-doc mean AND std of token-level
+    log-probs under the frozen lang='en' bigram model — uniformly
+    probable (low-std) text is the machine-generated flag; the gate
+    policy belongs downstream."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.lm_burstiness(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+
+
 DOREMI_ETA = 1.0
 
 
@@ -3239,6 +3251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "unimax_mixture": q_unimax_mixture,
     "doremi_weights": q_doremi_weights,
+    "lm_burstiness": q_lm_burstiness,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3371,12 +3384,13 @@ _DRIVER_HEAD = [
     # round-8 additions, never in any driver artifact (the 5 late
     # corpus-audit/mixture ops lead); (b) 34 of the 37 names whose last
     # driver check is the r05 artifact (neither the r06 head nor the
-    # r07 head touched them) — the 3 dropped to fit (promo_revenue,
-    # rolling_zscore, nation_year_revenue) are trivially-stable TPC-H
-    # shapes covered by the builder-side CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (16)
+    # r07 head touched them) — the 4 dropped to fit (promo_revenue,
+    # rolling_zscore, nation_year_revenue, top_supplier) are
+    # trivially-stable TPC-H shapes covered by the builder-side
+    # CORRECTNESS_FULL regeneration.
+    # (a) round-8 additions (17)
     "quality_signals", "ngram_diversity", "source_overlap",
-    "unimax_mixture", "doremi_weights",
+    "unimax_mixture", "doremi_weights", "lm_burstiness",
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
     "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
@@ -3391,7 +3405,7 @@ _DRIVER_HEAD = [
     "min_cost_per_part", "scd2_intervals", "volume_shipping",
     "returned_items", "late_shipment_priority", "disjunctive_revenue",
     "user_journeys", "moving_average", "forecast_revenue",
-    "top_supplier", "idle_rich_customers",
+    "idle_rich_customers",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -5910,6 +5924,28 @@ ORACLE_SQL: dict[str, str] = {
                       THEN CAST(cap AS DOUBLE) ELSE fv END
                  / CAST(sz AS DOUBLE), 9) AS epochs_r
     FROM flagged CROSS JOIN k LEFT JOIN fair ON true
+    """,
+    # GLTR-style mean + spread of token log-probs: two position-ordered
+    # folds over the shared lmscored rows, population variance clamped
+    # at 0 before the sqrt, everything on the 9-decimal grid
+    "lm_burstiness": f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks FROM documents
+    ), {_lm_cte_sql("d")}, bfold AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(lnp ORDER BY pos)),
+                         (x, y) -> x + y) AS s1,
+             list_reduce(list_prepend(0.0,
+                           list(round(lnp * lnp, 9) ORDER BY pos)),
+                         (x, y) -> x + y) AS s2
+      FROM lmscored GROUP BY doc_id
+    )
+    SELECT doc.doc_id, CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(-f.s1 / f.n_bigrams, 9) AS nll_r,
+           round(sqrt(greatest(f.s2 / f.n_bigrams
+                               - (f.s1 / f.n_bigrams) * (f.s1 / f.n_bigrams),
+                               0.0)), 9) AS nll_std_r
+    FROM documents doc LEFT JOIN bfold f USING (doc_id)
     """,
     # DoReMi one-step reweighting over the frozen lang='en' bigram LM:
     # per-domain nll sums fold through DECIMAL(38,9) (exact, order-free),

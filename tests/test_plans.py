@@ -237,6 +237,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "doremi_weights",           # embedded lm_score 1-row vocab-stats
                                     # broadcast + two 1-row domain-total /
                                     # normalizer broadcasts over |domains|
+        "lm_burstiness",            # lm_score's 1-row vocab-stats broadcast
+                                    # (shared _lm_scored_rows pass)
     }
     from kafka_denormalization_spark.plans import explain_str
 

@@ -705,3 +705,36 @@ def test_ngram_diversity_grams_stay_within_docs(spark):
     # trigrams: doc1 only (a b a, b a b); a cross-doc gram would add more
     assert out[3]["total_ngrams"] == 2 and out[3]["distinct_ngrams"] == 2
     assert out[3]["diversity_r"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# lm_burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_lm_burstiness_mean_matches_lm_score_and_spread_separates(spark):
+    """nll_r must equal lm_score's bit-for-bit (shared scoring pass);
+    a uniformly-repeating doc has (near-)zero spread while a doc mixing
+    common and rare bigrams is bursty; <2-token docs carry NULLs."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),      # one bigram pattern: uniform
+            (2, "a b a b zq wx a b"),    # rare bigrams mid-doc: bursty
+            (3, "solo"),                 # no bigram evidence
+        ],
+        "doc_id long, text string",
+    )
+    tgt = F.lit(True)
+    burst = {
+        r["doc_id"]: r
+        for r in T.lm_burstiness(df, "doc_id", "text", tgt).collect()
+    }
+    score = {
+        r["doc_id"]: r for r in T.lm_score(df, "doc_id", "text", tgt).collect()
+    }
+    for i in (1, 2):
+        assert burst[i]["nll_r"] == score[i]["nll_r"]
+        assert burst[i]["n_bigrams"] == score[i]["n_bigrams"]
+    assert burst[1]["nll_std_r"] < burst[2]["nll_std_r"]
+    assert burst[2]["nll_std_r"] > 0.1
+    assert burst[3]["n_bigrams"] == 0 and burst[3]["nll_std_r"] is None

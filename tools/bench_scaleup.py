@@ -366,6 +366,45 @@ def _prototype_prune(emb):
 
 
 # each op: name -> (table, id_col, builder, salt_text)
+def _quality_signals(docs):
+    from kafka_denormalization_spark.functions.text import quality_signals
+
+    return quality_signals(docs, "doc_id", "text")
+
+
+def _ngram_diversity(docs):
+    from kafka_denormalization_spark.functions.text import ngram_diversity
+
+    return ngram_diversity(docs, "lang", "text", "doc_id", max_n=3)
+
+
+def _source_overlap(docs):
+    from kafka_denormalization_spark.functions.similarity import source_overlap
+
+    return source_overlap(docs, "source", "doc_id", "text", n=3)
+
+
+def _unimax(docs):
+    from kafka_denormalization_spark.operators.sampling import unimax_plan
+
+    return unimax_plan(docs, "lang", "n_chars", 1.6, 2)
+
+
+def _lm_burstiness(docs):
+    from kafka_denormalization_spark.functions.text import lm_burstiness
+
+    return lm_burstiness(docs, "doc_id", "text", F.col("lang") == "en")
+
+
+def _doremi(docs):
+    from kafka_denormalization_spark.functions.text import lm_score
+    from kafka_denormalization_spark.operators.sampling import doremi_weights
+
+    scored = lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    per_doc = scored.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    return doremi_weights(per_doc, "source", "n_chars", "nll_r", eta=1.0)
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -391,6 +430,14 @@ OPS = {
     "prototype_prune": ("embeddings", "vec_id", _prototype_prune, False),
     "icp_packing": ("documents", "doc_id", _icp_packing, False),
     "curriculum_shards": ("documents", "doc_id", _curriculum_shards, False),
+    "quality_signals": ("documents", "doc_id", _quality_signals, False),
+    # salt text: distinct-gram mass should grow with N like real data
+    # (unsalted replicas keep the distinct set constant)
+    "ngram_diversity": ("documents", "doc_id", _ngram_diversity, True),
+    "source_overlap": ("documents", "doc_id", _source_overlap, True),
+    "unimax_mixture": ("documents", "doc_id", _unimax, False),
+    "doremi_weights": ("documents", "doc_id", _doremi, False),
+    "lm_burstiness": ("documents", "doc_id", _lm_burstiness, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
