@@ -1600,14 +1600,18 @@ def _corpus_v4_mixed(
     docs = table(spark, sf_dir, "documents")
     stripped = text_fns.line_dedup(
         _docs_with_lines(spark, sf_dir), "doc_id", "lines",
-        min_docs=LINE_MIN_DOCS, share_digest=True,
+        min_docs=LINE_MIN_DOCS,
     )
     # the stripped corpus is consumed by span_dedup (which reads its
     # input twice) AND the lang/source re-join — persisted so the
     # line-dedup chain (explode + df-count + rebuild) runs once
-    # (23.2 s -> ~17 s at sf0.1 together with the surv persist below);
-    # share_digest additionally tokenizes+hashes the corpus once
-    # instead of twice inside that chain
+    # (23.2 s -> ~17 s at sf0.1 together with the surv persist below).
+    # share_digest stays OFF here: the measured 3x3 A/B at sf0.1 has the
+    # persist barrier COSTING ~2.3 s against the saved second explode
+    # (SCALE_NOTES "line_dedup share_digest A/B") — the knob pays only
+    # when the corpus is large enough that re-tokenizing dominates and
+    # small enough that the digest frame caches; leave the default
+    # elsewhere
     docs4 = (
         stripped.filter(F.col("n_lines_kept") > 0)
         .join(docs.select("doc_id", "lang", "source"), "doc_id")
