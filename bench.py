@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "unimax_mixture",
     "doremi_weights",
     "lm_burstiness",
+    "unimax_shards",
 ]
 
 

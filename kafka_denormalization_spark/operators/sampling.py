@@ -632,3 +632,69 @@ def doremi_weights(
             ).alias("weight_r"),
         )
     )
+
+
+def unimax_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    key_col: str,
+    budget_frac: float,
+    max_epochs: int = 4,
+    salt: str = "unimax",
+) -> DataFrame:
+    """Materialize the UniMax mixture: every row of a stratum appears
+    ``floor(epochs)`` times plus once more in the tail epoch when its
+    deterministic hash draw falls under the fractional part — the
+    ``epoch_mixture_sample`` expansion driven by ``unimax_plan``'s
+    waterfilled allocation instead of user target shares (the paper's
+    actual training loop: uniform budget split under the repetition
+    cap, no hand-tuned shares).
+
+    The effective epoch count re-rounds to the 6-decimal grid BEFORE
+    floor (the ``epoch_mixture_plan`` ulp rule), and the tail draw is
+    salted with the full-epoch index, so re-runs and the oracle agree
+    row-for-row. Plan shape: |strata|-row broadcast + generator +
+    filter, fully pipelined with the scan — rows never shuffle.
+
+    Output: input columns + ``epoch`` (long).
+    """
+    plan = unimax_plan(df, strata_col, weight_col, budget_frac, max_epochs)
+    eff = F.round(F.col("epochs_r"), 6)
+    p2 = plan.select(
+        F.col(strata_col),
+        F.floor(eff).cast("long").alias("full_epochs"),
+        F.round(eff - F.floor(eff), 6).alias("_tail"),
+    ).withColumn(
+        "_thr",
+        F.format_string(
+            f"%0{_HEX_WIDTH}x",
+            F.least(
+                (F.col("_tail") * F.lit(float(16**_HEX_WIDTH))).cast("long"),
+                F.lit(16**_HEX_WIDTH - 1),
+            ),
+        ),
+    )
+    joined = df.join(F.broadcast(p2), [strata_col])
+    epoch = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("full_epochs"))
+    ).alias("epoch")
+    out = joined.select("*", epoch)
+    tail_draw = sample_hash(
+        F.concat_ws(
+            "#",
+            F.col(key_col).cast("string"),
+            F.col("full_epochs").cast("string"),
+        ),
+        salt,
+    )
+    return (
+        out.filter(
+            (F.col("epoch") < F.col("full_epochs"))
+            | (
+                (F.col("epoch") == F.col("full_epochs"))
+                & (tail_draw < F.col("_thr"))
+            )
+        )
+        .drop("full_epochs", "_tail", "_thr")
+    )

@@ -3175,6 +3175,37 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIMAX_SALT = "unimaxmix"
+UNIMAX_SHARD_N = 8
+UNIMAX_SHARD_SALT = "unimaxshard"
+
+
+def q_unimax_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax end-to-end: the waterfilled per-language epoch allocation
+    (operators/sampling.py unimax_plan) drives the multi-epoch
+    expansion (unimax_sample — full epochs + fractional-tail hash draw)
+    and lands in a reproducible shard layout over the composite
+    (doc_id, epoch) key — the epoch_shards composition with the paper's
+    actual budget split instead of hand-tuned target shares."""
+    from kafka_denormalization_spark.operators.sampling import unimax_sample
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = unimax_sample(
+        docs, "lang", "n_chars", "doc_id",
+        UNIMAX_FRAC, UNIMAX_EPOCHS, salt=UNIMAX_SALT,
+    )
+    keyed = mixed.withColumn(
+        "_ekey",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ),
+    )
+    return shard_plan(
+        keyed, "_ekey", n_shards=UNIMAX_SHARD_N, salt=UNIMAX_SHARD_SALT
+    ).select("doc_id", "epoch", "lang", "shard_id", "pos")
+
+
 def q_lm_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity + burstiness MGT heuristic (functions/text.py
     lm_burstiness; GLTR-style): per-doc mean AND std of token-level
@@ -3256,6 +3287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_mixture": q_unimax_mixture,
     "doremi_weights": q_doremi_weights,
     "lm_burstiness": q_lm_burstiness,
+    "unimax_shards": q_unimax_shards,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3388,13 +3420,13 @@ _DRIVER_HEAD = [
     # round-8 additions, never in any driver artifact (the 5 late
     # corpus-audit/mixture ops lead); (b) 34 of the 37 names whose last
     # driver check is the r05 artifact (neither the r06 head nor the
-    # r07 head touched them) — the 4 dropped to fit (promo_revenue,
-    # rolling_zscore, nation_year_revenue, top_supplier) are
-    # trivially-stable TPC-H shapes covered by the builder-side
-    # CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (17)
+    # r07 head touched them) — the 5 dropped to fit (promo_revenue,
+    # rolling_zscore, nation_year_revenue, top_supplier,
+    # idle_rich_customers) are trivially-stable TPC-H shapes covered by
+    # the builder-side CORRECTNESS_FULL regeneration.
+    # (a) round-8 additions (18)
     "quality_signals", "ngram_diversity", "source_overlap",
-    "unimax_mixture", "doremi_weights", "lm_burstiness",
+    "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
     "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
@@ -3409,7 +3441,6 @@ _DRIVER_HEAD = [
     "min_cost_per_part", "scd2_intervals", "volume_shipping",
     "returned_items", "late_shipment_priority", "disjunctive_revenue",
     "user_journeys", "moving_average", "forecast_revenue",
-    "idle_rich_customers",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3853,6 +3884,43 @@ _V3_SHIPPED_CTES_SQL: str = f"""{_SPAN_CTES_SQL},
 # epoch_shards oracles (single source of truth mirroring
 # operators/sampling.py epoch_mixture_sample): plan from the rounded
 # grid, then the per-(doc, epoch) materialization as CTE `em`.
+# UniMax waterfilling CTE chain through CTE ``uplan`` (lang, sz, capped,
+# alloc_weight_r, epochs_r) — shared by the unimax_mixture and
+# unimax_shards oracles; mirrors operators/sampling.py unimax_plan.
+_UNIMAX_CTES_SQL: str = f"""us AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sz
+      FROM documents GROUP BY lang
+    ), uann AS (
+      SELECT lang, sz, {UNIMAX_EPOCHS} * sz AS cap,
+             row_number() OVER (ORDER BY sz, lang) AS i,
+             count(*) OVER () AS l,
+             CAST(coalesce(sum({UNIMAX_EPOCHS} * sz) OVER (
+               ORDER BY sz, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS p,
+             CAST(floor({UNIMAX_FRAC} * CAST(sum(sz) OVER () AS DOUBLE))
+               AS BIGINT) AS b
+      FROM us
+    ), uflag AS (
+      SELECT *, cap * (l - i + 1) <= (b - p) AS capped_f FROM uann
+    ), uk AS (
+      SELECT min(CASE WHEN NOT capped_f THEN i END) AS kv FROM uflag
+    ), ufair AS (
+      SELECT round(CAST(b - p AS DOUBLE) / CAST(l - kv + 1 AS DOUBLE), 9)
+               AS fv
+      FROM uflag, uk WHERE i = kv
+    ), uplan AS (
+      SELECT lang, sz,
+             (kv IS NULL OR i < kv) AS capped,
+             round(CASE WHEN kv IS NULL OR i < kv
+                        THEN CAST(cap AS DOUBLE) ELSE fv END, 9)
+               AS alloc_weight_r,
+             round(CASE WHEN kv IS NULL OR i < kv
+                        THEN CAST(cap AS DOUBLE) ELSE fv END
+                   / CAST(sz AS DOUBLE), 9) AS epochs_r
+      FROM uflag CROSS JOIN uk LEFT JOIN ufair ON true
+    )"""
+
 _EPOCH_MIX_CTES_SQL: str = f"""WITH w AS (
       SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY lang
     ), tot AS (SELECT SUM(wt) AS tw FROM w),
@@ -5896,38 +5964,55 @@ ORACLE_SQL: dict[str, str] = {
     # UniMax closed form: exact-integer bound tests, windowed prefix
     # sums; only the fair-share division and epochs ratio are doubles
     "unimax_mixture": f"""
-    WITH s AS (
-      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sz
-      FROM documents GROUP BY lang
-    ), ann AS (
-      SELECT lang, sz, {UNIMAX_EPOCHS} * sz AS cap,
-             row_number() OVER (ORDER BY sz, lang) AS i,
-             count(*) OVER () AS l,
-             CAST(coalesce(sum({UNIMAX_EPOCHS} * sz) OVER (
-               ORDER BY sz, lang
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS p,
-             CAST(floor({UNIMAX_FRAC} * CAST(sum(sz) OVER () AS DOUBLE))
-               AS BIGINT) AS b
-      FROM s
-    ), flagged AS (
-      SELECT *, cap * (l - i + 1) <= (b - p) AS capped_f FROM ann
-    ), k AS (
-      SELECT min(CASE WHEN NOT capped_f THEN i END) AS kv FROM flagged
-    ), fair AS (
-      SELECT round(CAST(b - p AS DOUBLE) / CAST(l - kv + 1 AS DOUBLE), 9)
-               AS fv
-      FROM flagged, k WHERE i = kv
+    WITH {_UNIMAX_CTES_SQL}
+    SELECT lang, CAST(sz AS BIGINT) AS size_weight, capped,
+           alloc_weight_r, epochs_r
+    FROM uplan
+    """,
+    # UniMax allocation driving the epoch expansion + serpentine-free
+    # hash shard layout (the epoch_shards composition under waterfilled
+    # epochs instead of target shares)
+    "unimax_shards": f"""
+    WITH {_UNIMAX_CTES_SQL}, up2 AS (
+      SELECT lang,
+             CAST(floor(round(epochs_r, 6)) AS BIGINT) AS full_epochs,
+             printf('%08x', least(
+               CAST(floor(round(round(epochs_r, 6)
+                                - floor(round(epochs_r, 6)), 6)
+                          * 4294967296.0) AS BIGINT),
+               4294967295)) AS thr
+      FROM uplan
+    ), uem AS (
+      SELECT d.doc_id, d.lang, e.epoch
+      FROM documents d
+      JOIN up2 ON d.lang = up2.lang
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(up2.full_epochs + 1)) AS epoch
+      ) e
+      WHERE e.epoch < up2.full_epochs
+         OR (e.epoch = up2.full_epochs AND
+             substr(md5(concat('{UNIMAX_SALT}', '|',
+                    concat(CAST(d.doc_id AS VARCHAR), '#',
+                           CAST(up2.full_epochs AS VARCHAR)))), 1, 8)
+             < up2.thr)
+    ), ukeyed AS (
+      SELECT doc_id, epoch, lang,
+             concat(CAST(doc_id AS VARCHAR), '#', CAST(epoch AS VARCHAR))
+               AS ekey
+      FROM uem
+    ), usp AS (
+      SELECT doc_id, epoch, lang, ekey,
+             md5(concat('{UNIMAX_SHARD_SALT}', '|', ekey)) AS draw
+      FROM ukeyed
     )
-    SELECT lang, CAST(sz AS BIGINT) AS size_weight,
-           (kv IS NULL OR i < kv) AS capped,
-           round(CASE WHEN kv IS NULL OR i < kv
-                      THEN CAST(cap AS DOUBLE) ELSE fv END, 9)
-             AS alloc_weight_r,
-           round(CASE WHEN kv IS NULL OR i < kv
-                      THEN CAST(cap AS DOUBLE) ELSE fv END
-                 / CAST(sz AS DOUBLE), 9) AS epochs_r
-    FROM flagged CROSS JOIN k LEFT JOIN fair ON true
+    SELECT doc_id, epoch, lang,
+           CAST(('0x' || substr(draw, 1, 8)) AS BIGINT) % {UNIMAX_SHARD_N}
+             AS shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(draw, 1, 8)) AS BIGINT)
+                          % {UNIMAX_SHARD_N}
+             ORDER BY draw, ekey) - 1 AS BIGINT) AS pos
+    FROM usp
     """,
     # GLTR-style mean + spread of token log-probs: two position-ordered
     # folds over the shared lmscored rows, population variance clamped

@@ -239,6 +239,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # normalizer broadcasts over |domains|
         "lm_burstiness",            # lm_score's 1-row vocab-stats broadcast
                                     # (shared _lm_scored_rows pass)
+        "unimax_shards",            # unimax_plan's 1-row k*-summary
+                                    # broadcast (embeds unimax_sample)
     }
     from kafka_denormalization_spark.plans import explain_str
 

@@ -331,3 +331,36 @@ def test_doremi_weights_one_step(spark):
     # harder domain strictly up-weighted over its prior
     assert out["x"]["weight_r"] > out["x"]["share_r"]
     assert out["y"]["weight_r"] < out["y"]["share_r"]
+
+
+def test_unimax_sample_expansion(spark):
+    """Cap-bound strata replicate exactly max_epochs times; the
+    budget-bound stratum (epochs 0.5) keeps each doc 0 or 1 times via
+    the deterministic tail draw; partition-independent."""
+    from kafka_denormalization_spark.operators.sampling import unimax_sample
+
+    rows = [("a", 1, 10), ("b", 2, 10), ("b", 3, 10)]
+    rows += [("c", 10 + i, 10) for i in range(3)]
+    rows += [("d", 20 + i, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    out = unimax_sample(df, "lang", "n_chars", "doc_id", 1.0, 2).collect()
+    from collections import Counter
+
+    per_doc = Counter((r["lang"], r["doc_id"]) for r in out)
+    # a, b: epochs_r = 2.0 exactly -> every doc exactly twice, tail never
+    for lang in ("a", "b"):
+        docs = {d for (l, d) in per_doc if l == lang}
+        assert all(per_doc[(lang, d)] == 2 for d in docs)
+    # c: epochs 1.666667 -> each doc 1 or 2 times
+    assert all(per_doc[("c", 10 + i)] in (1, 2) for i in range(3))
+    # d: epochs 0.5 -> each doc at most once, and the tail kept SOME
+    d_counts = [per_doc.get(("d", 20 + i), 0) for i in range(10)]
+    assert all(c in (0, 1) for c in d_counts)
+    assert 0 < sum(d_counts) < 10
+    # epoch ids are dense from 0 per stratum
+    assert {r["epoch"] for r in out if r["lang"] == "a"} == {0, 1}
+    # deterministic across partitionings
+    out2 = unimax_sample(
+        df.repartition(7), "lang", "n_chars", "doc_id", 1.0, 2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

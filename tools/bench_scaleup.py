@@ -396,6 +396,23 @@ def _lm_burstiness(docs):
     return lm_burstiness(docs, "doc_id", "text", F.col("lang") == "en")
 
 
+def _unimax_shards(docs):
+    from kafka_denormalization_spark.operators.sampling import unimax_sample
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+
+    mixed = unimax_sample(docs, "lang", "n_chars", "doc_id", 1.6, 2)
+    keyed = mixed.withColumn(
+        "_ekey",
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("epoch").cast("string")),
+    )
+    # shard count scales with the corpus (constant shard size)
+    n = docs.sparkSession.conf.get("bench.scaleup.n_rep", "1")
+    return shard_plan(keyed, "_ekey", n_shards=8 * int(n)).select(
+        "doc_id", "epoch", "shard_id", "pos"
+    )
+
+
 def _doremi(docs):
     from kafka_denormalization_spark.functions.text import lm_score
     from kafka_denormalization_spark.operators.sampling import doremi_weights
@@ -438,6 +455,7 @@ OPS = {
     "unimax_mixture": ("documents", "doc_id", _unimax, False),
     "doremi_weights": ("documents", "doc_id", _doremi, False),
     "lm_burstiness": ("documents", "doc_id", _lm_burstiness, False),
+    "unimax_shards": ("documents", "doc_id", _unimax_shards, False),
     # shift user_id (not event_id): scale-up should add USERS — shifting
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
