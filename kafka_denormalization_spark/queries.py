@@ -1725,6 +1725,41 @@ def q_v4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_v4_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation attribution: for EVERY input doc, the v4
+    stage that removed it ('line_strip', 'span_gate', 'lm_gate',
+    'nb_gate', 'mix_sampled_out') or 'shipped' — the row-level
+    complement to v4_funnel's counts, the table a data team joins
+    against complaints ("why is doc X missing from the build?"). One
+    presence flag per persisted stage frame, then a CASE cascade;
+    costs five doc_id-keyed left joins over frames the pipeline
+    materializes anyway."""
+    _, st = _corpus_v4_mixed(spark, sf_dir, return_stages=True)
+    out = st["input"].select("doc_id")
+    flags = [
+        ("_l", "line_stripped"),
+        ("_k", "span_kept"),
+        ("_m", "lm_survivors"),
+        ("_n", "nb_survivors"),
+        ("_s", "shipped"),
+    ]
+    for col, stage in flags:
+        out = out.join(
+            st[stage].select("doc_id").withColumn(col, F.lit(True)),
+            "doc_id",
+            "left",
+        )
+    status = (
+        F.when(F.col("_s"), F.lit("shipped"))
+        .when(F.col("_n"), F.lit("mix_sampled_out"))
+        .when(F.col("_m"), F.lit("nb_gate"))
+        .when(F.col("_k"), F.lit("lm_gate"))
+        .when(F.col("_l"), F.lit("span_gate"))
+        .otherwise(F.lit("line_strip"))
+    )
+    return out.select("doc_id", status.alias("status"))
+
+
 def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-5 composed curation pipeline — span-level dedup feeding
     an LM fluency gate: chunk-granular exact-substring dedup over the
@@ -3288,6 +3323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doremi_weights": q_doremi_weights,
     "lm_burstiness": q_lm_burstiness,
     "unimax_shards": q_unimax_shards,
+    "v4_attribution": q_v4_attribution,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3420,13 +3456,14 @@ _DRIVER_HEAD = [
     # round-8 additions, never in any driver artifact (the 5 late
     # corpus-audit/mixture ops lead); (b) 34 of the 37 names whose last
     # driver check is the r05 artifact (neither the r06 head nor the
-    # r07 head touched them) — the 5 dropped to fit (promo_revenue,
+    # r07 head touched them) — the 6 dropped to fit (promo_revenue,
     # rolling_zscore, nation_year_revenue, top_supplier,
-    # idle_rich_customers) are trivially-stable TPC-H shapes covered by
-    # the builder-side CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (18)
+    # idle_rich_customers, forecast_revenue) are trivially-stable TPC-H
+    # shapes covered by the builder-side CORRECTNESS_FULL regeneration.
+    # (a) round-8 additions (19)
     "quality_signals", "ngram_diversity", "source_overlap",
     "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
+    "v4_attribution",
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
     "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
@@ -3440,7 +3477,7 @@ _DRIVER_HEAD = [
     "ann_int8_topk", "exists_late_ship", "small_qty_revenue",
     "min_cost_per_part", "scd2_intervals", "volume_shipping",
     "returned_items", "late_shipment_priority", "disjunctive_revenue",
-    "user_journeys", "moving_average", "forecast_revenue",
+    "user_journeys", "moving_average",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4552,6 +4589,23 @@ ORACLE_SQL: dict[str, str] = {
     UNION ALL SELECT 3, 'lm_survivors', count(*) FROM lmsurv
     UNION ALL SELECT 4, 'nb_survivors', count(*) FROM surv
     UNION ALL SELECT 5, 'shipped', count(*) FROM shipped
+    """,
+    # per-doc drop attribution: presence cascade over the v4 stage CTEs
+    "v4_attribution": f"""
+    WITH {_V4_CTES_SQL}
+    SELECT d.doc_id,
+           CASE WHEN s.doc_id IS NOT NULL THEN 'shipped'
+                WHEN v.doc_id IS NOT NULL THEN 'mix_sampled_out'
+                WHEN l.doc_id IS NOT NULL THEN 'nb_gate'
+                WHEN k.doc_id IS NOT NULL THEN 'lm_gate'
+                WHEN d4.doc_id IS NOT NULL THEN 'span_gate'
+                ELSE 'line_strip' END AS status
+    FROM documents d
+    LEFT JOIN docs4 d4 ON d.doc_id = d4.doc_id
+    LEFT JOIN kept k ON d.doc_id = k.doc_id
+    LEFT JOIN lmsurv l ON d.doc_id = l.doc_id
+    LEFT JOIN surv v ON d.doc_id = v.doc_id
+    LEFT JOIN shipped s ON d.doc_id = s.doc_id
     """,
     "corpus_to_shards": f"""
     WITH {_V3_SHIPPED_CTES_SQL},

@@ -241,6 +241,9 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # (shared _lm_scored_rows pass)
         "unimax_shards",            # unimax_plan's 1-row k*-summary
                                     # broadcast (embeds unimax_sample)
+        "v4_attribution",           # the v4 chain's embedded lm/nb/mix
+                                    # 1-row broadcasts (same frames as
+                                    # corpus_pipeline_v4 / v4_funnel)
     }
     from kafka_denormalization_spark.plans import explain_str
 

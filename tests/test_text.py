@@ -738,3 +738,38 @@ def test_lm_burstiness_mean_matches_lm_score_and_spread_separates(spark):
     assert burst[1]["nll_std_r"] < burst[2]["nll_std_r"]
     assert burst[2]["nll_std_r"] > 0.1
     assert burst[3]["n_bigrams"] == 0 and burst[3]["nll_std_r"] is None
+
+
+def test_v4_attribution_consistent_with_funnel(spark):
+    """The per-doc status histogram must telescope exactly into the
+    funnel's stage survivor counts."""
+    from collections import Counter
+
+    from kafka_denormalization_spark.queries import (
+        q_v4_attribution,
+        q_v4_funnel,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hist = Counter(
+        r["status"] for r in q_v4_attribution(spark, sf).collect()
+    )
+    funnel = {
+        r["stage"]: r["n_docs"] for r in q_v4_funnel(spark, sf).collect()
+    }
+    assert sum(hist.values()) == funnel["input"]
+    assert hist["shipped"] == funnel["shipped"]
+    assert hist["shipped"] + hist["mix_sampled_out"] == funnel["nb_survivors"]
+    assert (
+        hist["shipped"] + hist["mix_sampled_out"] + hist["nb_gate"]
+        == funnel["lm_survivors"]
+    )
+    assert (
+        funnel["lm_survivors"] + hist["lm_gate"] == funnel["span_kept"]
+    )
+    assert funnel["span_kept"] + hist["span_gate"] == funnel["line_stripped"]
+    # every doc accounted for by exactly one stage
+    assert set(hist) <= {
+        "shipped", "mix_sampled_out", "nb_gate", "lm_gate",
+        "span_gate", "line_strip",
+    }
