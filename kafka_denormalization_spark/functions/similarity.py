@@ -1289,6 +1289,7 @@ def source_overlap(
     id_col: str,
     text_col: str,
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Cross-slice n-gram overlap audit: exact Jaccard similarity between
     the DISTINCT n-gram sets of every pair of corpus slices (sources,
@@ -1311,6 +1312,18 @@ def source_overlap(
     bounded by the slice count squared — slices are corpus metadata
     (dozens-to-thousands), never document-scale, so the fan-out is flat
     per gram. Slice sizes ride a |slices|-row broadcast.
+
+    ``max_df``: stop-gram guard for many-slice deployments — grams held
+    by MORE than ``max_df`` slices are dropped from BOTH the pair join
+    and the per-slice set sizes before any pair is emitted (one extra
+    |distinct grams|-row aggregation). A near-universal gram carries no
+    overlap signal (it inflates every pair's intersection AND union
+    roughly equally) but costs C(|slices|, 2) join rows; with thousands
+    of slices the cap bounds per-gram fan-out at C(max_df, 2). Jaccard
+    is then computed over the capped gram universe — a DIFFERENT (and
+    for ranking purposes sharper) statistic than the uncapped one, the
+    usual stop-word-removal caveat. Default None = exact over all
+    grams.
     """
     toks = docs.select(
         F.col(group_col).alias("_grp"),
@@ -1334,6 +1347,16 @@ def source_overlap(
             .drop("_last")
         )
     gset = grams.filter(F.col("_g") != "").distinct()
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(f"max_df must be >= 2, got {max_df}")
+        keep = (
+            gset.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_g")
+        )
+        gset = gset.join(keep, "_g")
     sizes = gset.groupBy("_grp").agg(F.count(F.lit(1)).alias("_sz"))
     a = gset.select(F.col("_grp").alias("src_a"), "_g")
     b = gset.select(F.col("_grp").alias("src_b"), "_g")

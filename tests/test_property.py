@@ -533,3 +533,54 @@ def test_line_dedup_randomized_vs_model(spark):
         assert out[i]["text_clean"] == "\n".join(kept)
         assert out[i]["n_lines_kept"] == len(kept)
         assert out[i]["n_lines_removed"] == len(lines) - len(kept)
+
+
+def test_unimax_plan_invariants_randomized(spark):
+    """Waterfilling invariants against a reference sequential
+    implementation of the UniMax loop (Chung et al. 2023), over random
+    stratum-size profiles: per-stratum cap respected, budget never
+    exceeded, budget exhausted unless every stratum is cap-bound, all
+    budget-bound strata share one fair allocation, and the closed form
+    matches the loop exactly."""
+    import math
+
+    from kafka_denormalization_spark.operators.sampling import unimax_plan
+
+    rng = _random.Random(80811)
+    for trial in range(6):
+        n_strata = rng.randint(1, 8)
+        sizes = {f"s{i:02d}": rng.randint(1, 1000) for i in range(n_strata)}
+        cap = rng.randint(1, 4)
+        frac = rng.uniform(0.05, float(cap))
+        df = spark.createDataFrame(
+            [(k, v) for k, v in sizes.items()], "lang string, n_chars long"
+        )
+        got = {
+            r["lang"]: r
+            for r in unimax_plan(df, "lang", "n_chars", frac, cap).collect()
+        }
+        # reference: the paper's sequential loop, smallest-first
+        total = sum(sizes.values())
+        budget = math.floor(frac * total)
+        order = sorted(sizes, key=lambda k: (sizes[k], k))
+        remaining, ref = budget, {}
+        for j, k in enumerate(order):
+            left = len(order) - j
+            fair = remaining / left
+            alloc = min(cap * sizes[k], fair)
+            ref[k] = alloc
+            remaining -= alloc
+        for k in sizes:
+            assert abs(got[k]["alloc_weight_r"] - round(ref[k], 9)) < 1e-6, (
+                trial, k, got[k], ref[k])
+            assert got[k]["alloc_weight_r"] <= cap * sizes[k] + 1e-9
+        spent = sum(got[k]["alloc_weight_r"] for k in sizes)
+        all_capped = all(got[k]["capped"] for k in sizes)
+        if all_capped:
+            assert abs(spent - cap * total) < 1e-6 or spent <= budget + 1e-6
+        else:
+            assert abs(spent - budget) < 1e-4  # budget exhausted
+            uncapped = sorted(
+                got[k]["alloc_weight_r"] for k in sizes if not got[k]["capped"]
+            )
+            assert uncapped[-1] - uncapped[0] < 1e-6  # one fair share

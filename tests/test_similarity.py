@@ -590,3 +590,44 @@ def test_source_overlap_dedups_gram_multiplicity(spark):
     r = rows[0]
     assert r["n_grams_a"] == 1 and r["n_grams_b"] == 1 and r["n_common"] == 1
     assert r["jaccard_r"] == 1.0
+
+
+def test_source_overlap_max_df_drops_universal_grams(spark):
+    """Stop-gram guard: a gram present in every source is excluded from
+    BOTH intersections and set sizes; pair structure over the remaining
+    grams is unchanged."""
+    from kafka_denormalization_spark.functions.similarity import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "u1 u2 u3 w1 w2 w3 w4"),
+            (2, "B", "u1 u2 u3 w2 w3 w4 w5"),
+            (3, "C", "u1 u2 u3"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    # uncapped: 'u1 u2 u3' is in all three sources -> C appears in pairs
+    full = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(df, "source", "doc_id", "text", n=3).collect()
+    }
+    assert set(full) == {("A", "B"), ("A", "C"), ("B", "C")}
+    # capped at df<=2: the universal trigram drops; C has no grams left
+    capped = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(
+            df, "source", "doc_id", "text", n=3, max_df=2
+        ).collect()
+    }
+    assert set(capped) == {("A", "B")}
+    r = capped[("A", "B")]
+    # A keeps {u2 u3 w1, u3 w1 w2, w1 w2 w3, w2 w3 w4}; B keeps its 4
+    # non-universal trigrams; shared: 'w2 w3 w4'
+    assert r["n_grams_a"] == 4 and r["n_grams_b"] == 4
+    assert r["n_common"] == 1
+    assert r["jaccard_r"] == round(1 / 7, 9)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        source_overlap(df, "source", "doc_id", "text", n=3, max_df=1)
