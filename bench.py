@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "doremi_weights",
     "lm_burstiness",
     "unimax_shards",
+    "signal_filter",
 ]
 
 

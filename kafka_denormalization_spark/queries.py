@@ -1597,6 +1597,22 @@ def _corpus_v4_mixed(
     from kafka_denormalization_spark.operators.chunking import span_dedup
     from kafka_denormalization_spark.operators.sampling import temperature_sample
 
+    def _stage(df):
+        # observability consumers (v4_funnel's counts, v4_attribution's
+        # per-doc cascade) reference EVERY stage frame inside one plan;
+        # without lineage truncation the analyzed plan repeats the whole
+        # chain once per stage, and the plan TREE alone OOMs a
+        # default-1g driver session (measured: v4_funnel fails on a
+        # fresh vanilla local[8] at sf0.01). localCheckpoint stores the
+        # same MEMORY_AND_DISK data but swaps the subtree for a
+        # LogicalRDD leaf, so each extra consumer costs O(1) plan. The
+        # single-consumer pipeline query keeps the pure-lazy persist
+        # (one chain copy analyzes fine, and lineage survives for
+        # executor-loss recompute at cluster scale).
+        if not return_stages:
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df.localCheckpoint(eager=True)
+
     docs = table(spark, sf_dir, "documents")
     stripped = text_fns.line_dedup(
         _docs_with_lines(spark, sf_dir), "doc_id", "lines",
@@ -1618,8 +1634,8 @@ def _corpus_v4_mixed(
         .select(
             "doc_id", F.col("text_clean").alias("text"), "lang", "source"
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    docs4 = _stage(docs4)
     sd = span_dedup(docs4, "doc_id", "text", chunk_tokens=16)
     kept = (
         sd.join(docs4.select("doc_id", "lang", "source"), "doc_id")
@@ -1631,15 +1647,16 @@ def _corpus_v4_mixed(
             "doc_id", "lang", "source", "text_dedup",
             F.length("text_dedup").cast("long").alias("n_chars_dedup"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    kept = _stage(kept)
     lm = text_fns.lm_score(kept, "doc_id", "text_dedup", F.col("lang") == "en")
     lm_surv = kept.join(
         lm.filter(
             (F.col("n_bigrams") >= 1) & (F.col("nll_r") <= LM_NLL_CUTOFF)
         ).select("doc_id"),
         "doc_id",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lm_surv = _stage(lm_surv)
     nb = text_fns.nb_quality_score(
         lm_surv, "doc_id", "text_dedup", F.col("source").isin(NB_SEED_SOURCES)
     )
@@ -1648,7 +1665,8 @@ def _corpus_v4_mixed(
     # chain re-runs per read (~2x its 3.9 s at sf0.1)
     surv = lm_surv.join(
         nb.filter(F.col("logodds_r") > 0).select("doc_id"), "doc_id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    surv = _stage(surv)
     mixed = temperature_sample(
         surv, "lang", "n_chars_dedup", "doc_id",
         alpha=0.5, salt=V4_SALT, budget_frac=TEMP_BUDGET_FRAC,
@@ -3173,6 +3191,33 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.quality_signals(docs, "doc_id", "text")
 
 
+# signal-gate thresholds (C4/Gopher-flavored rules over the RPv2-style
+# signal table): repetitive boilerplate (low type-token ratio, dominant
+# modal word) and fluency-free token soup (no stopwords) are dropped
+SIG_MIN_WORDS = 20
+SIG_MIN_UNIQUE = 0.3
+SIG_MAX_TOP_WORD = 0.2
+SIG_MIN_STOP = 0.02
+
+
+def q_signal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold gate OVER the quality_signals table (the RPv2 pattern:
+    signals computed once, every downstream filter is a cheap predicate
+    on the flat table instead of a text re-scan): keeps docs with
+    enough words, a healthy type-token ratio, no dominant modal word,
+    and nonzero stopword density. Returns the surviving signal rows —
+    at scale the predicate pushes into the signal table's parquet
+    scan."""
+    docs = table(spark, sf_dir, "documents")
+    sig = text_fns.quality_signals(docs, "doc_id", "text")
+    return sig.filter(
+        (F.col("n_words") >= SIG_MIN_WORDS)
+        & (F.col("frac_unique_r") >= SIG_MIN_UNIQUE)
+        & (F.col("top_word_frac_r") <= SIG_MAX_TOP_WORD)
+        & (F.col("stop_frac_r") >= SIG_MIN_STOP)
+    )
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n lexical-diversity profile per language slice
     (functions/text.py ngram_diversity; Li et al. 2016 distinct-1/2 as
@@ -3324,6 +3369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_burstiness": q_lm_burstiness,
     "unimax_shards": q_unimax_shards,
     "v4_attribution": q_v4_attribution,
+    "signal_filter": q_signal_filter,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3456,14 +3502,15 @@ _DRIVER_HEAD = [
     # round-8 additions, never in any driver artifact (the 5 late
     # corpus-audit/mixture ops lead); (b) 34 of the 37 names whose last
     # driver check is the r05 artifact (neither the r06 head nor the
-    # r07 head touched them) — the 6 dropped to fit (promo_revenue,
+    # r07 head touched them) — the 7 dropped to fit (promo_revenue,
     # rolling_zscore, nation_year_revenue, top_supplier,
-    # idle_rich_customers, forecast_revenue) are trivially-stable TPC-H
-    # shapes covered by the builder-side CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (19)
+    # idle_rich_customers, forecast_revenue, moving_average) are
+    # trivially-stable TPC-H shapes covered by the builder-side
+    # CORRECTNESS_FULL regeneration.
+    # (a) round-8 additions (20)
     "quality_signals", "ngram_diversity", "source_overlap",
     "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
-    "v4_attribution",
+    "v4_attribution", "signal_filter",
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
     "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
@@ -3477,7 +3524,7 @@ _DRIVER_HEAD = [
     "ann_int8_topk", "exists_late_ship", "small_qty_revenue",
     "min_cost_per_part", "scd2_intervals", "volume_shipping",
     "returned_items", "late_shipment_priority", "disjunctive_revenue",
-    "user_journeys", "moving_average",
+    "user_journeys",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -3921,6 +3968,45 @@ _V3_SHIPPED_CTES_SQL: str = f"""{_SPAN_CTES_SQL},
 # epoch_shards oracles (single source of truth mirroring
 # operators/sampling.py epoch_mixture_sample): plan from the rounded
 # grid, then the per-(doc, epoch) materialization as CTE `em`.
+# RPv2-style quality-signal CTE chain through CTE ``qsig`` — shared by
+# the quality_signals and signal_filter oracles; mirrors
+# functions/text.py quality_signals.
+_QSIG_CTES_SQL: str = f"""qd AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_filter({_TOKS_SQL}, x -> x != '') AS w
+      FROM documents
+    ), qbase AS (
+      SELECT doc_id, n_chars, len(w) AS wc,
+             CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                  AS BIGINT) AS wchars,
+             len(list_distinct(w)) AS uniq,
+             len(list_filter(w, x -> list_contains([{_SW_LIST}], x))) AS stop
+      FROM qd
+    ), qtop AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, w1, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS w1 FROM qd)
+        GROUP BY doc_id, w1
+      ) GROUP BY doc_id
+    ), qsig AS (
+      SELECT b.doc_id,
+             CAST(wc AS BIGINT) AS n_words,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CASE WHEN wc > 0
+                  THEN round(CAST(wchars AS DOUBLE) / wc, 9)
+             END AS mean_word_len_r,
+             CASE WHEN wc > 0
+                  THEN round(CAST(uniq AS DOUBLE) / wc, 9)
+             END AS frac_unique_r,
+             CASE WHEN wc > 0
+                  THEN round(CAST(topc AS DOUBLE) / wc, 9)
+             END AS top_word_frac_r,
+             CASE WHEN wc > 0
+                  THEN round(CAST(stop AS DOUBLE) / wc, 9)
+             END AS stop_frac_r
+      FROM qbase b LEFT JOIN qtop USING (doc_id)
+    )"""
+
 # UniMax waterfilling CTE chain through CTE ``uplan`` (lang, sz, capped,
 # alloc_weight_r, epochs_r) — shared by the unimax_mixture and
 # unimax_shards oracles; mirrors operators/sampling.py unimax_plan.
@@ -5926,36 +6012,17 @@ ORACLE_SQL: dict[str, str] = {
     # ratio grid; the '' token from splitting empty text is filtered
     # (the _dsir_gram_rows convention)
     "quality_signals": f"""
-    WITH d AS (
-      SELECT doc_id, length(text) AS n_chars,
-             list_filter({_TOKS_SQL}, x -> x != '') AS w
-      FROM documents
-    ), base AS (
-      SELECT doc_id, n_chars, len(w) AS wc,
-             CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
-                  AS BIGINT) AS wchars,
-             len(list_distinct(w)) AS uniq,
-             len(list_filter(w, x -> list_contains([{_SW_LIST}], x))) AS stop
-      FROM d
-    ), top AS (
-      SELECT doc_id, max(c) AS topc FROM (
-        SELECT doc_id, w1, count(*) AS c
-        FROM (SELECT doc_id, unnest(w) AS w1 FROM d)
-        GROUP BY doc_id, w1
-      ) GROUP BY doc_id
-    )
-    SELECT b.doc_id,
-           CAST(wc AS BIGINT) AS n_words,
-           CAST(n_chars AS BIGINT) AS n_chars,
-           CASE WHEN wc > 0
-                THEN round(CAST(wchars AS DOUBLE) / wc, 9) END AS mean_word_len_r,
-           CASE WHEN wc > 0
-                THEN round(CAST(uniq AS DOUBLE) / wc, 9) END AS frac_unique_r,
-           CASE WHEN wc > 0
-                THEN round(CAST(topc AS DOUBLE) / wc, 9) END AS top_word_frac_r,
-           CASE WHEN wc > 0
-                THEN round(CAST(stop AS DOUBLE) / wc, 9) END AS stop_frac_r
-    FROM base b LEFT JOIN top USING (doc_id)
+    WITH {_QSIG_CTES_SQL}
+    SELECT * FROM qsig
+    """,
+    # threshold gate over the signal table (the RPv2 consumer pattern)
+    "signal_filter": f"""
+    WITH {_QSIG_CTES_SQL}
+    SELECT * FROM qsig
+    WHERE n_words >= {SIG_MIN_WORDS}
+      AND frac_unique_r >= {SIG_MIN_UNIQUE}
+      AND top_word_frac_r <= {SIG_MAX_TOP_WORD}
+      AND stop_frac_r >= {SIG_MIN_STOP}
     """,
     # distinct-n diversity per language: one gram pass per n, grams
     # never cross document boundaries

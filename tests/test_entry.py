@@ -31,3 +31,23 @@ def test_all_queries_run_smoke(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_correctness_full_artifact_is_fresh():
+    """CORRECTNESS_FULL.json must cover the ENTIRE current registry —
+    a query registered after the last tools/ci_gate.sh run reddens the
+    suite until the artifact is regenerated (closes the round-6 ADVICE
+    gap where two late registrations shipped with no oracle evidence
+    in any committed artifact)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_FULL.json")
+    rows = json.load(open(path))
+    names = {r["name"] for r in rows} if isinstance(rows, list) else set(rows)
+    registry = set(entry_mod.queries())
+    missing = registry - names
+    assert not missing, (
+        f"CORRECTNESS_FULL.json is stale: {sorted(missing)} registered but "
+        "never oracle-checked — rerun tools/ci_gate.sh"
+    )
