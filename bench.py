@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "lm_burstiness",
     "unimax_shards",
     "signal_filter",
+    "cluster_size_histogram",
 ]
 
 

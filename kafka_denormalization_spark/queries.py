@@ -1230,6 +1230,43 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-yield report: the distribution of near-duplicate cluster
+    sizes (singletons included) with per-size doc and removable-copy
+    totals — the one-table answer to "how much does near-dedup buy on
+    this corpus" and the first thing to diff when a crawl's duplication
+    profile shifts. Rides the session-memoized LSH pair table and the
+    bounded label-propagation components; the histogram itself is two
+    tiny aggregations."""
+    from kafka_denormalization_spark.functions.graph import connected_components
+
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_c")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(cc, "doc_id", "left").select(
+        F.coalesce(F.col("_c"), F.col("doc_id")).alias("_cluster")
+    )
+    sizes = labeled.groupBy("_cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (correctness baseline for LSH)."""
     docs = table(spark, sf_dir, "documents")
@@ -3370,6 +3407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_shards": q_unimax_shards,
     "v4_attribution": q_v4_attribution,
     "signal_filter": q_signal_filter,
+    "cluster_size_histogram": q_cluster_size_histogram,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3499,18 +3537,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _DRIVER_HEAD = [
     # --- round-8 head: never-checked additions + every r05-stale name ---
     # Selection rule (continues the r06/r07 rotation): (a) ALL 16
-    # round-8 additions, never in any driver artifact (the 5 late
-    # corpus-audit/mixture ops lead); (b) 34 of the 37 names whose last
+    # round-8 additions, never in any driver artifact (the late
+    # corpus-audit/mixture ops lead); (b) 29 of the 37 names whose last
     # driver check is the r05 artifact (neither the r06 head nor the
-    # r07 head touched them) — the 7 dropped to fit (promo_revenue,
+    # r07 head touched them) — the 8 dropped to fit (promo_revenue,
     # rolling_zscore, nation_year_revenue, top_supplier,
-    # idle_rich_customers, forecast_revenue, moving_average) are
-    # trivially-stable TPC-H shapes covered by the builder-side
-    # CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (20)
+    # idle_rich_customers, forecast_revenue, moving_average,
+    # user_journeys) are trivially-stable TPC-H/event shapes covered by
+    # the builder-side CORRECTNESS_FULL regeneration.
+    # (a) round-8 additions (21)
     "quality_signals", "ngram_diversity", "source_overlap",
     "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
-    "v4_attribution", "signal_filter",
+    "v4_attribution", "signal_filter", "cluster_size_histogram",
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
     "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
@@ -3524,7 +3562,6 @@ _DRIVER_HEAD = [
     "ann_int8_topk", "exists_late_ship", "small_qty_revenue",
     "min_cost_per_part", "scd2_intervals", "volume_shipping",
     "returned_items", "late_shipment_priority", "disjunctive_revenue",
-    "user_journeys",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -5242,6 +5279,31 @@ ORACLE_SQL: dict[str, str] = {
       SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
     )
     SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node
+    """,
+    # dedup-yield histogram: closure + singleton fill + two aggregations
+    "cluster_size_histogram": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    labeled AS (
+      SELECT coalesce(c.cluster, d.doc_id) AS cl
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    ),
+    sizes AS (SELECT cl, count(*) AS cluster_size FROM labeled GROUP BY cl)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
     """,
     "cluster_dedup_docs": f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),

@@ -464,3 +464,64 @@ def test_frozen_boilerplate_and_nb_filter_e2e(spark, tmp_path):
     assert sorted(got) == sorted(ref)
     for d in got:
         assert got[d]["shard_id"] == ref[d]["shard_id"]
+
+
+def test_signal_gate_pre_transform_e2e(spark, tmp_path):
+    """quality_signals thresholds as the stateless pre_transform: docs
+    failing the signal gate (dominant modal word / no stopwords) never
+    reach the span stage or ship; the streamed shipped set equals the
+    batch chain over the gate's survivors."""
+    from kafka_denormalization_spark.functions.text import quality_signals
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+    from kafka_denormalization_spark.streaming.ingest_curation import (
+        IngestCuration,
+    )
+
+    good1 = "the quick fox of the north is it going to the river tonight"
+    good2 = "a calm sea and a long wind carry the boat to harbor at dawn"
+    spam = " ".join(["buy"] * 12)          # top_word_frac 1.0 -> gated
+    soup = _tok_run("z", 12)               # zero stopwords -> gated
+    batches = [
+        [(1, good1), (2, spam)],
+        [(3, good2), (4, soup)],
+    ]
+
+    def signal_gate(df):
+        sig = quality_signals(df, "doc_id", "text")
+        keep = sig.filter(
+            (sig.n_words >= 10)
+            & (sig.frac_unique_r >= 0.3)
+            & (sig.top_word_frac_r <= 0.25)
+            & (sig.stop_frac_r >= 0.02)
+        ).select("doc_id")
+        return df.join(keep, "doc_id")
+
+    cur = IngestCuration(
+        spark, str(tmp_path / "state"), "doc_id", "text",
+        n_shards=4, chunk_tokens=4, pre_transform=signal_gate,
+    )
+    shipped = []
+    for batch in batches:
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        shipped.extend(r.asDict() for r in cur.process_batch(df).collect())
+    got = {r["doc_id"]: r for r in shipped}
+    assert set(got) == {1, 3}
+
+    # batch reference over the union with the same gate
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    gated = signal_gate(union)
+    spanned = span_dedup(gated, "doc_id", "text", chunk_tokens=4)
+    surv = spanned.filter(
+        (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
+        & (F.length("text_dedup") > 0)
+    )
+    ref = {
+        r["doc_id"]: r
+        for r in shard_plan(surv, "doc_id", n_shards=4, salt="shard").collect()
+    }
+    assert sorted(got) == sorted(ref)
+    for d in got:
+        assert got[d]["shard_id"] == ref[d]["shard_id"]
