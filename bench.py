@@ -138,6 +138,11 @@ BENCH_QUERIES = [
     "unimax_shards",
     "signal_filter",
     "cluster_size_histogram",
+    "cross_source_dups",
+    "dedup_mixture_shift",
+    "dedup_weights",
+    "zipf_fit",
+    "contamination_scrub",
 ]
 
 

@@ -9,9 +9,12 @@ Stages (each also an oracle-checked ``queries()`` entry):
   5. per-source mix sampling (operators.sampling.stratified_sample)
   6. chunk + pack         (operators.chunking — 64-token chunks into
                            256-token context windows)
+  7. shard + materialize  (operators.sharding.shard_plan_bytes ->
+                           sources.corpus_io JSONL write, read-back,
+                           manifest verification — the loader handoff)
 
 Everything composes into lazy DataFrames; the only materializations are
-the two ``show``s at the end.
+the ``show``s and the shard write at the end.
 
 Run: python examples/training_corpus.py [sf_dir]
 """
@@ -78,6 +81,33 @@ def main() -> None:
         F.countDistinct("pack_id").alias("n_packs"),
         F.sum("n_tokens").alias("total_tokens"),
     ).orderBy("source").show()
+
+    # 7. loader handoff: byte-balanced shard layout -> one ordered JSONL
+    # file per shard -> read back -> verify the manifest before trusting it
+    import tempfile
+
+    from kafka_denormalization_spark.operators.sharding import shard_plan_bytes
+    from kafka_denormalization_spark.sources.corpus_io import (
+        read_corpus_shards,
+        verify_corpus_shards,
+        write_corpus_shards,
+    )
+
+    plan = shard_plan_bytes(sampled, "doc_id", "n_chars", n_shards=4).select(
+        "doc_id", "text", "lang", "source", "n_chars", "shard_id", "pos"
+    )
+    out_dir = tempfile.mkdtemp(prefix="corpus_shards_")
+    write_corpus_shards(plan, out_dir, n_shards=4, fmt="jsonl")
+    back = read_corpus_shards(
+        spark,
+        out_dir,
+        schema=(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, pos long"
+        ),
+    )
+    mismatches = verify_corpus_shards(back, plan, "doc_id", "n_chars").count()
+    print(f"shards written to {out_dir}; manifest mismatches: {mismatches}")
     print("ingest metrics:", obs.get)
 
 

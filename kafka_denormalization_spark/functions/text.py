@@ -1720,3 +1720,128 @@ def lm_burstiness(
             F.col("nll_std_r"),
         )
     )
+
+
+def zipf_fit(docs: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
+    """Zipf power-law fit over the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) across the vocabulary — the one-row corpus-audit
+    answer to "does this corpus look like natural language". Natural text
+    sits near slope -1; boilerplate-heavy or template-generated corpora
+    flatten the head (slope > -0.8-ish), and a synthetic vocabulary
+    truncates the tail. Diffing the slope across crawl snapshots is a
+    cheap drift alarm before any model sees the data.
+
+    Determinism (cross-engine hash parity): per-row ln() values round to
+    the 9-decimal grid, then fold as DECIMAL(38,9) — exact, order-free
+    sums (the lm-score convention); the closed-form OLS scalars divide
+    identically-structured doubles, and the outputs round to 9.
+
+    Scale (100 TB): token counting is explode + hash-agg with map-side
+    combine (shuffle bounded by distinct tokens per partition). The
+    global frequency rank uses NO single-partition window — it decomposes
+    into (a) a distinct-frequency offsets table (one row per distinct
+    count value, cumulative window over that tiny table only) and (b) a
+    per-frequency ``row_number`` partitioned by count — the
+    ``shard_plan_bytes`` decomposition. The fold to one row is a plain
+    aggregate. ``min_count`` trims the hapax tail (rank ties there carry
+    no fit information and dominate |V| otherwise).
+
+    Output: one row (vocab_size, zipf_slope, zipf_intercept). vocab_size
+    < 2 would make the OLS denominator 0 -> NaN; real corpora are far
+    from that edge.
+    """
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= int(min_count))
+    )
+    by_n = counts.groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy(F.col("_n").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = by_n.select(
+        "_n", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_n").orderBy("token")
+    ranked = counts.join(F.broadcast(offsets), "_n").withColumn(
+        "_rank", F.col("_off") + F.row_number().over(w_in)
+    )
+    x = F.round(F.log(F.col("_rank").cast("double")), 9)
+    y = F.round(F.log(F.col("_n").cast("double")), 9)
+    terms = ranked.select(
+        x.cast("decimal(38,9)").alias("_x"),
+        y.cast("decimal(38,9)").alias("_y"),
+        F.round(x * y, 9).cast("decimal(38,9)").alias("_xy"),
+        F.round(x * x, 9).cast("decimal(38,9)").alias("_xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("_nn"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_xy").alias("_sxy"),
+        F.sum("_xx").alias("_sxx"),
+    )
+    nn = F.col("_nn").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    raw = s.select(
+        F.col("_nn").cast("long").alias("vocab_size"),
+        ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)).alias("_slope"),
+        sx.alias("_sxd"),
+        sy.alias("_syd"),
+        nn.alias("_nd"),
+    )
+    return raw.select(
+        "vocab_size",
+        F.round(F.col("_slope"), 9).alias("zipf_slope"),
+        F.round(
+            (F.col("_syd") - F.col("_slope") * F.col("_sxd")) / F.col("_nd"), 9
+        ).alias("zipf_intercept"),
+    )
+
+
+def contamination_scrub(
+    docs: DataFrame, id_col: str, text_col: str, patterns: list[str]
+) -> DataFrame:
+    """Span-level decontamination: REMOVE benchmark needle strings from
+    document text instead of dropping the whole document (the
+    open-source eval-decontamination recipe when the document is
+    otherwise good training material — `contamination_scan` is the
+    detect/drop half, this is the rewrite half).
+
+    Per doc: every occurrence of every pattern is deleted (literal
+    replace-all, applied in list order), and ``n_hits`` counts total
+    occurrences on the ORIGINAL text — exact via the length-delta
+    identity occurrences = (len(t) - len(replace(t, p, ''))) / len(p),
+    all integer arithmetic.
+
+    Scale (100 TB): a chain of codegen literal `replace` expressions —
+    narrow, fully pipelined with the scan, no shuffle, no regex engine,
+    no Python. For needle sets beyond a few hundred the expression tree
+    stops scaling; that regime escalates to the gram-probe join
+    (`contamination_scan_join`) to FIND the docs, then scrubs only the
+    flagged slice with this pass — document-count-bounded, not
+    corpus-bounded.
+    """
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    orig = F.col(text_col)
+    t = orig
+    hits = F.lit(0).cast("long")
+    for p in patterns:
+        if not p:
+            raise ValueError("empty pattern")
+        occ = (
+            (F.length(orig) - F.length(F.replace(orig, F.lit(p), F.lit(""))))
+            / F.lit(len(p))
+        ).cast("long")
+        hits = hits + occ
+        t = F.replace(t, F.lit(p), F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        t.alias("text_scrubbed"),
+        hits.alias("n_hits"),
+    )

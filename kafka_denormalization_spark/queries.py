@@ -672,6 +672,22 @@ def q_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAMINATION_PATTERNS = ["hash join", "merge batch", "slow query", "zzz never zzz"]
 
 
+def _scrub_sql(patterns: list[str]) -> tuple[str, str]:
+    """DuckDB mirror of contamination_scrub: nested literal replaces in
+    list order + the length-delta occurrence sum on the original text."""
+    t = "text"
+    for p in patterns:
+        t = f"replace({t}, '{p}', '')"
+    hits = " + ".join(
+        f"((len(text) - len(replace(text, '{p}', ''))) // {len(p)})"
+        for p in patterns
+    )
+    return t, hits
+
+
+_SCRUB_TEXT_SQL, _SCRUB_HITS_SQL = _scrub_sql(CONTAMINATION_PATTERNS)
+
+
 def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text_fns.contamination_scan(docs, "doc_id", "text", CONTAMINATION_PATTERNS)
@@ -1265,6 +1281,163 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removable"),
         )
     )
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup attribution across sources: for each (canonical) source
+    pair, how many near-duplicate pairs link them and how many distinct
+    documents those pairs touch. Within-source rows (source_a =
+    source_b) expose internal crawl redundancy; cross-source rows expose
+    mirror/syndication overlap — the table that decides which source to
+    DROP rather than dedup when two feeds are near-copies of each other.
+
+    Scale (100 TB): rides the session-memoized LSH pair table, which is
+    orders of magnitude smaller than the corpus; the two source lookups
+    are equi-joins keyed by doc_id (pairs side tiny -> AQE picks the
+    broadcast build automatically when it fits). The source pair is
+    canonicalized least/greatest so (A,B) and (B,A) collapse. Grouping
+    key cardinality = |sources|^2 at most — a report-sized result.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    n_pairs = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    touched = (
+        j.select("source_a", "source_b", F.col("id_a").alias("_d"))
+        .union(j.select("source_a", "source_b", F.col("id_b").alias("_d")))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("_d").alias("n_docs"))
+    )
+    return n_pairs.join(touched, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition shift under near-dedup: per-source document counts
+    before and after cluster-correct dedup (components keep their min-id
+    representative). Near-dedup is not composition-neutral — duplicated
+    sources shrink disproportionately, silently re-weighting the training
+    mixture; this is the table a mixture designer checks BEFORE trusting
+    post-dedup temperature weights. Counts only (exact integers) — the
+    shares are the consumer's division.
+
+    Scale (100 TB): component labels come from the bounded label
+    propagation over the memoized LSH pairs (pair-graph-sized, not
+    corpus-sized); the left join back to documents is doc_id-keyed, and
+    the report is one hash aggregation with map-side combine.
+    """
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = docs.select("doc_id", "source").join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    kept = F.when(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(kept).alias("_kept"),
+        )
+        .select(
+            "source",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("_kept").cast("long").alias("n_after"),
+            (F.col("n_before") - F.col("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def q_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: benchmark needles deleted from text,
+    whole documents kept (functions/text.py contamination_scrub — the
+    rewrite complement to contamination_scan's detect/drop)."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.contamination_scrub(
+        docs, "doc_id", "text", CONTAMINATION_PATTERNS
+    )
+
+
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (the SoftDeDup idea: downweight instead of drop): every
+    document stays in the corpus but carries a sampling weight
+    1/near-dup-cluster-size, so each duplicate FAMILY contributes one
+    document's worth of expected training mass while hard dedup's
+    information loss (the dropped copies might carry distinct metadata or
+    formatting) is avoided. Feed ``weight_r`` to the temperature/epoch
+    samplers as a per-doc prior.
+
+    Determinism: weight is round(1/size, 9) — size is an exact integer,
+    the division is one double op, identical cross-engine.
+
+    Scale (100 TB): component labels from the bounded label propagation
+    over the memoized LSH pairs (pair-graph-sized); singleton docs join
+    nothing and default to weight 1.0; one doc_id-keyed left join + a
+    cluster-size aggregation over the (tiny) component table.
+    """
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
+    labeled = (
+        docs.select("doc_id", "lang", "source")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(sizes, "component", "left")
+    )
+    size = F.coalesce(F.col("_sz"), F.lit(1)).cast("long")
+    return labeled.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size.cast("double"), 9).alias("weight_r"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-audit: Zipf power-law fit (OLS of ln-freq on ln-rank over
+    the vocabulary) — see functions/text.py zipf_fit for the determinism
+    and no-global-window rank design."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.zipf_fit(docs, "text", min_count=2)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3408,6 +3581,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v4_attribution": q_v4_attribution,
     "signal_filter": q_signal_filter,
     "cluster_size_histogram": q_cluster_size_histogram,
+    "contamination_scrub": q_contamination_scrub,
+    "cross_source_dups": q_cross_source_dups,
+    "dedup_mixture_shift": q_dedup_mixture_shift,
+    "dedup_weights": q_dedup_weights,
+    "zipf_fit": q_zipf_fit,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3545,7 +3723,16 @@ _DRIVER_HEAD = [
     # idle_rich_customers, forecast_revenue, moving_average,
     # user_journeys) are trivially-stable TPC-H/event shapes covered by
     # the builder-side CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (21)
+    # (a) round-8 additions (26) — the five continuation-session
+    # corpus-audit/soft-dedup/decontamination ops (cross_source_dups,
+    # dedup_mixture_shift, dedup_weights, zipf_fit,
+    # contamination_scrub) lead as the newest never-checked names; to
+    # keep the head at 50 the five trivially-stable TPC-H shapes
+    # exists_late_ship, small_qty_revenue, min_cost_per_part,
+    # volume_shipping, returned_items moved to the
+    # CORRECTNESS_FULL-only tier with the other eight.
+    "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
+    "zipf_fit", "contamination_scrub",
     "quality_signals", "ngram_diversity", "source_overlap",
     "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
     "v4_attribution", "signal_filter", "cluster_size_histogram",
@@ -3559,9 +3746,8 @@ _DRIVER_HEAD = [
     "minhash_lsh_dedup", "leakage_safe_split", "packing_stats",
     "shard_plan", "shard_stats", "span_dedup", "kmeans_clusters",
     "semantic_dedup", "lm_perplexity", "quantize_embeddings",
-    "ann_int8_topk", "exists_late_ship", "small_qty_revenue",
-    "min_cost_per_part", "scd2_intervals", "volume_shipping",
-    "returned_items", "late_shipment_priority", "disjunctive_revenue",
+    "ann_int8_topk", "scd2_intervals",
+    "late_shipment_priority", "disjunctive_revenue",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -5304,6 +5490,132 @@ ORACLE_SQL: dict[str, str] = {
            CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
            CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
     FROM sizes GROUP BY cluster_size
+    """,
+    # near-dup source attribution: pair list + two source lookups
+    "cross_source_dups": f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    j AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.id_a, p.id_b
+      FROM pairs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+    ),
+    np AS (
+      SELECT source_a, source_b, count(*) AS n_pairs
+      FROM j GROUP BY source_a, source_b
+    ),
+    nd AS (
+      SELECT source_a, source_b, count(DISTINCT d) AS n_docs
+      FROM (
+        SELECT source_a, source_b, id_a AS d FROM j
+        UNION ALL
+        SELECT source_a, source_b, id_b AS d FROM j
+      ) GROUP BY source_a, source_b
+    )
+    SELECT np.source_a, np.source_b,
+           CAST(np.n_pairs AS BIGINT) AS n_pairs,
+           CAST(nd.n_docs AS BIGINT) AS n_docs
+    FROM np JOIN nd USING (source_a, source_b)
+    """,
+    # span-level decontamination: nested literal replaces + exact
+    # length-delta occurrence counting (integer arithmetic only)
+    "contamination_scrub": f"""
+    SELECT doc_id,
+           {_SCRUB_TEXT_SQL} AS text_scrubbed,
+           CAST({_SCRUB_HITS_SQL} AS BIGINT) AS n_hits
+    FROM documents
+    """,
+    # soft dedup: closure -> cluster sizes -> 1/size sampling weight
+    "dedup_weights": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    sizes AS (SELECT cluster, count(*) AS sz FROM clusters GROUP BY cluster)
+    SELECT d.doc_id, d.lang, d.source,
+           coalesce(c.cluster, d.doc_id) AS cluster,
+           CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+           round(1.0 / CAST(coalesce(s.sz, 1) AS DOUBLE), 9) AS weight_r
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.node
+    LEFT JOIN sizes s ON c.cluster = s.cluster
+    """,
+    # composition shift: closure -> per-source before/after counts
+    "dedup_mixture_shift": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.source,
+             CASE WHEN c.cluster IS NULL OR c.cluster = d.doc_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(kept) AS BIGINT) AS n_after,
+           CAST(count(*) - sum(kept) AS BIGINT) AS n_removed
+    FROM labeled GROUP BY source
+    """,
+    # Zipf OLS: 9-decimal-grid ln terms, DECIMAL(38,9) order-free folds,
+    # identically-structured double scalar math (functions/text.py zipf_fit)
+    "zipf_fit": f"""
+    WITH counts AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+      GROUP BY token HAVING count(*) >= 2
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM counts
+    ),
+    terms AS (
+      SELECT
+        CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(38,9)) AS x,
+        CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(38,9)) AS y,
+        CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
+                   * round(ln(CAST(n AS DOUBLE)), 9), 9)
+             AS DECIMAL(38,9)) AS xy,
+        CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
+                   * round(ln(CAST(r AS DOUBLE)), 9), 9)
+             AS DECIMAL(38,9)) AS xx
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS nn,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+      FROM terms
+    ),
+    raw AS (
+      SELECT CAST(nn AS BIGINT) AS vocab_size,
+             (CAST(nn AS DOUBLE) * sxy - sx * sy)
+               / (CAST(nn AS DOUBLE) * sxx - sx * sx) AS slope,
+             sx AS sxd, sy AS syd, CAST(nn AS DOUBLE) AS nd
+      FROM s
+    )
+    SELECT vocab_size,
+           round(slope, 9) AS zipf_slope,
+           round((syd - slope * sxd) / nd, 9) AS zipf_intercept
+    FROM raw
     """,
     "cluster_dedup_docs": f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),

@@ -631,3 +631,63 @@ def test_source_overlap_max_df_drops_universal_grams(spark):
 
     with pytest.raises(ValueError):
         source_overlap(df, "source", "doc_id", "text", n=3, max_df=1)
+
+
+def test_cross_source_dups_invariants(spark):
+    """Pair mass is conserved: per-source-pair counts sum to the LSH pair
+    table; source pairs are canonicalized; touched-doc counts are bounded
+    by 2x pairs."""
+    from kafka_denormalization_spark.queries import (
+        q_cross_source_dups,
+        _lsh_pairs_shared,
+    )
+
+    out = q_cross_source_dups(spark, SF_DIR).collect()
+    n_pairs_total = _lsh_pairs_shared(spark, SF_DIR).count()
+    assert sum(r["n_pairs"] for r in out) == n_pairs_total
+    for r in out:
+        assert r["source_a"] <= r["source_b"]
+        assert 2 <= r["n_docs"] <= 2 * r["n_pairs"]
+
+
+def test_dedup_mixture_shift_telescopes(spark):
+    """Before/after counts telescope into the corpus total and the
+    cluster-dedup survivor count; removed = before - after per source."""
+    from kafka_denormalization_spark.engine import table
+    from kafka_denormalization_spark.queries import (
+        q_cluster_dedup_docs,
+        q_dedup_mixture_shift,
+    )
+
+    out = q_dedup_mixture_shift(spark, SF_DIR).collect()
+    total = table(spark, SF_DIR, "documents").count()
+    survivors = q_cluster_dedup_docs(spark, SF_DIR).count()
+    assert sum(r["n_before"] for r in out) == total
+    assert sum(r["n_after"] for r in out) == survivors
+    for r in out:
+        assert r["n_removed"] == r["n_before"] - r["n_after"]
+        assert 0 <= r["n_after"] <= r["n_before"]
+
+
+def test_dedup_weights_mass_per_cluster_is_one(spark):
+    """Soft dedup: each near-dup family carries exactly one document of
+    expected mass (sum of weights per cluster == 1), singletons weigh 1.0,
+    and every input doc survives with a weight."""
+    from kafka_denormalization_spark.engine import table
+    from kafka_denormalization_spark.queries import q_dedup_weights
+
+    out = q_dedup_weights(spark, SF_DIR).collect()
+    assert len(out) == table(spark, SF_DIR, "documents").count()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    multi = 0
+    for rows in by_cluster.values():
+        assert abs(sum(r["weight_r"] for r in rows) - 1.0) < 1e-6
+        for r in rows:
+            assert r["cluster_size"] == len(rows)
+        if len(rows) == 1:
+            assert rows[0]["weight_r"] == 1.0
+        else:
+            multi += 1
+    assert multi >= 1  # fixture actually exercises the non-singleton path

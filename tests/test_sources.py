@@ -288,3 +288,133 @@ def test_observe_metrics_streaming(spark, tmp_path):
     assert m["n_docs"] == 3
     assert m["total_chars"] == 14
     assert m["n_empty"] == 1
+
+
+class TestCorpusIO:
+    def _plan(self, spark):
+        from kafka_denormalization_spark.engine import table
+        from kafka_denormalization_spark.operators.sharding import (
+            shard_plan_bytes,
+        )
+
+        docs = table(spark, "/root/testdata/sf0.001", "documents")
+        return shard_plan_bytes(docs, "doc_id", "n_chars", n_shards=4).select(
+            "doc_id", "text", "lang", "source", "n_chars", "shard_id", "pos"
+        )
+
+    def test_jsonl_roundtrip_verifies_against_plan(self, spark, tmp_path):
+        from kafka_denormalization_spark.sources.corpus_io import (
+            read_corpus_shards,
+            verify_corpus_shards,
+            write_corpus_shards,
+        )
+
+        plan = self._plan(spark)
+        out = str(tmp_path / "shards")
+        write_corpus_shards(plan, out, n_shards=4, fmt="jsonl")
+        back = read_corpus_shards(
+            spark,
+            out,
+            schema=(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long, pos long"
+            ),
+        )
+        assert back.count() == plan.count()
+        # full-fidelity roundtrip, not just counts
+        assert (
+            back.select("doc_id", "shard_id", "pos")
+            .exceptAll(plan.select("doc_id", "shard_id", "pos"))
+            .count()
+            == 0
+        )
+        mism = verify_corpus_shards(back, plan, "doc_id", "n_chars")
+        assert mism.count() == 0
+
+    def test_each_shard_is_one_file_ordered_by_pos(self, spark, tmp_path):
+        import glob
+        import json
+
+        from kafka_denormalization_spark.sources.corpus_io import (
+            write_corpus_shards,
+        )
+
+        plan = self._plan(spark)
+        out = str(tmp_path / "shards")
+        write_corpus_shards(plan, out, n_shards=4, fmt="jsonl")
+        shard_dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+        assert len(shard_dirs) == 4
+        for d in shard_dirs:
+            files = [
+                f for f in glob.glob(f"{d}/part-*") if not f.endswith(".crc")
+            ]
+            assert len(files) == 1, f"{d} has {len(files)} part files"
+            positions = [
+                json.loads(line)["pos"] for line in open(files[0])
+            ]
+            assert positions == sorted(positions)
+            # dense 0-based per shard (shard_plan_bytes contract)
+            assert positions[0] == 0
+
+    def test_verify_flags_tampered_layout(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from kafka_denormalization_spark.sources.corpus_io import (
+            read_corpus_shards,
+            verify_corpus_shards,
+            write_corpus_shards,
+        )
+
+        plan = self._plan(spark)
+        out = str(tmp_path / "shards")
+        write_corpus_shards(plan, out, n_shards=4, fmt="jsonl")
+        back = read_corpus_shards(
+            spark,
+            out,
+            schema=(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long, pos long"
+            ),
+        )
+        # a pos swap inside shard 0 keeps counts/bytes/envelope identical;
+        # only the (id @ pos) checksum can catch it
+        lo = F.col("shard_id") == 0
+        swapped = back.withColumn(
+            "pos",
+            F.when(lo & (F.col("pos") == 0), F.lit(1))
+            .when(lo & (F.col("pos") == 1), F.lit(0))
+            .otherwise(F.col("pos")),
+        )
+        mism = verify_corpus_shards(swapped, plan, "doc_id", "n_chars")
+        rows = mism.collect()
+        assert len(rows) == 1 and rows[0]["shard_id"] == 0
+        assert rows[0]["plan_checksum"] != rows[0]["got_checksum"]
+        # and a dropped shard surfaces as a NULL-sided row
+        partial = back.filter(F.col("shard_id") != 3)
+        mism2 = verify_corpus_shards(partial, plan, "doc_id", "n_chars")
+        assert any(r["shard_id"] == 3 for r in mism2.collect())
+
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        from kafka_denormalization_spark.sources.corpus_io import (
+            read_corpus_shards,
+            verify_corpus_shards,
+            write_corpus_shards,
+        )
+
+        plan = self._plan(spark)
+        out = str(tmp_path / "pshards")
+        write_corpus_shards(plan, out, n_shards=4, fmt="parquet")
+        back = read_corpus_shards(spark, out, fmt="parquet")
+        assert back.count() == plan.count()
+        assert dict(back.dtypes)["shard_id"] == "bigint"
+        assert verify_corpus_shards(back, plan, "doc_id", "n_chars").count() == 0
+
+    def test_bad_format_rejected(self, spark, tmp_path):
+        import pytest
+
+        from kafka_denormalization_spark.sources.corpus_io import (
+            write_corpus_shards,
+        )
+
+        with pytest.raises(ValueError, match="fmt"):
+            write_corpus_shards(self._plan(spark), str(tmp_path / "x"), 4, fmt="csv")

@@ -773,3 +773,74 @@ def test_v4_attribution_consistent_with_funnel(spark):
         "shipped", "mix_sampled_out", "nb_gate", "lm_gate",
         "span_gate", "line_strip",
     }
+
+
+def test_zipf_fit_hand_computed(spark):
+    import math
+
+    # counts: a=5 (rank 1), b=3 (rank 2, token-asc tiebreak), c=3 (rank 3);
+    # d appears once -> trimmed by min_count=2
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a b c c d")],
+        "doc_id long, text string",
+    )
+    row = T.zipf_fit(df, "text", min_count=2).collect()[0]
+    assert row["vocab_size"] == 3
+    xs = [round(math.log(r), 9) for r in (1, 2, 3)]
+    ys = [round(math.log(n), 9) for n in (5, 3, 3)]
+    n = 3.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 9) for x, y in zip(xs, ys))
+    sxx = sum(round(x * x, 9) for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert abs(row["zipf_slope"] - slope) < 1e-8
+    assert abs(row["zipf_intercept"] - intercept) < 1e-8
+    # more frequent -> lower rank, so the fit slopes down
+    assert row["zipf_slope"] < 0
+
+
+def test_zipf_fit_rank_tiebreak_is_token_asc(spark):
+    """Equal-frequency tokens rank in token order — the decomposed
+    (offset + per-frequency row_number) rank must match a single global
+    (count desc, token asc) ordering exactly."""
+    df = spark.createDataFrame(
+        [(1, "z z y y x x w w")], "doc_id long, text string"
+    )
+    # all four tokens have count 2: ranks w=1 x=2 y=3 z=4; any other
+    # assignment changes sxy and therefore the slope
+    import math
+
+    row = T.zipf_fit(df, "text", min_count=2).collect()[0]
+    assert row["vocab_size"] == 4
+    xs = [round(math.log(r), 9) for r in (1, 2, 3, 4)]
+    ys = [round(math.log(2), 9)] * 4
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 9) for x, y in zip(xs, ys))
+    sxx = sum(round(x * x, 9) for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row["zipf_slope"] - slope) < 1e-8
+
+
+def test_contamination_scrub_hand_computed(spark):
+    from kafka_denormalization_spark.functions.text import contamination_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "x hash join y hash join z"),
+            (2, "clean doc"),
+            (3, "merge batchmerge batch"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_scrub(
+            df, "doc_id", "text", ["hash join", "merge batch"]
+        ).collect()
+    }
+    assert out[1]["text_scrubbed"] == "x  y  z" and out[1]["n_hits"] == 2
+    assert out[2]["text_scrubbed"] == "clean doc" and out[2]["n_hits"] == 0
+    # adjacent occurrences both removed and both counted
+    assert out[3]["text_scrubbed"] == "" and out[3]["n_hits"] == 2

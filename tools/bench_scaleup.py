@@ -422,6 +422,70 @@ def _doremi(docs):
     return doremi_weights(per_doc, "source", "n_chars", "nll_r", eta=1.0)
 
 
+def _zipf_fit(docs):
+    from kafka_denormalization_spark.functions.text import zipf_fit
+
+    return zipf_fit(docs, "text", min_count=2)
+
+
+def _lsh_pairs_local(docs):
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=32, threshold=0.5
+    )
+
+
+def _cross_source_dups(docs):
+    # the q_cross_source_dups composition over a locally-built pair table
+    # (the registered query rides the session memo keyed by sf_dir)
+    pairs = _lsh_pairs_local(docs)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    np_ = j.groupBy("source_a", "source_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        j.select("source_a", "source_b", F.col("id_a").alias("_d"))
+        .union(j.select("source_a", "source_b", F.col("id_b").alias("_d")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct(F.col("_d")).alias("n_docs"))
+    )
+    return np_.join(nd, ["source_a", "source_b"])
+
+
+def _dedup_mixture_shift(docs):
+    from kafka_denormalization_spark.functions.graph import connected_components
+
+    pairs = _lsh_pairs_local(docs)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = docs.select("doc_id", "source").join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    kept = F.when(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"), F.sum(kept).alias("n_after")
+    )
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -460,6 +524,10 @@ OPS = {
     # only event ids would deepen every user's window N-fold instead of
     # growing the key space like real data
     "rolling_zscore": ("events", "user_id", _zscore, False),
+    # salted: vocab / pair mass must grow with N like real data
+    "zipf_fit": ("documents", "doc_id", _zipf_fit, True),
+    "cross_source_dups": ("documents", "doc_id", _cross_source_dups, True),
+    "dedup_mixture_shift": ("documents", "doc_id", _dedup_mixture_shift, True),
 }
 
 
