@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "cross_source_dups",
     "dedup_mixture_shift",
     "dedup_weights",
+    "soft_dedup_sample",
+    "cluster_source_mix",
     "zipf_fit",
     "contamination_scrub",
 ]

@@ -162,6 +162,52 @@ def temperature_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    fraction: float,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-scaled deterministic sampling: each row is kept with
+    probability ``weight * fraction`` (clamped to [0, 1]) — the per-ROW
+    generalization of ``hash_sample``'s single global fraction. The
+    designed consumer is soft dedup (``dedup_weights``): with weight
+    1/cluster-size, every near-dup FAMILY is sampled at the target rate
+    in expectation instead of each copy independently, so duplicated
+    content stops being over-represented in the drawn corpus without
+    hard-dropping any document.
+
+    Determinism: the effective fraction rounds to the 6-decimal grid
+    before the 32-bit hex threshold is derived (the
+    ``temperature_fractions`` convention — one double multiply on
+    identically-rounded inputs, then integer/format ops), and the draw
+    is the same md5 hash — re-runs, backfills, and the oracle agree
+    row-for-row.
+
+    Scale (100 TB): fully narrow — a per-row expression chain fused into
+    the scan; no shuffle, no Python, no aggregation.
+    """
+    eff = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.col(weight_col).cast("double") * F.lit(float(fraction)),
+            ),
+        ),
+        6,
+    )
+    thr = F.format_string(
+        f"%0{_HEX_WIDTH}x",
+        F.least(
+            (eff * F.lit(float(16**_HEX_WIDTH))).cast("long"),
+            F.lit(16**_HEX_WIDTH - 1),
+        ),
+    )
+    return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
 def epoch_mixture_plan(
     df: DataFrame,
     strata_col: str,

@@ -1432,6 +1432,52 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-vs-source coverage matrix: per (semantic cluster, source)
+    document counts over the embedding k-means assignment — the
+    diversity audit that catches a topic sourced from a single feed
+    (mode-collapse / contamination risk) or a source that never reaches
+    a topic. The semantic complement to `domain_profile`'s lexical view.
+
+    Scale (100 TB): rides kmeans_assign (k grows with the corpus,
+    centroid table broadcast); the doc_id-keyed source join and one
+    hash aggregation with map-side combine — result is |k|x|sources|,
+    report-sized. vec_id is the documents doc_id by testdata
+    construction (same contract as icp_packing)."""
+    from kafka_denormalization_spark.operators.clustering import kmeans_assign
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+    ).select(F.col("vec_id").alias("doc_id"), "cluster_id")
+    return (
+        asg.join(docs, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+SOFT_DEDUP_FRAC = 0.5
+SOFT_DEDUP_SALT = "softdedup"
+
+
+def q_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup END TO END: dedup_weights composed with weighted_sample
+    — each doc kept w.p. (1/cluster-size) * fraction, so every near-dup
+    family lands in the drawn corpus at the target rate in expectation
+    while no document is hard-dropped. The draw stays a pure hash
+    function of (salt, doc_id); operators/sampling.py weighted_sample."""
+    from kafka_denormalization_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    weights = q_dedup_weights(spark, sf_dir)
+    return weighted_sample(
+        weights, "weight_r", "doc_id", SOFT_DEDUP_FRAC, SOFT_DEDUP_SALT
+    ).select("doc_id", "lang", "source", "cluster", "weight_r")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-audit: Zipf power-law fit (OLS of ln-freq on ln-rank over
     the vocabulary) — see functions/text.py zipf_fit for the determinism
@@ -3585,6 +3631,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_dups": q_cross_source_dups,
     "dedup_mixture_shift": q_dedup_mixture_shift,
     "dedup_weights": q_dedup_weights,
+    "soft_dedup_sample": q_soft_dedup_sample,
+    "cluster_source_mix": q_cluster_source_mix,
     "zipf_fit": q_zipf_fit,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
@@ -3723,16 +3771,18 @@ _DRIVER_HEAD = [
     # idle_rich_customers, forecast_revenue, moving_average,
     # user_journeys) are trivially-stable TPC-H/event shapes covered by
     # the builder-side CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (26) — the five continuation-session
+    # (a) round-8 additions (28) — the seven continuation-session
     # corpus-audit/soft-dedup/decontamination ops (cross_source_dups,
-    # dedup_mixture_shift, dedup_weights, zipf_fit,
-    # contamination_scrub) lead as the newest never-checked names; to
-    # keep the head at 50 the five trivially-stable TPC-H shapes
-    # exists_late_ship, small_qty_revenue, min_cost_per_part,
-    # volume_shipping, returned_items moved to the
-    # CORRECTNESS_FULL-only tier with the other eight.
+    # dedup_mixture_shift, dedup_weights, soft_dedup_sample,
+    # cluster_source_mix, zipf_fit, contamination_scrub) lead as the
+    # newest never-checked names; to keep the head at 50 the seven
+    # trivially-stable TPC-H shapes exists_late_ship,
+    # small_qty_revenue, min_cost_per_part, volume_shipping,
+    # returned_items, disjunctive_revenue, late_shipment_priority
+    # moved to the CORRECTNESS_FULL-only tier with the other eight.
     "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
-    "zipf_fit", "contamination_scrub",
+    "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
+    "contamination_scrub",
     "quality_signals", "ngram_diversity", "source_overlap",
     "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
     "v4_attribution", "signal_filter", "cluster_size_histogram",
@@ -3747,7 +3797,6 @@ _DRIVER_HEAD = [
     "shard_plan", "shard_stats", "span_dedup", "kmeans_clusters",
     "semantic_dedup", "lm_perplexity", "quantize_embeddings",
     "ann_int8_topk", "scd2_intervals",
-    "late_shipment_priority", "disjunctive_revenue",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -5101,6 +5150,18 @@ ORACLE_SQL: dict[str, str] = {
     LIMIT 20
     """,
     "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+    # topic-vs-source coverage: kmeans tail + one source join + count
+    "cluster_source_mix": _kmeans_oracle_sql(
+        KMEANS_K,
+        KMEANS_ITERS,
+        tail=(
+            ", mix AS (SELECT a._cid AS cluster_id, d.source "
+            f"FROM documents d JOIN asg{KMEANS_ITERS - 1} a "
+            "ON d.doc_id = a._vid) "
+            "SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM mix GROUP BY cluster_id, source"
+        ),
+    ),
     "icp_packing": _kmeans_oracle_sql(
         KMEANS_K,
         KMEANS_ITERS,
@@ -5549,6 +5610,39 @@ ORACLE_SQL: dict[str, str] = {
     FROM documents d
     LEFT JOIN clusters c ON d.doc_id = c.node
     LEFT JOIN sizes s ON c.cluster = s.cluster
+    """,
+    # soft dedup e2e: weights + the weighted hash-draw threshold grid
+    "soft_dedup_sample": f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    sizes AS (SELECT cluster, count(*) AS sz FROM clusters GROUP BY cluster),
+    w AS (
+      SELECT d.doc_id, d.lang, d.source,
+             coalesce(c.cluster, d.doc_id) AS cluster,
+             round(1.0 / CAST(coalesce(s.sz, 1) AS DOUBLE), 9) AS weight_r
+      FROM documents d
+      LEFT JOIN clusters c ON d.doc_id = c.node
+      LEFT JOIN sizes s ON c.cluster = s.cluster
+    )
+    SELECT doc_id, lang, source, cluster, weight_r
+    FROM w
+    WHERE substr(md5(concat('{SOFT_DEDUP_SALT}', '|',
+                 CAST(doc_id AS VARCHAR))), 1, 8)
+          < printf('%08x', least(
+              CAST(floor(round(least(1.0, greatest(0.0,
+                     weight_r * {SOFT_DEDUP_FRAC})), 6)
+                   * 4294967296.0) AS BIGINT),
+              4294967295))
     """,
     # composition shift: closure -> per-source before/after counts
     "dedup_mixture_shift": f"""

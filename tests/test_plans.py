@@ -244,6 +244,8 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "v4_attribution",           # the v4 chain's embedded lm/nb/mix
                                     # 1-row broadcasts (same frames as
                                     # corpus_pipeline_v4 / v4_funnel)
+        "cluster_source_mix",       # k-row centroid broadcasts (embeds
+                                    # kmeans_clusters, same as icp_packing)
     }
     from kafka_denormalization_spark.plans import explain_str
 

@@ -364,3 +364,24 @@ def test_unimax_sample_expansion(spark):
         df.repartition(7), "lang", "n_chars", "doc_id", 1.0, 2
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_weighted_sample_matches_hash_arithmetic(spark):
+    """Per-row keep decision = draw < hex(round(weight*fraction, 6)):
+    replicated bit-for-bit in plain Python, incl. clamping (w=0 drops
+    everything, w>=2 at fraction 0.5 clamps to ~1)."""
+    import hashlib
+
+    from kafka_denormalization_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 1.0), (2, 0.5), (3, 0.25), (4, 0.0), (5, 2.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_sample(df, "w", "id", 0.5, "s").collect()}
+
+    def keep(i: int, w: float) -> bool:
+        eff = round(min(1.0, max(0.0, w * 0.5)), 6)
+        thr = format(min(int(eff * 16**8), 16**8 - 1), "08x")
+        return hashlib.md5(f"s|{i}".encode()).hexdigest()[:8] < thr
+
+    assert got == {i for i, w in rows if keep(i, w)}
+    assert 4 not in got  # zero weight -> zero keep probability

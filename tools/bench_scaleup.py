@@ -486,6 +486,14 @@ def _dedup_mixture_shift(docs):
     )
 
 
+
+def _contamination_scrub(docs):
+    from kafka_denormalization_spark.functions.text import contamination_scrub
+    from kafka_denormalization_spark.queries import CONTAMINATION_PATTERNS
+
+    return contamination_scrub(docs, "doc_id", "text", CONTAMINATION_PATTERNS)
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -528,6 +536,7 @@ OPS = {
     "zipf_fit": ("documents", "doc_id", _zipf_fit, True),
     "cross_source_dups": ("documents", "doc_id", _cross_source_dups, True),
     "dedup_mixture_shift": ("documents", "doc_id", _dedup_mixture_shift, True),
+    "contamination_scrub": ("documents", "doc_id", _contamination_scrub, False),
 }
 
 
