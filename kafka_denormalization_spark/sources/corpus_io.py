@@ -86,23 +86,14 @@ def read_corpus_shards(
     return df.withColumn(shard_col, F.col(shard_col).cast("long"))
 
 
-def verify_corpus_shards(
-    written: DataFrame,
-    plan: DataFrame,
-    id_col: str,
-    bytes_col: str,
-    shard_col: str = "shard_id",
-    pos_col: str = "pos",
+def manifest_mismatches(
+    m_plan: DataFrame, m_got: DataFrame, shard_col: str = "shard_id"
 ) -> DataFrame:
-    """Integrity check of a read-back shard set against its plan: derive
-    ``shard_manifest`` from both sides and full-outer join per shard.
-    Returns the MISMATCH table (empty = the written set is exactly the
-    planned layout): one row per shard whose row count, byte total,
-    position envelope, contiguity, or (id @ pos) checksum diverges —
-    including shards present on only one side (NULL opposite columns).
-    """
-    m_plan = shard_manifest(plan, id_col, bytes_col, shard_col, pos_col)
-    m_got = shard_manifest(written, id_col, bytes_col, shard_col, pos_col)
+    """Full-outer manifest-vs-manifest diff: one row per shard where ANY
+    manifest field (count, bytes, envelope, contiguity, checksum)
+    diverges, including shards present on only one side (NULL opposite
+    columns). Empty result = the two manifests describe the same layout.
+    Both inputs must have ``shard_manifest``'s column set."""
     fields = [c for c in m_plan.columns if c != shard_col]
     p = m_plan.select(
         shard_col, *[F.col(c).alias(f"plan_{c}") for c in fields]
@@ -116,3 +107,21 @@ def verify_corpus_shards(
         d = ~F.col(f"plan_{c}").eqNullSafe(F.col(f"got_{c}"))
         mismatch = d if mismatch is None else (mismatch | d)
     return joined.filter(mismatch)
+
+
+def verify_corpus_shards(
+    written: DataFrame,
+    plan: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    shard_col: str = "shard_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Integrity check of a read-back shard set against its plan: derive
+    ``shard_manifest`` from both sides and diff per shard. Returns the
+    MISMATCH table (empty = the written set is exactly the planned
+    layout): pos swaps, dropped/duplicated rows, byte drift, and missing
+    shards all surface as rows."""
+    m_plan = shard_manifest(plan, id_col, bytes_col, shard_col, pos_col)
+    m_got = shard_manifest(written, id_col, bytes_col, shard_col, pos_col)
+    return manifest_mismatches(m_plan, m_got, shard_col)

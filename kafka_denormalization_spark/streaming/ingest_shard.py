@@ -254,3 +254,98 @@ class IngestManifest:
         )
         folded.write.mode("overwrite").parquet(self.state_dir)
         return folded.count()
+
+
+class IngestShardWriter:
+    """Streaming corpus MATERIALIZATION: layout + data files + manifest
+    in one foreachBatch — the continuous twin of the batch chain
+    ``shard_plan_bytes -> sources/corpus_io.write_corpus_shards ->
+    shard_manifest``. Per batch: ``IngestShard.process_batch`` assigns
+    (shard_id, pos); the positioned rows APPEND into the same Hive-style
+    ``shard_id=N`` directories the batch writer produces (multi-file per
+    shard is inherent under continuous ingest — each batch adds at most
+    one file per touched shard, rows inside a file ordered by pos); and
+    ``IngestManifest`` folds the same rows into the durable manifest.
+
+    ``verify()`` re-reads the written directories and derives the batch
+    ``shard_manifest`` from what is ON DISK; equality with the
+    maintained manifest proves the files hold exactly every shipped row
+    at its assigned position — the pre-training trust check after any
+    ingest outage, retry storm, or manual surgery on the directory.
+
+    Scale (100 TB continuous build): per batch the only exchange is the
+    shard-id hash repartition of THAT batch's rows; state stays
+    counter/manifest-sized (shards x batches before ``compact()``).
+    Readers see a consistent prefix at every batch boundary. Same
+    exactly-once caveat as the underlying state classes: wrap with
+    ``idempotent_foreach_batch`` so a replayed epoch cannot re-append
+    files or double-fold state.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        out_dir: str,
+        id_col: str,
+        bytes_col: str,
+        n_shards: int,
+        fmt: str = "jsonl",
+        salt: str = "shard",
+    ) -> None:
+        from kafka_denormalization_spark.sources.corpus_io import _FORMATS
+
+        if fmt not in _FORMATS:
+            raise ValueError(
+                f"fmt must be one of {sorted(_FORMATS)}, got {fmt!r}"
+            )
+        self.spark = spark
+        self.out_dir = out_dir
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.n_shards = n_shards
+        self.fmt = fmt
+        self.layout = IngestShard(spark, state_dir, id_col, n_shards, salt)
+        self.manifest = IngestManifest(spark, state_dir, id_col, bytes_col)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        from kafka_denormalization_spark.sources.corpus_io import _FORMATS
+
+        out = self.layout.process_batch(batch_df, epoch_id)
+        (
+            out.repartition(int(self.n_shards), F.col("shard_id"))
+            .sortWithinPartitions("shard_id", "pos")
+            .write.partitionBy("shard_id")
+            .mode("append")
+            .format(_FORMATS[self.fmt])
+            .save(self.out_dir)
+        )
+        self.manifest.update(out)
+        return out
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        return fn
+
+    def verify(self, schema: str | None = None) -> DataFrame:
+        """Manifest of what is ON DISK vs the maintained manifest —
+        returns the mismatch table (empty = trustworthy shard set).
+        ``schema`` is the data schema for JSONL read-back (the
+        ``read_corpus_shards`` contract)."""
+        from kafka_denormalization_spark.operators.sharding import (
+            shard_manifest,
+        )
+        from kafka_denormalization_spark.sources.corpus_io import (
+            manifest_mismatches,
+            read_corpus_shards,
+        )
+
+        back = read_corpus_shards(
+            self.spark, self.out_dir, schema=schema, fmt=self.fmt
+        )
+        got = shard_manifest(back, self.id_col, self.bytes_col)
+        return manifest_mismatches(self.manifest.manifest(), got)
