@@ -144,7 +144,11 @@ BENCH_QUERIES = [
     "soft_dedup_sample",
     "cluster_source_mix",
     "zipf_fit",
+    "zipf_fit_head",
     "contamination_scrub",
+    "source_divergence",
+    "collocations",
+    "copurchase_pagerank",
 ]
 
 

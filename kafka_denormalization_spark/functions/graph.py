@@ -83,3 +83,93 @@ def connected_components(
             break
         fp = new_fp
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    damping_pct: int = 85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank by power method — graph authority
+    scoring, the crawl-curation primitive (seed ranking / domain
+    authority in web-corpus pipelines runs exactly this shape over the
+    link graph; the demo graph here is co-purchase, the testdata's one
+    real graph). ``edges`` is a DIRECTED edge list; undirected graphs
+    pass both orientations. Every node must have out-degree >= 1 (true
+    by construction for a symmetrized list; callers with true dangling
+    nodes add self-loops first, or the dangling mass leaks).
+
+    Fixed-point determinism: ranks live as INTEGER nano-units
+    (R = rank * 10^9) and every step is exact integer arithmetic —
+    ``R0 = 10^9 DIV N``, per-edge contribution ``R DIV deg``, update
+    ``R' = (100 - d)*10^7 DIV N + d * sum(contrib) DIV 100`` with the
+    damping an integer PERCENT. No float exists anywhere in the
+    iteration, so any engine reproduces every bit (double rounding of
+    quotients near decimal-tie points diverges across engines — the
+    float formulation measurably did at the 9th decimal). Floor
+    divisions leak < 1 nano-unit per term per round: a ~1e-9 relative
+    mass loss, irrelevant to ranking and identical everywhere. The
+    damping is an integer percent for the same reason.
+
+    Fixed ``n_iter``: the power iteration converges geometrically at
+    rate damping^k; 5 rounds puts the residual under half the initial
+    spread, 10 under a quarter — pick per use. A convergence-tested
+    variant would re-introduce a float threshold; the training-data
+    consumers (seed ranking, authority-weighted sampling) want a
+    reproducible ordering, not the fixpoint.
+
+    Scale notes (100 TB): each round is ONE shuffle of (dst, contrib)
+    keyed by node — the same key every round, so exchange reuse keeps
+    the partitioning stable; the ranks frame is |V|-sized, never
+    edge-sized; lineage is truncated per round (eager localCheckpoint,
+    the connected_components precedent) so plan depth stays constant.
+    The node census is a 1-row aggregate broadcast (allow-listed BNLJ
+    shape), never a driver collect. Sums fit a long: total graph mass
+    is ~10^9 nano-units by construction, damping * sum < 10^11.
+
+    Output: (node, rank_nano, pagerank_r) — the exact integer rank and
+    its 9-decimal double rendering.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    d = int(damping_pct)
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = e.select(F.col("_s").alias("node")).distinct()
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.expr("CAST(1000000000 AS BIGINT) DIV _n").alias("rn")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["_s"] == ranks["node"])
+            .join(deg, "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("rn DIV _deg").alias("_c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("_c").alias("_sc"))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({(100 - d) * 10_000_000} AS BIGINT) DIV _n"
+                    f" + ({d} * _sc) DIV 100"
+                ).alias("rn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("rn").cast("long").alias("rank_nano"),
+        F.round(F.col("rn").cast("double") / F.lit(1.0e9), 9).alias("pagerank_r"),
+    )

@@ -1722,7 +1722,12 @@ def lm_burstiness(
     )
 
 
-def zipf_fit(docs: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 2,
+    top_ranks: int | None = None,
+) -> DataFrame:
     """Zipf power-law fit over the corpus rank-frequency curve: OLS of
     ln(freq) on ln(rank) across the vocabulary — the one-row corpus-audit
     answer to "does this corpus look like natural language". Natural text
@@ -1746,6 +1751,13 @@ def zipf_fit(docs: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
     aggregate. ``min_count`` trims the hapax tail (rank ties there carry
     no fit information and dominate |V| otherwise).
 
+    ``top_ranks``: fit only the head of the curve (ranks 1..K). The
+    full-tail fit moves when the crawl's tail vocabulary churns between
+    snapshots even if the language is unchanged; the head-only variant
+    diffs stably across snapshots. ``vocab_size`` still reports the
+    FULL above-``min_count`` vocabulary either way (the fit scope is
+    the knob, not the census).
+
     Output: one row (vocab_size, zipf_slope, zipf_intercept). vocab_size
     < 2 would make the OLS denominator 0 -> NaN; real corpora are far
     from that edge.
@@ -1767,13 +1779,28 @@ def zipf_fit(docs: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
     ranked = counts.join(F.broadcast(offsets), "_n").withColumn(
         "_rank", F.col("_off") + F.row_number().over(w_in)
     )
+    if top_ranks is not None:
+        # head-only fit: carry the FULL vocab census through the rank
+        # filter via a 1-row broadcast (the registered full-tail query
+        # keeps the plain count — no extra join in its plan)
+        if top_ranks < 2:
+            raise ValueError("top_ranks must be >= 2")
+        ranked = ranked.crossJoin(
+            F.broadcast(
+                counts.agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+            )
+        ).filter(F.col("_rank") <= int(top_ranks))
     x = F.round(F.log(F.col("_rank").cast("double")), 9)
     y = F.round(F.log(F.col("_n").cast("double")), 9)
+    census = (
+        [F.col("_nv")] if top_ranks is not None else [F.lit(None).cast("long").alias("_nv")]
+    )
     terms = ranked.select(
         x.cast("decimal(38,9)").alias("_x"),
         y.cast("decimal(38,9)").alias("_y"),
         F.round(x * y, 9).cast("decimal(38,9)").alias("_xy"),
         F.round(x * x, 9).cast("decimal(38,9)").alias("_xx"),
+        *census,
     )
     s = terms.agg(
         F.count(F.lit(1)).alias("_nn"),
@@ -1781,6 +1808,7 @@ def zipf_fit(docs: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
         F.sum("_y").alias("_sy"),
         F.sum("_xy").alias("_sxy"),
         F.sum("_xx").alias("_sxx"),
+        F.first("_nv").alias("_nvf"),
     )
     nn = F.col("_nn").cast("double")
     sx = F.col("_sx").cast("double")
@@ -1788,7 +1816,7 @@ def zipf_fit(docs: DataFrame, text_col: str, min_count: int = 2) -> DataFrame:
     sxy = F.col("_sxy").cast("double")
     sxx = F.col("_sxx").cast("double")
     raw = s.select(
-        F.col("_nn").cast("long").alias("vocab_size"),
+        F.coalesce(F.col("_nvf"), F.col("_nn")).cast("long").alias("vocab_size"),
         ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)).alias("_slope"),
         sx.alias("_sxd"),
         sy.alias("_syd"),
@@ -1844,4 +1872,165 @@ def contamination_scrub(
         F.col(id_col),
         t.alias("text_scrubbed"),
         hits.alias("n_hits"),
+    )
+
+
+LN2 = 0.6931471805599453
+
+
+def source_divergence(
+    docs: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution — the information-theoretic source-drift alarm (a
+    source whose JSD jumps between snapshots changed register, language
+    mix, or got polluted; bounded in [0, ln 2], so thresholds are
+    portable across corpora).
+
+    Decomposition that avoids materializing |sources| x |vocab|: with
+    p = in-source rel. freq, q = corpus rel. freq, m = (p+q)/2,
+
+        JSD(s) = 0.5 * SUM_{t in s} [p ln(p/m) + q ln(q/m)]
+                 + 0.5 * ln2 * (1 - coverage_s),
+
+    where coverage_s = SUM_{t in s} q_t: tokens ABSENT from the source
+    contribute exactly q ln(q/(q/2)) = q ln 2, so their whole mass folds
+    into the closed-form tail — only (source, token) pairs that actually
+    occur are processed. coverage_s is computed from EXACT integer
+    corpus counts (one division at the end), not a float fold.
+
+    Determinism: ln terms round to the 9-decimal grid and fold as
+    DECIMAL(38,9) (order-free); the ln 2 constant is a shared literal;
+    all divisions are identically-structured double ops. Scale: shuffle
+    bounded by distinct (source, token) pairs; the corpus total is a
+    1-row broadcast, the per-source totals a |sources|-row join.
+
+    Output: one row per source (source, n_tokens, jsd_r).
+    """
+    toks = docs.select(
+        F.col(source_col).alias("_s"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).filter(F.col("_t") != "")
+    st = toks.groupBy("_s", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    tot_s = st.groupBy("_s").agg(F.sum("_c").alias("_ns"))
+    corpus = st.groupBy("_t").agg(F.sum("_c").alias("_cq"))
+    tot = st.agg(F.sum("_c").alias("_n"))
+    j = (
+        st.join(tot_s, "_s")
+        .join(corpus, "_t")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("_c").cast("double") / F.col("_ns").cast("double")
+    q = F.col("_cq").cast("double") / F.col("_n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.round(
+        p * F.round(F.log(p / m), 9) + q * F.round(F.log(q / m), 9), 9
+    ).cast("decimal(38,9)")
+    per_s = (
+        j.select(
+            "_s",
+            F.col("_ns"),
+            F.col("_n"),
+            term.alias("_term"),
+            F.col("_cq"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.first("_ns").alias("_ns"),
+            F.first("_n").alias("_n"),
+            F.sum("_term").alias("_ts"),
+            F.sum("_cq").alias("_covc"),
+        )
+    )
+    cov = F.col("_covc").cast("double") / F.col("_n").cast("double")
+    jsd = F.round(
+        F.lit(0.5) * F.col("_ts").cast("double")
+        + F.lit(0.5) * F.lit(LN2) * (F.lit(1.0) - cov),
+        9,
+    )
+    return per_s.select(
+        F.col("_s").alias("source"),
+        F.col("_ns").cast("long").alias("n_tokens"),
+        jsd.alias("jsd_r"),
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """PMI collocation extraction (Church & Hanks 1990 association
+    ratio): the top multi-word expressions the corpus actually carries —
+    bigrams whose observed count beats the independence expectation,
+    ``pmi = ln(c_xy * N / (c_x * c_y))`` with N the corpus unigram
+    total. The corpus-audit consumer: a crawl slice whose top
+    collocations are SEO boilerplate ("click here", "all rights
+    reserved") needs curation; a healthy slice surfaces domain phrases.
+
+    ``min_count`` floors the bigram count first — PMI is notoriously
+    dominated by hapax pairs (two rare words co-occurring once have
+    near-maximal PMI but zero evidence), so the floor IS the operator,
+    not a tuning detail.
+
+    Determinism: every count is an exact integer; the PMI decomposes as
+    ``ln(c_xy) + ln(N) - ln(c_x) - ln(c_y)``, each ln on the 9-decimal
+    grid before the (order-fixed) sum rounds again — no large integer
+    products (c_xy * N overflows long at corpus scale), no float folds.
+    Tie-break on the bigram string makes the top-k selection total.
+
+    Plan shape (100 TB): bigrams are built INSIDE the token array
+    (slice + zip_with — grams never cross doc boundaries and no per-doc
+    window shuffle exists, unlike the lead() formulation); the exchanges
+    carry distinct unigrams / bigrams after map-side partial counts.
+    The >= min_count filter cuts the bigram table before the two
+    vocab-keyed joins; N is a 1-row aggregate broadcast. The final
+    top-k is TakeOrdered (per-partition heaps + k-row merge), never a
+    global sort.
+
+    Output: (bigram, n_xy, n_x, n_y, pmi_r), top ``top_k`` by PMI.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    w = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = docs.select(w.alias("_w"))
+    n_tail = F.greatest(F.size("_w") - F.lit(1), F.lit(0))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, n_tail),
+                F.slice("_w", 2, n_tail),
+                lambda a, b: F.struct(a.alias("_x"), b.alias("_y")),
+            )
+        ).alias("_p")
+    ).select("_p._x", "_p._y")
+    uni = (
+        base.select(F.explode("_w").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = uni.agg(F.sum("_c").alias("_n"))
+    bi = (
+        pairs.groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_cxy"))
+        .filter(F.col("_cxy") >= int(min_count))
+    )
+    j = (
+        bi.join(uni.select(F.col("_t").alias("_x"), F.col("_c").alias("_cx")), "_x")
+        .join(uni.select(F.col("_t").alias("_y"), F.col("_c").alias("_cy")), "_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    ln = lambda c: F.round(F.log(F.col(c).cast("double")), 9)  # noqa: E731
+    pmi = F.round(ln("_cxy") + ln("_n") - ln("_cx") - ln("_cy"), 9)
+    return (
+        j.select(
+            F.concat_ws(" ", "_x", "_y").alias("bigram"),
+            F.col("_cxy").cast("long").alias("n_xy"),
+            F.col("_cx").cast("long").alias("n_x"),
+            F.col("_cy").cast("long").alias("n_y"),
+            pmi.alias("pmi_r"),
+        )
+        .orderBy(F.col("pmi_r").desc(), "bigram")
+        .limit(int(top_k))
     )

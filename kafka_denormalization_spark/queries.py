@@ -688,6 +688,58 @@ def _scrub_sql(patterns: list[str]) -> tuple[str, str]:
 _SCRUB_TEXT_SQL, _SCRUB_HITS_SQL = _scrub_sql(CONTAMINATION_PATTERNS)
 
 
+def _zipf_sql(head: int | None = None) -> str:
+    """DuckDB mirror of functions/text.py zipf_fit: 9-decimal ln grid,
+    DECIMAL(38,9) order-free folds, identically-structured double scalar
+    math. ``head`` = top_ranks (fit scope only; vocab_size stays the
+    full census either way)."""
+    head_filter = f"WHERE r <= {int(head)}" if head is not None else ""
+    census = (
+        "(SELECT CAST(count(*) AS BIGINT) FROM counts)"
+        if head is not None
+        else "CAST(nn AS BIGINT)"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+      GROUP BY token HAVING count(*) >= 2
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM counts
+    ),
+    terms AS (
+      SELECT
+        CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(38,9)) AS x,
+        CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(38,9)) AS y,
+        CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
+                   * round(ln(CAST(n AS DOUBLE)), 9), 9)
+             AS DECIMAL(38,9)) AS xy,
+        CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
+                   * round(ln(CAST(r AS DOUBLE)), 9), 9)
+             AS DECIMAL(38,9)) AS xx
+      FROM ranked {head_filter}
+    ),
+    s AS (
+      SELECT count(*) AS nn,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+      FROM terms
+    ),
+    raw AS (
+      SELECT {census} AS vocab_size,
+             (CAST(nn AS DOUBLE) * sxy - sx * sy)
+               / (CAST(nn AS DOUBLE) * sxx - sx * sx) AS slope,
+             sx AS sxd, sy AS syd, CAST(nn AS DOUBLE) AS nd
+      FROM s
+    )
+    SELECT vocab_size,
+           round(slope, 9) AS zipf_slope,
+           round((syd - slope * sxd) / nd, 9) AS zipf_intercept
+    FROM raw
+    """
+
+
 def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text_fns.contamination_scan(docs, "doc_id", "text", CONTAMINATION_PATTERNS)
@@ -1484,6 +1536,44 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no-global-window rank design."""
     docs = table(spark, sf_dir, "documents")
     return text_fns.zipf_fit(docs, "text", min_count=2)
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source JSD from the corpus unigram distribution — the
+    information-theoretic source-drift alarm (functions/text.py
+    source_divergence: closed-form absent-token tail, exact integer
+    coverage, 9-grid ln folds)."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.source_divergence(docs, "source", "text")
+
+
+ZIPF_HEAD_RANKS = 100
+
+
+def q_zipf_fit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-only Zipf fit (ranks 1..100): the snapshot-diff-stable
+    variant — the full-tail slope moves when the crawl's tail vocabulary
+    churns even if the language is unchanged; vocab_size still reports
+    the full census (functions/text.py zipf_fit top_ranks)."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.zipf_fit(
+        docs, "text", min_count=2, top_ranks=ZIPF_HEAD_RANKS
+    )
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations (functions/text.py collocations; Church &
+    Hanks 1990): the multi-word expressions the corpus carries — the
+    boilerplate-vs-domain-phrase corpus audit. Expression-only bigrams
+    (no per-doc window), count-floored before the PMI join."""
+    docs = table(spark, sf_dir, "documents")
+    return text_fns.collocations(
+        docs, "text", min_count=COLLOC_MIN_COUNT, top_k=COLLOC_TOP_K
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2596,6 +2686,71 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING_PCT = 85
+
+
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the (doubled, so symmetric)
+    co-purchase graph (functions/graph.py pagerank) — the crawl-seed /
+    domain-authority scoring shape, demoed on the testdata's one real
+    graph. Bit-exact vs the unrolled-CTE oracle by construction: the
+    whole iteration is integer nano-unit arithmetic, no floats."""
+    from kafka_denormalization_spark.functions.graph import pagerank
+
+    e0 = _copurchase_edges(spark, sf_dir)
+    directed = e0.select(
+        F.col("p1").alias("s"), F.col("p2").alias("d")
+    ).unionByName(e0.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+    return pagerank(
+        directed,
+        "s",
+        "d",
+        damping_pct=PAGERANK_DAMPING_PCT,
+        n_iter=PAGERANK_ITERS,
+    )
+
+
+def _pagerank_sql(n_iter: int, damping_pct: int) -> str:
+    """Unrolled power-method mirror of functions/graph.py pagerank: one
+    CTE per iteration, the same exact integer nano-unit arithmetic
+    (DuckDB ``//`` == Spark ``DIV`` floor division on positive ints;
+    HUGEINT intermediates collapse back to BIGINT at the end)."""
+    d = int(damping_pct)
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT p1 AS s, p2 AS d FROM e0
+          UNION ALL SELECT p2 AS s, p1 AS d FROM e0),
+    deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS node FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS rn
+           FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+      SELECT t.node,
+             CAST({(100 - d) * 10_000_000} AS BIGINT) // nn.n
+               + CAST(({d} * t.sc) // 100 AS BIGINT) AS rn
+      FROM (
+        SELECT e.d AS node, sum(p.rn // deg.dg) AS sc
+        FROM e JOIN r{i - 1} p ON e.s = p.node JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+      ) t CROSS JOIN nn
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, CAST(rn AS BIGINT) AS rank_nano,
+           round(CAST(rn AS DOUBLE) / 1000000000.0, 9) AS pagerank_r
+    FROM r{n_iter}
+    """
+
+
 def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: each user's event-type sequence as a
     '>'-joined string. collect_list order is nondeterministic under
@@ -3634,6 +3789,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft_dedup_sample": q_soft_dedup_sample,
     "cluster_source_mix": q_cluster_source_mix,
     "zipf_fit": q_zipf_fit,
+    "zipf_fit_head": q_zipf_fit_head,
+    "source_divergence": q_source_divergence,
+    "collocations": q_collocations,
+    "copurchase_pagerank": q_copurchase_pagerank,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3771,18 +3930,22 @@ _DRIVER_HEAD = [
     # idle_rich_customers, forecast_revenue, moving_average,
     # user_journeys) are trivially-stable TPC-H/event shapes covered by
     # the builder-side CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (28) — the seven continuation-session
-    # corpus-audit/soft-dedup/decontamination ops (cross_source_dups,
-    # dedup_mixture_shift, dedup_weights, soft_dedup_sample,
-    # cluster_source_mix, zipf_fit, contamination_scrub) lead as the
-    # newest never-checked names; to keep the head at 50 the seven
-    # trivially-stable TPC-H shapes exists_late_ship,
-    # small_qty_revenue, min_cost_per_part, volume_shipping,
-    # returned_items, disjunctive_revenue, late_shipment_priority
-    # moved to the CORRECTNESS_FULL-only tier with the other eight.
+    # (a) round-8 additions (32) — the eleven continuation-session
+    # corpus-audit/soft-dedup/decontamination/graph ops
+    # (cross_source_dups, dedup_mixture_shift, dedup_weights,
+    # soft_dedup_sample, cluster_source_mix, zipf_fit, zipf_fit_head,
+    # contamination_scrub, source_divergence, collocations,
+    # copurchase_pagerank) lead as the newest never-checked names; to
+    # keep the head at 50 the seven trivially-stable TPC-H shapes
+    # exists_late_ship, small_qty_revenue, min_cost_per_part,
+    # volume_shipping, returned_items, disjunctive_revenue,
+    # late_shipment_priority plus the stable scd2_intervals,
+    # quantize_embeddings, lm_perplexity and ann_int8_topk moved to the
+    # CORRECTNESS_FULL-only tier with the other eight.
     "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
     "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
-    "contamination_scrub",
+    "zipf_fit_head", "contamination_scrub", "source_divergence",
+    "collocations", "copurchase_pagerank",
     "quality_signals", "ngram_diversity", "source_overlap",
     "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
     "v4_attribution", "signal_filter", "cluster_size_histogram",
@@ -3795,8 +3958,7 @@ _DRIVER_HEAD = [
     "dsir_sample", "epoch_mixture", "percentile_profile", "oov_rate",
     "minhash_lsh_dedup", "leakage_safe_split", "packing_stats",
     "shard_plan", "shard_stats", "span_dedup", "kmeans_clusters",
-    "semantic_dedup", "lm_perplexity", "quantize_embeddings",
-    "ann_int8_topk", "scd2_intervals",
+    "semantic_dedup",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -5672,45 +5834,89 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # Zipf OLS: 9-decimal-grid ln terms, DECIMAL(38,9) order-free folds,
     # identically-structured double scalar math (functions/text.py zipf_fit)
-    "zipf_fit": f"""
-    WITH counts AS (
-      SELECT token, count(*) AS n
-      FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
-      GROUP BY token HAVING count(*) >= 2
+    "zipf_fit": _zipf_sql(),
+    "zipf_fit_head": _zipf_sql(ZIPF_HEAD_RANKS),
+    # per-source JSD: (source, token)-bounded rows + exact-coverage tail
+    "source_divergence": f"""
+    WITH toks AS (
+      SELECT source AS s, token AS t
+      FROM (SELECT source, unnest({_TOKS_SQL}) AS token FROM documents)
+      WHERE token <> ''
     ),
-    ranked AS (
-      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM counts
+    st AS (SELECT s, t, count(*) AS c FROM toks GROUP BY s, t),
+    tots AS (SELECT s, sum(c) AS ns FROM st GROUP BY s),
+    corpus AS (SELECT t, sum(c) AS cq FROM st GROUP BY t),
+    tot AS (SELECT sum(c) AS n FROM st),
+    j AS (
+      SELECT st.s, st.c, tots.ns, corpus.cq, tot.n
+      FROM st JOIN tots USING (s) JOIN corpus USING (t) CROSS JOIN tot
     ),
     terms AS (
-      SELECT
-        CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(38,9)) AS x,
-        CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(38,9)) AS y,
-        CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
-                   * round(ln(CAST(n AS DOUBLE)), 9), 9)
-             AS DECIMAL(38,9)) AS xy,
-        CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
-                   * round(ln(CAST(r AS DOUBLE)), 9), 9)
-             AS DECIMAL(38,9)) AS xx
-      FROM ranked
+      SELECT s, ns, n, cq,
+        CAST(round(
+          (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+            * round(ln((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                    + CAST(cq AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0)), 9)
+          + (CAST(cq AS DOUBLE) / CAST(n AS DOUBLE))
+            * round(ln((CAST(cq AS DOUBLE) / CAST(n AS DOUBLE))
+                / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                    + CAST(cq AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0)), 9),
+        9) AS DECIMAL(38,9)) AS term
+      FROM j
     ),
-    s AS (
-      SELECT count(*) AS nn,
-             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
-      FROM terms
-    ),
-    raw AS (
-      SELECT CAST(nn AS BIGINT) AS vocab_size,
-             (CAST(nn AS DOUBLE) * sxy - sx * sy)
-               / (CAST(nn AS DOUBLE) * sxx - sx * sx) AS slope,
-             sx AS sxd, sy AS syd, CAST(nn AS DOUBLE) AS nd
-      FROM s
+    per_s AS (
+      SELECT s, any_value(ns) AS ns, any_value(n) AS n,
+             sum(term) AS ts, sum(cq) AS covc
+      FROM terms GROUP BY s
     )
-    SELECT vocab_size,
-           round(slope, 9) AS zipf_slope,
-           round((syd - slope * sxd) / nd, 9) AS zipf_intercept
-    FROM raw
+    SELECT s AS source, CAST(ns AS BIGINT) AS n_tokens,
+           round(0.5 * CAST(ts AS DOUBLE)
+                 + 0.5 * {text_fns.LN2!r}
+                   * (1.0 - CAST(covc AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS jsd_r
+    FROM per_s
     """,
+    # PMI collocations: exact integer counts, per-term 9-grid lns summed
+    # in fixed order (ln(c_xy)+ln(N)-ln(c_x)-ln(c_y) — no big products),
+    # bigram-string tiebreak makes the top-k selection total
+    "collocations": f"""
+    WITH d AS (
+      SELECT list_filter({_TOKS_SQL}, x -> x != '') AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(w[1:greatest(CAST(len(w) AS BIGINT) - 1, 0)]) AS x,
+             unnest(w[2:CAST(len(w) AS BIGINT)]) AS y
+      FROM d
+    ),
+    uni AS (
+      SELECT t, count(*) AS c
+      FROM (SELECT unnest(w) AS t FROM d) GROUP BY t
+    ),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    bi AS (
+      SELECT x, y, count(*) AS cxy FROM pairs GROUP BY x, y
+      HAVING count(*) >= {COLLOC_MIN_COUNT}
+    ),
+    j AS (
+      SELECT x, y, cxy, ux.c AS cx, uy.c AS cy, tot.n AS n
+      FROM bi JOIN uni ux ON bi.x = ux.t JOIN uni uy ON bi.y = uy.t
+      CROSS JOIN tot
+    )
+    SELECT x || ' ' || y AS bigram,
+           CAST(cxy AS BIGINT) AS n_xy,
+           CAST(cx AS BIGINT) AS n_x,
+           CAST(cy AS BIGINT) AS n_y,
+           round(round(ln(CAST(cxy AS DOUBLE)), 9)
+                 + round(ln(CAST(n AS DOUBLE)), 9)
+                 - round(ln(CAST(cx AS DOUBLE)), 9)
+                 - round(ln(CAST(cy AS DOUBLE)), 9), 9) AS pmi_r
+    FROM j
+    ORDER BY pmi_r DESC, bigram LIMIT {COLLOC_TOP_K}
+    """,
+    # PageRank: unrolled power-method CTEs generated from the same
+    # (n_iter, damping) the Spark query uses
+    "copurchase_pagerank": _pagerank_sql(PAGERANK_ITERS, PAGERANK_DAMPING_PCT),
     "cluster_dedup_docs": f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
     edges AS (

@@ -44,23 +44,34 @@ def write_corpus_shards(
     fmt: str = "jsonl",
     shard_col: str = "shard_id",
     pos_col: str = "pos",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Materialize a shard plan: one ``shard_id=N`` directory per shard,
     rows inside each file ordered by ``pos_col``. ``fmt``: ``jsonl`` or
     ``parquet``. The partition column is encoded in the directory name
     (Hive-style) and recovered on read; all other plan columns land in
     the data files, including ``pos_col`` so read-back verification can
-    re-derive the layout checksum."""
+    re-derive the layout checksum.
+
+    ``max_records_per_file``: size-target the output — a shard larger
+    than this splits into sequential part files (the regime where one
+    file per shard exceeds the loader's chunk size). The single writing
+    task rolls files in write order, so name-sorted part files within a
+    shard directory remain globally pos-ordered; read-back verification
+    is file-layout-independent either way (the checksum covers
+    (id, pos), not file boundaries)."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {sorted(_FORMATS)}, got {fmt!r}")
-    (
+    writer = (
         plan.repartition(int(n_shards), F.col(shard_col))
         .sortWithinPartitions(shard_col, pos_col)
         .write.partitionBy(shard_col)
         .mode("overwrite")
         .format(_FORMATS[fmt])
-        .save(out_dir)
     )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.save(out_dir)
 
 
 def read_corpus_shards(

@@ -107,3 +107,55 @@ def test_cluster_retention_keeps_longest_member(spark):
     )
     # {1,2,3}: longest is 2 (not min-id 1); {10,11}: tie -> min id 10; 99 untouched
     assert kept == [2, 10, 99]
+
+
+def test_pagerank_hand_computed(spark):
+    """The nano-unit fixed-point iteration matches a plain-Python
+    replica exactly (same floor divisions, same order-free sums), and
+    the ranking matches intuition: the hub of a star graph outranks its
+    leaves."""
+    from kafka_denormalization_spark.functions.graph import pagerank
+
+    # star: 1 <-> 2, 1 <-> 3, 1 <-> 4, plus a 2 <-> 3 chord
+    und = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    directed = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(directed, "s long, d long")
+    got = {
+        r["node"]: (r["rank_nano"], r["pagerank_r"])
+        for r in pagerank(df, "s", "d", damping_pct=85, n_iter=5).collect()
+    }
+
+    deg = {}
+    for s, _ in directed:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    rn = {u: 10**9 // n for u in nodes}
+    for _ in range(5):
+        sc = {u: 0 for u in nodes}
+        for s, d in directed:
+            sc[d] += rn[s] // deg[s]
+        rn = {u: 15 * 10**7 // n + (85 * sc[u]) // 100 for u in nodes}
+
+    assert {u: v[0] for u, v in got.items()} == rn
+    for u, (nano, r) in got.items():
+        assert abs(r - nano / 1e9) < 1e-12
+    assert got[1][0] > got[2][0] > got[4][0]  # hub > chord node > leaf
+    assert got[2][0] == got[3][0]  # symmetric pair ties exactly
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    """Floor divisions only LOSE mass, and at most ~1 nano-unit per
+    term: total mass stays within (1 - 1e-5) of 10^9 on a small graph."""
+    from kafka_denormalization_spark.functions.graph import pagerank
+
+    edges = [(i, (i + 1) % 20) for i in range(20)] + [
+        ((i + 1) % 20, i) for i in range(20)
+    ]
+    df = spark.createDataFrame(edges, "s long, d long")
+    total = (
+        pagerank(df, "s", "d", n_iter=8)
+        .agg({"rank_nano": "sum"})
+        .collect()[0][0]
+    )
+    assert 10**9 * (1 - 1e-5) <= total <= 10**9

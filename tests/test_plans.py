@@ -246,6 +246,14 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # corpus_pipeline_v4 / v4_funnel)
         "cluster_source_mix",       # k-row centroid broadcasts (embeds
                                     # kmeans_clusters, same as icp_packing)
+        "zipf_fit_head",            # 1-row vocab-census aggregate broadcast
+                                    # carried through the head-rank filter
+        "source_divergence",        # 1-row corpus-total aggregate broadcast
+                                    # over the (source, token) rows
+        "collocations",             # 1-row unigram-total aggregate broadcast
+                                    # into the PMI expression
+        "copurchase_pagerank",      # 1-row node-census broadcast into each
+                                    # power-iteration update
     }
     from kafka_denormalization_spark.plans import explain_str
 

@@ -418,3 +418,46 @@ class TestCorpusIO:
 
         with pytest.raises(ValueError, match="fmt"):
             write_corpus_shards(self._plan(spark), str(tmp_path / "x"), 4, fmt="csv")
+
+    def test_size_targeted_multi_file_shards(self, spark, tmp_path):
+        """max_records_per_file splits big shards into sequential part
+        files; name-ordered concatenation stays pos-ordered and the
+        manifest verification is file-layout-independent."""
+        import glob
+        import json
+
+        from kafka_denormalization_spark.sources.corpus_io import (
+            read_corpus_shards,
+            verify_corpus_shards,
+            write_corpus_shards,
+        )
+
+        plan = self._plan(spark)
+        out = str(tmp_path / "sized")
+        write_corpus_shards(
+            plan, out, n_shards=4, fmt="jsonl", max_records_per_file=10
+        )
+        shard_dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+        assert len(shard_dirs) == 4
+        multi = 0
+        for d in shard_dirs:
+            files = sorted(
+                f for f in glob.glob(f"{d}/part-*") if not f.endswith(".crc")
+            )
+            positions = [
+                json.loads(line)["pos"] for f in files for line in open(f)
+            ]
+            assert all(len(open(f).readlines()) <= 10 for f in files)
+            assert positions == sorted(positions)  # name order == pos order
+            if len(files) > 1:
+                multi += 1
+        assert multi >= 1  # the cap actually split something
+        back = read_corpus_shards(
+            spark,
+            out,
+            schema=(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long, pos long"
+            ),
+        )
+        assert verify_corpus_shards(back, plan, "doc_id", "n_chars").count() == 0

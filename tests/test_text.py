@@ -844,3 +844,132 @@ def test_contamination_scrub_hand_computed(spark):
     assert out[2]["text_scrubbed"] == "clean doc" and out[2]["n_hits"] == 0
     # adjacent occurrences both removed and both counted
     assert out[3]["text_scrubbed"] == "" and out[3]["n_hits"] == 2
+
+
+def test_zipf_fit_head_only(spark):
+    """top_ranks restricts the FIT to ranks 1..K while vocab_size still
+    reports the full above-min_count census."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a a b b b c c d d")], "doc_id long, text string"
+    )
+    # counts: a=5 (r1), b=3 (r2), c=2 (r3), d=2 (r4)
+    row = T.zipf_fit(df, "text", min_count=2, top_ranks=2).collect()[0]
+    assert row["vocab_size"] == 4  # full census survives the head filter
+    xs = [round(math.log(r), 9) for r in (1, 2)]
+    ys = [round(math.log(n), 9) for n in (5, 3)]
+    n = 2.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 9) for x, y in zip(xs, ys))
+    sxx = sum(round(x * x, 9) for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row["zipf_slope"] - slope) < 1e-8
+    # and the default path is unchanged by the knob's plumbing
+    full = T.zipf_fit(df, "text", min_count=2).collect()[0]
+    assert full["vocab_size"] == 4
+    assert full["zipf_slope"] != row["zipf_slope"]
+    import pytest
+
+    with pytest.raises(ValueError, match="top_ranks"):
+        T.zipf_fit(df, "text", top_ranks=1)
+
+
+def test_source_divergence_matches_naive_jsd(spark):
+    """The closed-form absent-token tail decomposition equals the naive
+    full-union JSD computed in plain Python (within the 9-decimal-grid
+    tolerance); identical sources diverge by ~0."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "sa", "a a b c"),
+        (2, "sa", "a b b d"),
+        (3, "sb", "x x y a"),
+        (4, "sc", "a a b c a b b d"),  # sc == sa's union -> JSD vs corpus differs from sa's only via totals
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: r
+        for r in T.source_divergence(df, "source", "text").collect()
+    }
+
+    per_src: dict[str, Counter] = {}
+    for _, s, text in rows:
+        per_src.setdefault(s, Counter()).update(text.split())
+    corpus: Counter = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    n = sum(corpus.values())
+
+    for s, cnt in per_src.items():
+        ns = sum(cnt.values())
+        jsd = 0.0
+        for t, cq in corpus.items():
+            p = cnt.get(t, 0) / ns
+            q = cq / n
+            m = (p + q) / 2.0
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            jsd += 0.5 * q * math.log(q / m)
+        assert abs(got[s]["jsd_r"] - jsd) < 1e-6, s
+        assert got[s]["n_tokens"] == ns
+        assert 0.0 <= got[s]["jsd_r"] <= math.log(2.0) + 1e-9
+
+
+def test_collocations_hand_computed(spark):
+    """PMI and counts match a plain-Python computation on a tiny corpus;
+    bigrams never cross document boundaries; min_count floors hapax
+    pairs out; ordering is (pmi desc, bigram asc)."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "new york new york city"),
+        (2, "york new york new"),
+        (3, "city hall city hall"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = T.collocations(df, "text", min_count=2, top_k=10).collect()
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for _, text in rows:
+        w = text.split()
+        uni.update(w)
+        bi.update(zip(w, w[1:]))  # within-doc only
+    n = sum(uni.values())
+
+    exp = {}
+    for (x, y), cxy in bi.items():
+        if cxy < 2:
+            continue
+        pmi = round(
+            round(math.log(cxy), 9)
+            + round(math.log(n), 9)
+            - round(math.log(uni[x]), 9)
+            - round(math.log(uni[y]), 9),
+            9,
+        )
+        exp[f"{x} {y}"] = (cxy, uni[x], uni[y], pmi)
+
+    assert {r["bigram"] for r in got} == set(exp)
+    for r in got:
+        cxy, cx, cy, pmi = exp[r["bigram"]]
+        assert (r["n_xy"], r["n_x"], r["n_y"]) == (cxy, cx, cy)
+        assert abs(r["pmi_r"] - pmi) < 1e-9, r["bigram"]
+    ranks = [(-r["pmi_r"], r["bigram"]) for r in got]
+    assert ranks == sorted(ranks)
+    # the doc-boundary bigram ("city", "york" across docs 1->2) never exists
+    assert "city york" not in {r["bigram"] for r in got}
+
+
+def test_collocations_min_count_floor(spark):
+    """A pair of rare words co-occurring once has huge PMI but must be
+    floored out — the hapax-domination guard IS the operator."""
+    df = spark.createDataFrame(
+        [(1, "rare pair"), (2, "a a a a a a a a")],
+        "doc_id long, text string",
+    )
+    got = T.collocations(df, "text", min_count=2, top_k=10).collect()
+    assert "rare pair" not in {r["bigram"] for r in got}

@@ -494,6 +494,34 @@ def _contamination_scrub(docs):
     return contamination_scrub(docs, "doc_id", "text", CONTAMINATION_PATTERNS)
 
 
+
+def _source_divergence(docs):
+    from kafka_denormalization_spark.functions.text import source_divergence
+
+    return source_divergence(docs, "source", "text")
+
+
+def _collocations(docs):
+    from kafka_denormalization_spark.functions.text import collocations
+
+    return collocations(docs, "text", min_count=5, top_k=50)
+
+
+def _pagerank_xor(docs):
+    # bounded-degree synthetic graph over doc ids (each node XOR-linked
+    # to 4 neighbors — symmetric by construction on an xor-closed id
+    # set): |E| grows linearly with replicas, the pagerank plan shape
+    # (per-round node-keyed shuffle) is what's measured
+    from kafka_denormalization_spark.functions.graph import pagerank
+
+    ids = docs.select(F.col("doc_id").alias("s"))
+    e = None
+    for k in (1, 2, 4, 8):
+        p = ids.select("s", F.col("s").bitwiseXOR(F.lit(k)).alias("d"))
+        e = p if e is None else e.unionByName(p)
+    return pagerank(e, "s", "d", n_iter=5)
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -537,6 +565,11 @@ OPS = {
     "cross_source_dups": ("documents", "doc_id", _cross_source_dups, True),
     "dedup_mixture_shift": ("documents", "doc_id", _dedup_mixture_shift, True),
     "contamination_scrub": ("documents", "doc_id", _contamination_scrub, False),
+    # salted: distinct (source, token) pairs must grow with N
+    "source_divergence": ("documents", "doc_id", _source_divergence, True),
+    # salted: disjoint replica vocab -> distinct bigrams grow with N
+    "collocations": ("documents", "doc_id", _collocations, True),
+    "pagerank": ("documents", "doc_id", _pagerank_xor, False),
 }
 
 
