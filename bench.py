@@ -149,6 +149,13 @@ BENCH_QUERIES = [
     "source_divergence",
     "collocations",
     "copurchase_pagerank",
+    # round-9 operators (layout / privacy / skyline / embedding audits)
+    "k_anonymity",
+    "pareto_front",
+    "z_order_layout",
+    "z_order_stats",
+    "semantic_contamination",
+    "mahalanobis_outliers",
 ]
 
 

@@ -1398,3 +1398,152 @@ def source_overlap(
             ).alias("jaccard_r"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level decontamination audit: for every corpus vector,
+    its similarity envelope against a (small, broadcast) evaluation
+    set — max cosine, the count of eval vectors at or above
+    ``threshold``, and the contamination flag. The semantic complement
+    to the n-gram `contamination_scan`/`contamination_scrub` family:
+    paraphrased or re-formatted benchmark leakage that shares no
+    13-gram still lands at cosine ~1 in embedding space (the
+    decontamination stage of GPT-3/PaLM-era corpus builds; Lee et al.
+    2022 measure the gap between the two detectors).
+
+    Scale (100 TB): the eval set is bounded (benchmarks are thousands
+    of rows, not billions) and broadcast; the corpus streams through
+    ONE scan with |eval| x dim multiply-adds per row and is never
+    shuffled — the aggregate is keyed on the corpus id with map-side
+    combine, so post-combine shuffle volume is one row per corpus
+    vector. The broadcast nested-loop is the deliberate topology (same
+    class as `contamination_scan`'s needle broadcast); an
+    RP-LSH-bucketed variant (`cosine_dup_pairs` machinery) is the
+    escalation if the eval side ever stops being broadcastable.
+
+    Max (not sum) folds keep floats exact across engines: max of
+    doubles is order-free, so no DECIMAL routing is needed.
+
+    Output: (id_col, max_sim, n_hits, contaminated) — one row per
+    corpus vector, including zero-hit rows (max_sim from the full
+    eval scan; the audit wants the near-misses too).
+    """
+    ev = eval_set.select(
+        F.col(eval_id_col).alias("_eid"), F.col(eval_vec_col).alias("_ev")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    sim = cosine(F.col("_cv"), F.col("_ev"))
+    return (
+        c.crossJoin(F.broadcast(ev))
+        .select(id_col, sim.alias("_sim"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_sim").alias("max_sim"),
+            F.sum(
+                F.when(F.col("_sim") >= F.lit(threshold), 1).otherwise(0)
+            ).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def mahalanobis_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k embedding outliers by diagonal-covariance Mahalanobis
+    distance: d(x)^2 = sum_i (x_i - mu_i)^2 / var_i. The
+    embedding-space corpus-quality audit (mislabeled/garbage/off-
+    distribution documents sit far from the bulk in every production
+    embedding monitor); diagonal covariance is the standard first cut
+    (full-covariance needs the d x d inverse — an offline model, not an
+    engine op).
+
+    Cross-engine determinism: per-dimension mean and variance come
+    from EXACT integer sums of 2^36- and 2^24-floor-scaled values (the
+    embedding_centroid convention — float sums are order-dependent,
+    DECIMAL quantization hits rounding ties; floored integer sums are
+    bit-identical on any engine/partitioning, and the final divisions
+    are single deterministic IEEE ops). The per-row distance fold is a
+    sequential list reduction — same order in Spark's F.aggregate and
+    DuckDB's list_sum, bit-identical.
+
+    Scale (100 TB): the moments pass is a posexplode partial
+    aggregation bounded by ``dim`` output rows; the dim-row moment
+    table is collected to a 1-row (mu[], var[]) array broadcast
+    (documented 1-row BNLJ class) and the distance is one more narrow
+    scan; top-k is per-partition TakeOrdered, never a global sort.
+    Zero-variance dimensions contribute 0 (not inf): a constant
+    dimension carries no outlier signal.
+
+    Output: (id_col, m_dist) — the k largest, ties broken by id; no
+    rank column (rank is the caller's ROW_NUMBER if needed).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s1 = float(2**36)
+    s2 = float(2**24)
+    ex = emb.select(F.posexplode(vec_col).alias("pos", "v")).select(
+        "pos",
+        F.floor(F.col("v").cast("double") * F.lit(s1)).cast("long").alias("_f1"),
+        F.floor(
+            F.col("v").cast("double") * F.col("v").cast("double") * F.lit(s2)
+        ).cast("long").alias("_f2"),
+    )
+    mom = (
+        ex.groupBy("pos")
+        .agg(
+            F.sum("_f1").alias("_s1"),
+            F.sum("_f2").alias("_s2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "pos",
+            (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
+            (F.col("_s2").cast("double") / (F.col("_n") * F.lit(s2))).alias("_ex2"),
+        )
+        .select(
+            "pos", "_mu", (F.col("_ex2") - F.col("_mu") * F.col("_mu")).alias("_var")
+        )
+    )
+    stats = mom.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "_mu", "_var"))
+        ).alias("_st")
+    ).select(
+        F.transform("_st", lambda s: s["_mu"]).alias("_mus"),
+        F.transform("_st", lambda s: s["_var"]).alias("_vars"),
+    )
+    term = lambda v, mu, var: F.when(  # noqa: E731
+        var > 0, (v - mu) * (v - mu) / var
+    ).otherwise(F.lit(0.0))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + term(
+            F.element_at(F.col(vec_col), i + 1).cast("double"),
+            F.element_at(F.col("_mus"), i + 1),
+            F.element_at(F.col("_vars"), i + 1),
+        ),
+    )
+    # rank on the 9-decimal-rounded distance (the repo's float-output
+    # grid): ordering on the raw double would make the top-k boundary
+    # sensitive to low-bit cross-engine summation differences
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(dist, 9).alias("m_dist"))
+        .orderBy(F.col("m_dist").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -298,3 +298,128 @@ def curriculum_shards(
         .withColumn("pos", rnd.cast("long"))
         .drop("_band", "_off", "_r")
     )
+
+
+def morton_interleave(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) bit interleave of two ``bits``-wide non-negative
+    integer columns: ``a``'s bit i lands at position 2i, ``b``'s at
+    2i+1. Pure unrolled integer expression (2*bits shift/mask/or terms)
+    — whole-stage-codegen'd JVM-side, and replayable verbatim in any
+    engine with bitwise operators (the DuckDB oracle does).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def z_order_plan(
+    df: DataFrame,
+    id_col: str,
+    dim_a: str,
+    dim_b: str,
+    rows_per_shard: int,
+    bits: int = 16,
+    band_bits: int = 12,
+) -> DataFrame:
+    """Z-order (Morton-curve) data layout over two numeric dimensions —
+    the multi-column clustering step a 100-TB lakehouse runs so that
+    min/max file statistics prune scans for predicates on EITHER
+    dimension (Delta/Iceberg ``OPTIMIZE ZORDER BY`` lineage; a plain
+    sort clusters only its leading column).
+
+    Mechanism: each dimension is normalized to ``[0, 2^bits)`` by EXACT
+    integer arithmetic — ``((x - min) * (2^bits - 1)) DIV (max - min)``
+    (integer DIV, never float division: exact for 64-bit spans, where
+    the double path wobbles in the low bit beyond 2^53) — then
+    Morton-interleaved into a z-value; rows are globally ranked by
+    ``(z, id)`` and dealt into contiguous ``rows_per_shard`` chunks.
+    Contiguous-in-z chunks are the point: each shard covers a small
+    hyper-rectangle of (dim_a, dim_b), so its min/max envelope is tight
+    on both dimensions (``z_order_stats`` measures exactly that).
+
+    Scale (100 TB): the dimension min/max is a 1-row aggregate
+    broadcast (documented BNLJ class). The global rank reuses the
+    shard_plan_bytes / curriculum_shards no-global-window
+    decomposition: rows are banded by the TOP ``band_bits`` bits of z
+    (<= 2^band_bits bands — the one unpartitioned window runs on that
+    bounded band-count table), offset by the band prefix sum, and
+    row_number'd within their band only. One aggregation + one
+    partitioned window + two broadcast joins; no global sort.
+
+    Output: all input columns + (z, shard_id, pos) — a pure function of
+    the (dim_a, dim_b, id) multiset, identical on any partitioning or
+    engine.
+    """
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    if not 1 <= band_bits <= 2 * bits:
+        raise ValueError(f"band_bits must be in [1, {2 * bits}]")
+    bounds = df.agg(
+        F.min(F.col(dim_a).cast("long")).alias("_amn"),
+        F.max(F.col(dim_a).cast("long")).alias("_amx"),
+        F.min(F.col(dim_b).cast("long")).alias("_bmn"),
+        F.max(F.col(dim_b).cast("long")).alias("_bmx"),
+    )
+    top = F.lit((1 << bits) - 1).cast("long")
+    with_b = df.crossJoin(F.broadcast(bounds)).select(
+        "*",
+        ((F.col(dim_a).cast("long") - F.col("_amn")) * top).alias("_sa"),
+        (F.col("_amx") - F.col("_amn")).alias("_wa"),
+        ((F.col(dim_b).cast("long") - F.col("_bmn")) * top).alias("_sb"),
+        (F.col("_bmx") - F.col("_bmn")).alias("_wb"),
+    )
+    na = F.when(F.col("_wa") > 0, F.expr("_sa DIV _wa")).otherwise(
+        F.lit(0).cast("long")
+    )
+    nb = F.when(F.col("_wb") > 0, F.expr("_sb DIV _wb")).otherwise(
+        F.lit(0).cast("long")
+    )
+    zed = with_b.withColumn(
+        "z", morton_interleave(na, nb, bits)
+    ).drop("_amn", "_amx", "_bmn", "_bmx", "_sa", "_wa", "_sb", "_wb")
+
+    band = F.shiftright(F.col("z"), 2 * bits - band_bits)
+    banded = zed.withColumn("_band", band)
+    by_band = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.orderBy(F.col("_band").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = by_band.select(
+        "_band", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_band").orderBy("z", id_col)
+    ranked = banded.join(F.broadcast(offsets), "_band").withColumn(
+        "_r", F.col("_off") + F.row_number().over(w_in) - F.lit(1)
+    )
+    return (
+        ranked.withColumn(
+            "shard_id", F.expr(f"_r DIV {int(rows_per_shard)}").cast("long")
+        )
+        .withColumn("pos", (F.col("_r") % F.lit(rows_per_shard)).cast("long"))
+        .drop("_band", "_off", "_r")
+    )
+
+
+def z_order_stats(
+    plan: DataFrame, dim_a: str, dim_b: str
+) -> DataFrame:
+    """Per-shard min/max envelope of both layout dimensions — the
+    file-statistics view a scan planner prunes against. Tight envelopes
+    on BOTH columns are z-order's deliverable; compare against
+    ``shard_plan``'s hash layout (envelopes span the full domain, no
+    shard is ever prunable). Bounded output: one row per shard."""
+    return plan.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(dim_a).alias("a_min"),
+        F.max(dim_a).alias("a_max"),
+        F.min(dim_b).alias("b_min"),
+        F.max(dim_b).alias("b_max"),
+    )

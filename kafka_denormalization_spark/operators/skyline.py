@@ -1,0 +1,105 @@
+"""Skyline (Pareto-front) operator: the rows not dominated on a
+(minimize, maximize) criteria pair (north-star extension; SURVEY §2.3 —
+multi-criteria curation: "shortest doc at every quality level",
+"cheapest part at every size", best cost/quality trade-off sets).
+
+Dominance (classic skyline, Börzsönyi et al., ICDE 2001): q dominates p
+iff q.min_col <= p.min_col AND q.max_col >= p.max_col, strictly better
+in at least one. The front is every row no other row dominates.
+Duplicate criteria points never dominate each other — ALL copies of a
+front point are returned.
+
+Scale design (100 TB) — the naive formulation is an all-pairs NOT
+EXISTS (the DuckDB oracle does exactly that at sf0.01); this
+implementation is the sort-based skyline decomposed to avoid any
+unpartitioned global window:
+
+1. The criteria pair is deduplicated first (exact dedup — the skyline
+   only depends on distinct points, and this bounds everything below
+   by |distinct pairs|, typically orders of magnitude below row count).
+2. Points are range-bucketed on ``min_col`` (pure expression off a
+   1-row min/max broadcast). A point can only be dominated from its
+   own bucket or a strictly lower one (lower bucket => strictly lower
+   min_col by construction of value-range buckets).
+3. Within a bucket: running max of ``max_col`` in (min_col asc,
+   max_col desc) order over the PRECEDING rows — a partitioned window.
+   On distinct points this running max >= own max_col is exactly
+   within-bucket dominance (same-value min_col ties carry distinct
+   max_col, so desc order puts dominators first).
+4. Across buckets: per-bucket max(max_col) — a table bounded by
+   ``num_buckets`` — prefix-maxed over strictly lower buckets (the one
+   unpartitioned window runs on that bounded summary table, the same
+   documented pattern as shard_plan_bytes' distinct-size table) and
+   broadcast back.
+5. Front points semi-join the input on the criteria pair, returning
+   every original row (duplicates included).
+
+One distinct-aggregation shuffle + one bucket-partitioned window + a
+broadcast join: no global sort, no pair join, skew-bounded by the
+bucket width (pathological single-value min_col degrades to one
+bucket = the classic sorted skyline, still O(n log n)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pareto_front(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """All rows of ``df`` on the (minimize ``min_col``, maximize
+    ``max_col``) Pareto front. Output: the input rows, unmodified."""
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    pts = df.select(
+        F.col(min_col).cast("double").alias("_x"),
+        F.col(max_col).cast("double").alias("_y"),
+    ).distinct()
+
+    bounds = pts.agg(
+        F.min("_x").alias("_mn"), F.max("_x").alias("_mx")
+    )
+    # value-range bucket: pure function of _x, so equal _x => equal
+    # bucket, and bucket i-1's _x upper edge is strictly below every _x
+    # in bucket i (the cross-bucket strictness step 2 relies on)
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(num_buckets))
+    bucket = F.when(F.col("_mx") > F.col("_mn"), F.least(
+        F.floor((F.col("_x") - F.col("_mn")) / width).cast("long"),
+        F.lit(num_buckets - 1),
+    )).otherwise(F.lit(0))
+    bpts = pts.crossJoin(F.broadcast(bounds)).select(
+        "_x", "_y", bucket.alias("_b")
+    )
+
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_x").asc(), F.col("_y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = bpts.withColumn("_m_in", F.max("_y").over(w_in))
+
+    bsum = bpts.groupBy("_b").agg(F.max("_y").alias("_bmax"))
+    w_pre = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bsum.select(
+        "_b", F.max("_bmax").over(w_pre).alias("_m_pre")
+    )
+
+    front = (
+        scored.join(F.broadcast(prefix), "_b")
+        .filter(
+            (F.col("_m_in").isNull() | (F.col("_m_in") < F.col("_y")))
+            & (F.col("_m_pre").isNull() | (F.col("_m_pre") < F.col("_y")))
+        )
+        .select("_x", "_y")
+    )
+    return df.join(
+        front,
+        (F.col(min_col).cast("double") == F.col("_x"))
+        & (F.col(max_col).cast("double") == F.col("_y")),
+        "left_semi",
+    )

@@ -3732,6 +3732,112 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/privacy.py): QI =
+    (source, 500-char length bucket), sensitive = lang. Groups smaller
+    than k=5 or with < 2 distinct langs are linkage-attack risks —
+    the record-level complement to token-level pii_scrub."""
+    from kafka_denormalization_spark.operators.privacy import (
+        k_anonymity_audit,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars DIV 500").cast("long")
+    )
+    return k_anonymity_audit(
+        docs, ["source", "len_bucket"], "lang", k=5, l=2
+    )
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (operators/skyline.py): parts on the Pareto front of
+    (minimize p_retailprice, maximize p_size) — the multi-criteria
+    curation primitive. Bucketed sort-based skyline; the DuckDB oracle
+    is the O(n^2) NOT EXISTS dominance definition."""
+    from kafka_denormalization_spark.operators.skyline import pareto_front
+
+    part = table(spark, sf_dir, "part")
+    return pareto_front(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+Z_ROWS_PER_SHARD = 1000
+
+
+def q_z_order_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (operators/sharding.py z_order_plan): events
+    Morton-clustered on (user_id, ts) into 1000-row shards, so every
+    shard covers a tight rectangle of both dimensions and min/max file
+    stats prune point AND time predicates."""
+    from kafka_denormalization_spark.operators.sharding import z_order_plan
+
+    ev = events_table(spark, sf_dir)
+    return z_order_plan(
+        ev, "event_id", "user_id", "ts_us", rows_per_shard=Z_ROWS_PER_SHARD
+    ).select("event_id", "z", "shard_id", "pos")
+
+
+def q_z_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard min/max envelopes of the z-order layout — the
+    file-statistics table a scan planner prunes with; tightness on BOTH
+    dimensions is the measurable deliverable of the Morton clustering
+    (a hash layout's envelopes span the full domain)."""
+    from kafka_denormalization_spark.operators.sharding import (
+        z_order_plan,
+        z_order_stats,
+    )
+
+    ev = events_table(spark, sf_dir)
+    plan = z_order_plan(
+        ev, "event_id", "user_id", "ts_us", rows_per_shard=Z_ROWS_PER_SHARD
+    )
+    return z_order_stats(plan, "user_id", "ts_us").select(
+        "shard_id",
+        "n",
+        F.col("a_min").alias("user_min"),
+        F.col("a_max").alias("user_max"),
+        F.col("b_min").alias("ts_min"),
+        F.col("b_max").alias("ts_max"),
+    )
+
+
+SEMCON_THRESHOLD = 0.4
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination audit (functions/similarity.py
+    semantic_contamination): the held-out 'benchmark' slice is the
+    deterministic vec_id % 20 == 0 subset (broadcast); every remaining
+    corpus vector reports max cosine against it, the >= 0.4 hit count,
+    and the contamination flag. max_sim rounded to the repo's 9-decimal
+    float-output grid."""
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    out = sim_fns.semantic_contamination(
+        corpus, ev, threshold=SEMCON_THRESHOLD
+    )
+    return out.select(
+        "vec_id",
+        F.round("max_sim", 9).alias("max_sim"),
+        "n_hits",
+        "contaminated",
+    )
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding-space outliers by diagonal-covariance
+    Mahalanobis distance (functions/similarity.py mahalanobis_outliers)
+    — the off-distribution corpus audit. Moments via the exact
+    2^36/2^24 floor-scaled integer sums; distance rounded to the
+    9-decimal grid for cross-engine hash equality."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_fns.mahalanobis_outliers(emb, k=20).select(
+        "vec_id", "m_dist"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3793,6 +3899,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_divergence": q_source_divergence,
     "collocations": q_collocations,
     "copurchase_pagerank": q_copurchase_pagerank,
+    "k_anonymity": q_k_anonymity,
+    "pareto_front": q_pareto_front,
+    "z_order_layout": q_z_order_layout,
+    "z_order_stats": q_z_order_stats,
+    "semantic_contamination": q_semantic_contamination,
+    "mahalanobis_outliers": q_mahalanobis_outliers,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -3920,28 +4032,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- round-8 head: never-checked additions + every r05-stale name ---
-    # Selection rule (continues the r06/r07 rotation): (a) ALL 16
-    # round-8 additions, never in any driver artifact (the late
-    # corpus-audit/mixture ops lead); (b) 29 of the 37 names whose last
-    # driver check is the r05 artifact (neither the r06 head nor the
-    # r07 head touched them) — the 8 dropped to fit (promo_revenue,
-    # rolling_zscore, nation_year_revenue, top_supplier,
-    # idle_rich_customers, forecast_revenue, moving_average,
-    # user_journeys) are trivially-stable TPC-H/event shapes covered by
-    # the builder-side CORRECTNESS_FULL regeneration.
-    # (a) round-8 additions (32) — the eleven continuation-session
-    # corpus-audit/soft-dedup/decontamination/graph ops
-    # (cross_source_dups, dedup_mixture_shift, dedup_weights,
-    # soft_dedup_sample, cluster_source_mix, zipf_fit, zipf_fit_head,
-    # contamination_scrub, source_divergence, collocations,
-    # copurchase_pagerank) lead as the newest never-checked names; to
-    # keep the head at 50 the seven trivially-stable TPC-H shapes
-    # exists_late_ship, small_qty_revenue, min_cost_per_part,
-    # volume_shipping, returned_items, disjunctive_revenue,
-    # late_shipment_priority plus the stable scd2_intervals,
-    # quantize_embeddings, lm_perplexity and ann_int8_topk moved to the
-    # CORRECTNESS_FULL-only tier with the other eight.
+    # --- r07 head: ALL 46 never-driver-checked names + 4 r04-stale ---
+    # Selection rule (computed from the union of CORRECTNESS_r01..r06):
+    # (a) every registry name absent from EVERY driver artifact — 40
+    # names spanning the post-r06 builder sessions plus this round's 6
+    # additions — leads, with the two the r6 VERDICT explicitly
+    # requested (gopher_repetition, shard_plan_bytes) first; (b) 4 of
+    # the 26 names whose last driver check is the r04 artifact. The 22
+    # r04-stale names dropped to fit 50 (doc_chunks,
+    # embedding_centroid, lang_id, text_stats, multimodal_metadata,
+    # scd2_as_of, quality_filter, stratified_sample, range_join,
+    # rollup_timeseries, session_window, stats_agg, shipping_priority,
+    # local_supplier_volume, profile_orders, quality_checks,
+    # funnel_counts, rank_distribution, fuzzy_name_pairs,
+    # grouping_sets, set_ops, pivot_event_counts) are covered by the
+    # builder-side CORRECTNESS_FULL regeneration and should lead the
+    # r08 head.
+    # (a) never driver-checked (46)
+    "gopher_repetition", "shard_plan_bytes",
     "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
     "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
     "zipf_fit_head", "contamination_scrub", "source_divergence",
@@ -3952,13 +4060,13 @@ _DRIVER_HEAD = [
     "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
     "corpus_diff", "corpus_pipeline_v4", "token_fertility",
     "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
-    # (b) last driver-checked in r05 (37)
-    "temperature_sample", "pii_scrub", "gram_novelty",
-    "incremental_dedup", "incremental_near_dedup", "dsir_weights",
-    "dsir_sample", "epoch_mixture", "percentile_profile", "oov_rate",
-    "minhash_lsh_dedup", "leakage_safe_split", "packing_stats",
-    "shard_plan", "shard_stats", "span_dedup", "kmeans_clusters",
-    "semantic_dedup",
+    "domain_profile", "domain_filtered_corpus", "url_dedup",
+    "domain_temperature_mix", "blocklist_filter", "epoch_shards",
+    "k_anonymity", "pareto_front", "z_order_layout", "z_order_stats",
+    "semantic_contamination", "mahalanobis_outliers",
+    # (b) last driver-checked in r04 (4 of 26)
+    "near_dup_clusters", "cosine_dedup", "two_hop_denorm",
+    "sequence_packing",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4578,6 +4686,53 @@ _V4_CTES_SQL: str = f"""w4 AS (
       FROM surv s JOIN t ON s.lang = t.lang
       WHERE substr(md5(concat('{V4_SALT}', '|', CAST(s.doc_id AS VARCHAR))), 1, 8)
             < t.thr
+    )"""
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    """Unrolled Morton-interleave SQL over two pre-normalized BIGINT
+    expressions — textually the same shift/mask/or arithmetic
+    operators/sharding.morton_interleave emits (bit-identical on any
+    engine with integer bitwise ops)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+# z-order oracle: normalize both dims with the same exact-integer
+# ((x - min) * 65535) // span arithmetic, interleave, rank by (z, id)
+_ZORDER_ZED_SQL = f"""
+    b AS (
+      SELECT CAST(min(user_id) AS BIGINT) AS amn,
+             CAST(max(user_id) AS BIGINT) AS amx,
+             min(epoch_us(ts)) AS bmn, max(epoch_us(ts)) AS bmx
+      FROM events
+    ),
+    nrm AS (
+      SELECT event_id,
+             CASE WHEN amx > amn
+                  THEN ((CAST(user_id AS BIGINT) - amn) * 65535) // (amx - amn)
+                  ELSE 0 END AS na,
+             CASE WHEN bmx > bmn
+                  THEN ((epoch_us(ts) - bmn) * 65535) // (bmx - bmn)
+                  ELSE 0 END AS nb
+      FROM events, b
+    ),
+    zed AS (
+      SELECT event_id, {_morton_sql('na', 'nb')} AS z FROM nrm
+    ),
+    zrank AS (
+      SELECT event_id, z,
+             row_number() OVER (ORDER BY z, event_id) - 1 AS rnk
+      FROM zed
+    ),
+    zplan AS (
+      SELECT event_id, z,
+             CAST(rnk // {{rows}} AS BIGINT) AS shard_id,
+             CAST(rnk % {{rows}} AS BIGINT) AS pos
+      FROM zrank
     )"""
 
 
@@ -6866,5 +7021,87 @@ ORACLE_SQL: dict[str, str] = {
            mnll AS mean_nll_r, excess_r,
            round(score / CAST(zv AS DOUBLE), 9) AS weight_r
     FROM dom4, z
+    """,
+    "k_anonymity": """
+    SELECT source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT lang) AS BIGINT) AS l_div,
+           (count(*) < 5 OR count(DISTINCT lang) < 2) AS at_risk
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    "pareto_front": """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    "z_order_layout": f"""
+    WITH {_ZORDER_ZED_SQL.format(rows=Z_ROWS_PER_SHARD)}
+    SELECT event_id, z, shard_id, pos FROM zplan
+    """,
+    "z_order_stats": f"""
+    WITH {_ZORDER_ZED_SQL.format(rows=Z_ROWS_PER_SHARD)}
+    SELECT p.shard_id, CAST(count(*) AS BIGINT) AS n,
+           min(e.user_id) AS user_min, max(e.user_id) AS user_max,
+           min(epoch_us(e.ts)) AS ts_min, max(epoch_us(e.ts)) AS ts_max
+    FROM zplan p JOIN events e USING (event_id)
+    GROUP BY 1
+    """,
+    "semantic_contamination": f"""
+    WITH ev AS (
+      SELECT vec_id AS eid, embedding AS e FROM embeddings
+      WHERE vec_id % 20 = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 20 <> 0
+    ),
+    s AS (
+      SELECT c.vec_id, {_COS_SQL.format(a='c.v', b='ev.e')} AS sim
+      FROM c CROSS JOIN ev
+    )
+    SELECT vec_id, round(max(sim), 9) AS max_sim,
+           CAST(sum(CASE WHEN sim >= {SEMCON_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           (sum(CASE WHEN sim >= {SEMCON_THRESHOLD} THEN 1 ELSE 0 END) > 0)
+             AS contaminated
+    FROM s
+    GROUP BY vec_id
+    """,
+    "mahalanobis_outliers": """
+    WITH ex AS (
+      SELECT t.i AS pos,
+             CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE)
+                        * 68719476736.0) AS BIGINT) AS f1,
+             CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE)
+                        * CAST(embedding[t.i + 1] AS DOUBLE)
+                        * 16777216.0) AS BIGINT) AS f2
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    ),
+    mom AS (
+      SELECT pos,
+             CAST(sum(f1) AS DOUBLE) / (count(*) * 68719476736.0) AS mu,
+             CAST(sum(f2) AS DOUBLE) / (count(*) * 16777216.0) AS ex2
+      FROM ex GROUP BY pos
+    ),
+    mom2 AS (
+      SELECT pos, mu, ex2 - mu * mu AS var FROM mom
+    ),
+    stats AS (
+      SELECT list(mu ORDER BY pos) AS mus, list(var ORDER BY pos) AS vars
+      FROM mom2
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(range(1, 65), i ->
+             CASE WHEN vars[i] > 0
+                  THEN (CAST(embedding[i] AS DOUBLE) - mus[i])
+                       * (CAST(embedding[i] AS DOUBLE) - mus[i]) / vars[i]
+                  ELSE 0.0 END)), 9) AS m_dist
+    FROM embeddings CROSS JOIN stats
+    ORDER BY m_dist DESC, vec_id ASC
+    LIMIT 20
     """,
 }

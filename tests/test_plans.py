@@ -254,6 +254,17 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # into the PMI expression
         "copurchase_pagerank",      # 1-row node-census broadcast into each
                                     # power-iteration update
+        "pareto_front",             # 1-row min/max bounds broadcast feeding
+                                    # the bucket expression
+        "z_order_layout",           # 1-row dim-bounds aggregate broadcast
+                                    # feeding the exact-integer normalization
+        "z_order_stats",            # same (embeds z_order_plan)
+        "semantic_contamination",   # bounded eval-set broadcast scan — the
+                                    # deliberate needle topology (same class
+                                    # as contamination_scan); RP-LSH bucketed
+                                    # variant is the documented escalation
+        "mahalanobis_outliers",     # 1-row (mu[], var[]) moment-array
+                                    # broadcast over the distance scan
     }
     from kafka_denormalization_spark.plans import explain_str
 

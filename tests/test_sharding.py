@@ -484,3 +484,105 @@ def test_ingest_shard_writer_e2e(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
     assert w2.verify(schema).count() >= 1
+
+
+# -- z-order layout ----------------------------------------------------------
+
+from kafka_denormalization_spark.operators.sharding import (  # noqa: E402
+    morton_interleave,
+    z_order_plan,
+    z_order_stats,
+)
+
+
+def test_morton_interleave_known_values(spark):
+    # a=0b101, b=0b011 -> even bits from a (1,0,1), odd from b (1,1,0):
+    # z = 1 + 2 + 0 + 8 + 16 + 0 = 0b011011 = 27
+    df = spark.range(1).select(
+        morton_interleave(F.lit(5).cast("long"), F.lit(3).cast("long")).alias("z")
+    )
+    assert df.collect()[0]["z"] == 27
+    # interleave of (max, max) at 16 bits fills all 32 low bits
+    df2 = spark.range(1).select(
+        morton_interleave(
+            F.lit(65535).cast("long"), F.lit(65535).cast("long")
+        ).alias("z")
+    )
+    assert df2.collect()[0]["z"] == (1 << 32) - 1
+
+
+def _grid(spark, n=32):
+    # n x n grid of (x, y) points, id = row-major index
+    return spark.range(n * n).select(
+        F.col("id"),
+        (F.col("id") % n).alias("x"),
+        F.expr(f"id DIV {n}").cast("long").alias("y"),
+    )
+
+
+def test_z_order_plan_matches_global_sort(spark):
+    """Banded rank decomposition == a plain global (z, id) sort."""
+    g = _grid(spark)
+    plan = z_order_plan(g, "id", "x", "y", rows_per_shard=64).collect()
+    by_rank = sorted(plan, key=lambda r: (r["z"], r["id"]))
+    for rank, r in enumerate(by_rank):
+        assert r["shard_id"] == rank // 64
+        assert r["pos"] == rank % 64
+    # bijective layout
+    assert len({(r["shard_id"], r["pos"]) for r in plan}) == len(plan)
+
+
+def test_z_order_plan_partitioning_invariant(spark):
+    g = _grid(spark)
+    a = sorted(
+        z_order_plan(g, "id", "x", "y", rows_per_shard=100).collect(),
+        key=lambda r: r["id"],
+    )
+    b = sorted(
+        z_order_plan(
+            g.repartition(13), "id", "x", "y", rows_per_shard=100
+        ).collect(),
+        key=lambda r: r["id"],
+    )
+    assert [(r["id"], r["z"], r["shard_id"], r["pos"]) for r in a] == [
+        (r["id"], r["z"], r["shard_id"], r["pos"]) for r in b
+    ]
+
+
+def test_z_order_envelopes_tighter_than_hash_layout(spark):
+    """The point of the curve: contiguous z-chunks cover small
+    rectangles of BOTH dims; a hash layout's per-shard envelopes span
+    ~the full domain. Compare summed envelope areas on a 32x32 grid."""
+    g = _grid(spark)
+    zplan = z_order_plan(g, "id", "x", "y", rows_per_shard=64)
+    zs = z_order_stats(zplan, "x", "y").collect()
+    z_area = sum(
+        (r["a_max"] - r["a_min"] + 1) * (r["b_max"] - r["b_min"] + 1)
+        for r in zs
+    )
+    hplan = shard_plan(g, "id", n_shards=16)
+    hs = (
+        hplan.groupBy("shard_id")
+        .agg(
+            F.min("x").alias("a_min"), F.max("x").alias("a_max"),
+            F.min("y").alias("b_min"), F.max("y").alias("b_max"),
+        )
+        .collect()
+    )
+    h_area = sum(
+        (r["a_max"] - r["a_min"] + 1) * (r["b_max"] - r["b_min"] + 1)
+        for r in hs
+    )
+    # 16 shards x 64 rows: ideal z-envelopes are ~8x8=64 each (sum
+    # ~1024); hash envelopes are ~the full 1024 grid EACH (sum ~16k).
+    assert z_area * 4 < h_area, (z_area, h_area)
+
+
+def test_z_order_degenerate_dim(spark):
+    """A constant dimension normalizes to 0 everywhere and the layout
+    degrades to a clean 1-D sort on the other dim."""
+    g = _grid(spark, n=8).withColumn("c", F.lit(7).cast("long"))
+    plan = z_order_plan(g, "id", "c", "x", rows_per_shard=16).collect()
+    by_rank = sorted(plan, key=lambda r: (r["shard_id"], r["pos"]))
+    xs = [r["x"] for r in by_rank]
+    assert xs == sorted(xs)

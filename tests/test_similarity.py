@@ -691,3 +691,77 @@ def test_dedup_weights_mass_per_cluster_is_one(spark):
         else:
             multi += 1
     assert multi >= 1  # fixture actually exercises the non-singleton path
+
+
+def test_semantic_contamination_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(40, 8)).astype("float32")
+    evalv = rng.normal(size=(5, 8)).astype("float32")
+    # plant a true leak: corpus vector 0 == eval vector 0
+    corpus[0] = evalv[0]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<float>",
+    )
+    edf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(evalv)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_contamination(cdf, edf, threshold=0.9).collect()
+    }
+    assert len(out) == 40
+    c64 = corpus.astype("float64")
+    e64 = evalv.astype("float64")
+    sims = (c64 @ e64.T) / (
+        np.linalg.norm(c64, axis=1)[:, None] * np.linalg.norm(e64, axis=1)[None, :]
+    )
+    for i in range(40):
+        assert abs(out[i]["max_sim"] - sims[i].max()) < 1e-6
+        assert out[i]["n_hits"] == int((sims[i] >= 0.9).sum())
+    assert out[0]["contaminated"] and out[0]["max_sim"] > 0.999999
+    # zero-norm corpus vector degrades to sim 0, not a crash
+    zdf = spark.createDataFrame(
+        [(99, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    z = S.semantic_contamination(zdf, edf, threshold=0.5).collect()[0]
+    assert z["max_sim"] == 0.0 and not z["contaminated"]
+
+
+def test_mahalanobis_outliers_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(60, 64)).astype("float32")
+    base[7] += 40.0  # the planted outlier
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.mahalanobis_outliers(df, k=10).collect()
+    assert out[0]["vec_id"] == 7  # planted outlier ranks first
+    # replicate the exact floor-scaled moment arithmetic
+    v = base.astype("float64")
+    s1, s2 = 2.0**36, 2.0**24
+    mu = np.floor(v * s1).sum(axis=0) / (len(v) * s1)
+    ex2 = np.floor(v * v * s2).sum(axis=0) / (len(v) * s2)
+    var = ex2 - mu * mu
+    d = np.where(var > 0, (v - mu) ** 2 / var, 0.0).sum(axis=1)
+    expect = sorted(
+        ((round(dist, 9), i) for i, dist in enumerate(d)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [(r["m_dist"], r["vec_id"]) for r in out]
+    for (ed, ei), (gd, gi) in zip(expect, got):
+        assert ei == gi
+        assert abs(ed - gd) < 1e-6
+    # constant dimension (zero variance) contributes 0, not inf/NaN
+    cdf = spark.createDataFrame(
+        [(i, [1.5] + [float(x) for x in rng.normal(size=63)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    res = S.mahalanobis_outliers(cdf, k=5).collect()
+    assert all(math.isfinite(r["m_dist"]) for r in res)
