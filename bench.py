@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "z_order_stats",
     "semantic_contamination",
     "mahalanobis_outliers",
+    "embedding_covariance",
+    "embedding_pca",
 ]
 
 

@@ -24,6 +24,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1546,4 +1548,158 @@ def mahalanobis_outliers(
         .select(F.col(id_col), F.round(dist, 9).alias("m_dist"))
         .orderBy(F.col("m_dist").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Full dim x dim covariance of the embedding corpus — the
+    second-moment table every embedding-space audit builds on
+    (PCA/whitening, drift monitors, Mahalanobis beyond the diagonal).
+
+    cov[i,j] = E[x_i x_j] - mu_i mu_j, with both expectations from
+    EXACT floor-scaled integer sums (2^36 for means, 2^24 for
+    products — the embedding_centroid convention: float sums are
+    order-dependent across engines/partitionings; floored integer
+    sums are bit-identical, and the final divisions are single
+    deterministic IEEE ops). Entries land on the repo's 9-decimal
+    output grid.
+
+    Scale (100 TB): ONE corpus pass — a per-row double posexplode
+    emits dim^2 (i, j, product) triples that map-side combine
+    collapses to dim^2 partial sums per task before any shuffle;
+    post-combine shuffle volume is dim^2 rows per task, the output is
+    dim^2 rows total. The dim^2 per-row amplification happens inside
+    the scan stage (narrow), never on the wire. Assumes |values| small
+    enough that products fit the 2^24 grid in a long (|x| < ~2^19 —
+    any real embedding).
+
+    Output: (i, j, cov_r) — dim^2 rows, 9-decimal doubles.
+    """
+    s1, s2 = float(2**36), float(2**24)
+    ex1 = emb.select(F.posexplode(vec_col).alias("i", "_vi"), F.col(vec_col).alias("_v"))
+    ex2 = ex1.select(
+        "i",
+        F.col("_vi").cast("double").alias("_vid"),
+        F.posexplode("_v").alias("j", "_vj"),
+    )
+    prods = (
+        ex2.select(
+            "i",
+            "j",
+            F.floor(F.col("_vid") * F.col("_vj").cast("double") * F.lit(s2))
+            .cast("long")
+            .alias("_f2"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("_f2").alias("_s2"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "i",
+            "j",
+            (F.col("_s2").cast("double") / (F.col("_n") * F.lit(s2))).alias("_e2"),
+        )
+    )
+    means = (
+        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        .select(
+            "pos",
+            F.floor(F.col("v").cast("double") * F.lit(s1)).cast("long").alias("_f1"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("_f1").alias("_s1"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "pos",
+            (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
+        )
+    )
+    mi = means.select(F.col("pos").alias("i"), F.col("_mu").alias("_mui"))
+    mj = means.select(F.col("pos").alias("j"), F.col("_mu").alias("_muj"))
+    return (
+        prods.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round(F.col("_e2") - F.col("_mui") * F.col("_muj"), 9).alias("cov_r"),
+        )
+    )
+
+
+def embedding_pca(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Top principal component of the embedding corpus by
+    fixed-iteration power method over the exact covariance table —
+    the dominant-direction audit (a corpus whose top component
+    explains most variance is template/boilerplate-heavy; PC
+    projections also drive whitening and the classic all-but-the-top
+    embedding cleanup).
+
+    Fixed-point determinism (the pagerank convention applied to
+    linear algebra): the covariance and every iterate live on the
+    9-decimal grid, and each matrix-vector fold runs in DECIMAL —
+    cov DECIMAL(12,9) x component DECIMAL(12,9) products are exact
+    DECIMAL(25,18) values whose sum is order-free, so any engine
+    reproduces every bit; the only float ops per round are one
+    sqrt + one division + one round, each a single deterministic
+    IEEE operation. Fixed ``n_iter`` (no convergence threshold — a
+    float epsilon would re-introduce engine divergence); 8 rounds
+    separate any non-degenerate spectrum for audit purposes. The
+    deterministic all-equal start vector (1/sqrt(dim), exactly
+    0.125 on the grid for dim=64) makes the SIGN deterministic too.
+
+    Scale (100 TB): the corpus is touched once (the
+    embedding_covariance pass, checkpointed); every iteration is a
+    join/agg on the dim^2-row covariance with a 1-row norm broadcast
+    — bounded work independent of corpus size.
+
+    Output: (pos, pc1, eigval) — dim rows; eigval is the final
+    pre-normalization norm (the Rayleigh estimate), repeated per row.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    cov = embedding_covariance(emb, vec_col, dim).localCheckpoint(eager=True)
+    x0 = round(1.0 / math.sqrt(dim), 9)
+    v = cov.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(x0).cast("double").alias("x")
+    )
+    norm = None
+    for _ in range(n_iter):
+        y = (
+            cov.join(v.select(F.col("pos").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("cov_r").cast("decimal(12,9)")
+                    * F.col("x").cast("decimal(12,9)")
+                ).alias("_yd")
+            )
+            .select(
+                F.col("i").alias("pos"),
+                F.round(F.col("_yd").cast("double"), 9).alias("yr"),
+            )
+        )
+        norm = y.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("yr").cast("decimal(15,9)")
+                    * F.col("yr").cast("decimal(15,9)")
+                ).cast("double")
+            ).alias("_nrm")
+        )
+        v = (
+            y.crossJoin(F.broadcast(norm))
+            .select("pos", F.round(F.col("yr") / F.col("_nrm"), 9).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return v.crossJoin(F.broadcast(norm)).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("x").alias("pc1"),
+        F.round("_nrm", 9).alias("eigval"),
     )

@@ -3838,6 +3838,28 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_ITERS = 8
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64x64 covariance of the embedding corpus
+    (functions/similarity.py embedding_covariance): one corpus pass,
+    exact floor-scaled integer sums, 9-grid entries — the
+    second-moment table PCA/whitening/drift audits build on."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_fns.embedding_covariance(emb)
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by fixed-iteration power method
+    (functions/similarity.py embedding_pca): 8 deterministic rounds of
+    exact DECIMAL matrix-vector folds over the covariance table — the
+    dominant-direction corpus audit. Oracle unrolls the identical
+    arithmetic per round (_pca_sql)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_fns.embedding_pca(emb, n_iter=PCA_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3905,6 +3927,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "z_order_stats": q_z_order_stats,
     "semantic_contamination": q_semantic_contamination,
     "mahalanobis_outliers": q_mahalanobis_outliers,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_pca": q_embedding_pca,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -4032,14 +4056,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- r07 head: ALL 46 never-driver-checked names + 4 r04-stale ---
+    # --- r07 head: ALL 48 never-driver-checked names + 2 r04-stale ---
     # Selection rule (computed from the union of CORRECTNESS_r01..r06):
     # (a) every registry name absent from EVERY driver artifact — 40
-    # names spanning the post-r06 builder sessions plus this round's 6
+    # names spanning the post-r06 builder sessions plus this round's 8
     # additions — leads, with the two the r6 VERDICT explicitly
-    # requested (gopher_repetition, shard_plan_bytes) first; (b) 4 of
-    # the 26 names whose last driver check is the r04 artifact. The 22
-    # r04-stale names dropped to fit 50 (doc_chunks,
+    # requested (gopher_repetition, shard_plan_bytes) first; (b) 2 of
+    # the 26 names whose last driver check is the r04 artifact. The 24
+    # r04-stale names dropped to fit 50 (two_hop_denorm,
+    # sequence_packing, doc_chunks,
     # embedding_centroid, lang_id, text_stats, multimodal_metadata,
     # scd2_as_of, quality_filter, stratified_sample, range_join,
     # rollup_timeseries, session_window, stats_agg, shipping_priority,
@@ -4048,7 +4073,7 @@ _DRIVER_HEAD = [
     # grouping_sets, set_ops, pivot_event_counts) are covered by the
     # builder-side CORRECTNESS_FULL regeneration and should lead the
     # r08 head.
-    # (a) never driver-checked (46)
+    # (a) never driver-checked (48)
     "gopher_repetition", "shard_plan_bytes",
     "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
     "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
@@ -4064,9 +4089,9 @@ _DRIVER_HEAD = [
     "domain_temperature_mix", "blocklist_filter", "epoch_shards",
     "k_anonymity", "pareto_front", "z_order_layout", "z_order_stats",
     "semantic_contamination", "mahalanobis_outliers",
-    # (b) last driver-checked in r04 (4 of 26)
-    "near_dup_clusters", "cosine_dedup", "two_hop_denorm",
-    "sequence_packing",
+    "embedding_covariance", "embedding_pca",
+    # (b) last driver-checked in r04 (2 of 26)
+    "near_dup_clusters", "cosine_dedup",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4734,6 +4759,72 @@ _ZORDER_ZED_SQL = f"""
              CAST(rnk % {{rows}} AS BIGINT) AS pos
       FROM zrank
     )"""
+
+
+# exact-covariance CTEs shared by embedding_covariance / embedding_pca:
+# floor-scaled integer sums (2^36 means / 2^24 products), 9-grid entries
+_COV_CTES_SQL = """
+    exv AS (
+      SELECT ti.i AS i, tj.j AS j,
+             CAST(floor(CAST(embedding[ti.i + 1] AS DOUBLE)
+                        * CAST(embedding[tj.j + 1] AS DOUBLE)
+                        * 16777216.0) AS BIGINT) AS f2
+      FROM embeddings
+      CROSS JOIN range(0, 64) ti(i) CROSS JOIN range(0, 64) tj(j)
+    ),
+    e2 AS (
+      SELECT i, j,
+             CAST(sum(f2) AS DOUBLE) / (count(*) * 16777216.0) AS exixj
+      FROM exv GROUP BY i, j
+    ),
+    m1 AS (
+      SELECT t.i AS pos,
+             CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE)
+                                 * 68719476736.0) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 68719476736.0) AS mu
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+      GROUP BY t.i
+    ),
+    cov AS (
+      SELECT e2.i, e2.j, round(exixj - a.mu * b.mu, 9) AS c
+      FROM e2 JOIN m1 a ON e2.i = a.pos JOIN m1 b ON e2.j = b.pos
+    )"""
+
+
+def _pca_sql(n_iter: int) -> str:
+    """Unrolled power-method CTE chain — textually the same
+    DECIMAL-fold / sqrt / divide / round-9 arithmetic
+    functions/similarity.embedding_pca runs per iteration."""
+    parts = [
+        _COV_CTES_SQL,
+        """
+    v0 AS (SELECT t.i AS pos, CAST(0.125 AS DOUBLE) AS x
+           FROM range(0, 64) t(i))""",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+    y{t} AS (
+      SELECT cov.i AS pos,
+             round(CAST(sum(CAST(c AS DECIMAL(12,9))
+                            * CAST(x AS DECIMAL(12,9))) AS DOUBLE), 9) AS yr
+      FROM cov JOIN v{t - 1} ON cov.j = v{t - 1}.pos
+      GROUP BY cov.i
+    ),
+    n{t} AS (
+      SELECT sqrt(CAST(sum(CAST(yr AS DECIMAL(15,9))
+                           * CAST(yr AS DECIMAL(15,9))) AS DOUBLE)) AS nrm
+      FROM y{t}
+    ),
+    v{t} AS (
+      SELECT pos, round(yr / nrm, 9) AS x FROM y{t}, n{t}
+    )""")
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(pos AS BIGINT) AS pos, x AS pc1,
+           round((SELECT nrm FROM n{n_iter}), 9) AS eigval
+    FROM v{n_iter}
+    """
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -7104,4 +7195,10 @@ ORACLE_SQL: dict[str, str] = {
     ORDER BY m_dist DESC, vec_id ASC
     LIMIT 20
     """,
+    "embedding_covariance": f"""
+    WITH {_COV_CTES_SQL}
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, c AS cov_r
+    FROM cov
+    """,
+    "embedding_pca": _pca_sql(PCA_ITERS),
 }

@@ -265,6 +265,9 @@ def test_no_unjustified_scale_killers_anywhere(spark):
                                     # variant is the documented escalation
         "mahalanobis_outliers",     # 1-row (mu[], var[]) moment-array
                                     # broadcast over the distance scan
+        "embedding_pca",            # per-iteration 1-row norm broadcast
+                                    # over the 64-row iterate (power
+                                    # method; pagerank's census class)
     }
     from kafka_denormalization_spark.plans import explain_str
 

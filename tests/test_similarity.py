@@ -765,3 +765,59 @@ def test_mahalanobis_outliers_matches_numpy(spark):
     )
     res = S.mahalanobis_outliers(cdf, k=5).collect()
     assert all(math.isfinite(r["m_dist"]) for r in res)
+
+
+def test_embedding_covariance_matches_numpy_exactly(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    got = np.zeros((64, 64))
+    for r in S.embedding_covariance(df).collect():
+        got[r["i"], r["j"]] = r["cov_r"]
+    v = base.astype("float64")
+    n, s1, s2 = len(v), 2.0**36, 2.0**24
+    mu = np.floor(v * s1).sum(0) / (n * s1)
+    e2 = np.floor(v[:, :, None] * v[:, None, :] * s2).reshape(n, -1).sum(
+        0
+    ).reshape(64, 64) / (n * s2)
+    expect = np.round(e2 - np.outer(mu, mu), 9)
+    assert np.abs(got - expect).max() == 0.0  # bit-exact by construction
+    # symmetric up to the 1e-9 grid (floor(vi*vj*s) == floor(vj*vi*s))
+    assert np.abs(got - got.T).max() == 0.0
+
+
+def test_embedding_pca_finds_planted_direction(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    direction = np.zeros(64)
+    direction[3] = 1.0
+    # spiked covariance: big variance along e_3, small isotropic noise
+    base = (
+        rng.normal(size=(80, 1)) * direction[None, :] * 5.0
+        + rng.normal(size=(80, 64)) * 0.05
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.embedding_pca(df, n_iter=8).collect()
+    x = np.zeros(64)
+    for r in out:
+        x[r["pos"]] = r["pc1"]
+    # unit-norm on the 9-grid, dominated by the planted axis
+    assert abs(np.linalg.norm(x) - 1.0) < 1e-6
+    assert abs(abs(x[3]) - 1.0) < 1e-3
+    # eigval ~ the planted variance (5^2 * E[g^2] around 25)
+    ev = out[0]["eigval"]
+    assert 10.0 < ev < 60.0
+    # determinism: a reshuffled input yields the identical component
+    out2 = S.embedding_pca(df.repartition(7), n_iter=8).collect()
+    assert sorted((r["pos"], r["pc1"]) for r in out) == sorted(
+        (r["pos"], r["pc1"]) for r in out2
+    )
