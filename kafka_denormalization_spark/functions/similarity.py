@@ -1568,9 +1568,12 @@ def embedding_covariance(
     deterministic IEEE ops). Entries land on the repo's 9-decimal
     output grid.
 
-    Scale (100 TB): ONE corpus pass — a per-row double posexplode
-    emits dim^2 (i, j, product) triples that map-side combine
-    collapses to dim^2 partial sums per task before any shuffle;
+    Scale (100 TB): TWO corpus passes — the dim-row means pass
+    (checkpointed; it feeds both sides of the outer-product
+    correction) and the products pass, where a per-row double
+    posexplode emits dim^2 (i, j, product) triples that map-side
+    combine collapses to dim^2 partial sums per task before any
+    shuffle;
     post-combine shuffle volume is dim^2 rows per task, the output is
     dim^2 rows total. The dim^2 per-row amplification happens inside
     the scan stage (narrow), never on the wire. Assumes |values| small
@@ -1602,6 +1605,9 @@ def embedding_covariance(
             (F.col("_s2").cast("double") / (F.col("_n") * F.lit(s2))).alias("_e2"),
         )
     )
+    # the dim-row means table feeds BOTH sides of the outer-product
+    # correction; eagerly checkpointed so the corpus is scanned exactly
+    # twice (means pass + products pass), not once per consumer
     means = (
         emb.select(F.posexplode(vec_col).alias("pos", "v"))
         .select(
@@ -1614,6 +1620,7 @@ def embedding_covariance(
             "pos",
             (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
         )
+        .localCheckpoint(eager=True)
     )
     mi = means.select(F.col("pos").alias("i"), F.col("_mu").alias("_mui"))
     mj = means.select(F.col("pos").alias("j"), F.col("_mu").alias("_muj"))

@@ -361,12 +361,17 @@ def z_order_plan(
         raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
     if not 1 <= band_bits <= 2 * bits:
         raise ValueError(f"band_bits must be in [1, {2 * bits}]")
+    # 1-row bounds + the <=2^band_bits offsets table below are eagerly
+    # checkpointed: both are re-referenced by corpus-sized consumers,
+    # and without a LogicalRDD leaf every consumer replays the full
+    # scan lineage (plan-audited: 8 scans -> 3 passes — bounds, band
+    # counts, rank; the first two are inherent to the exact layout)
     bounds = df.agg(
         F.min(F.col(dim_a).cast("long")).alias("_amn"),
         F.max(F.col(dim_a).cast("long")).alias("_amx"),
         F.min(F.col(dim_b).cast("long")).alias("_bmn"),
         F.max(F.col(dim_b).cast("long")).alias("_bmx"),
-    )
+    ).localCheckpoint(eager=True)
     top = F.lit((1 << bits) - 1).cast("long")
     with_b = df.crossJoin(F.broadcast(bounds)).select(
         "*",
@@ -394,7 +399,7 @@ def z_order_plan(
     )
     offsets = by_band.select(
         "_band", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
-    )
+    ).localCheckpoint(eager=True)
     w_in = Window.partitionBy("_band").orderBy("z", id_col)
     ranked = banded.join(F.broadcast(offsets), "_band").withColumn(
         "_r", F.col("_off") + F.row_number().over(w_in) - F.lit(1)

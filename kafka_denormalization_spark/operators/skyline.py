@@ -61,9 +61,13 @@ def pareto_front(
         F.col(max_col).cast("double").alias("_y"),
     ).distinct()
 
+    # the 1-row bounds and the <=num_buckets summary below are eagerly
+    # checkpointed: they are re-referenced by multiple consumers, and
+    # without a LogicalRDD leaf each consumer would replay the full
+    # corpus lineage (plan-audited: 10 scans -> 3 passes)
     bounds = pts.agg(
         F.min("_x").alias("_mn"), F.max("_x").alias("_mx")
-    )
+    ).localCheckpoint(eager=True)
     # value-range bucket: pure function of _x, so equal _x => equal
     # bucket, and bucket i-1's _x upper edge is strictly below every _x
     # in bucket i (the cross-bucket strictness step 2 relies on)
@@ -87,7 +91,7 @@ def pareto_front(
     w_pre = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     prefix = bsum.select(
         "_b", F.max("_bmax").over(w_pre).alias("_m_pre")
-    )
+    ).localCheckpoint(eager=True)
 
     front = (
         scored.join(F.broadcast(prefix), "_b")

@@ -525,3 +525,91 @@ def test_signal_gate_pre_transform_e2e(spark, tmp_path):
     assert sorted(got) == sorted(ref)
     for d in got:
         assert got[d]["shard_id"] == ref[d]["shard_id"]
+
+
+def test_semantic_decontamination_doc_filter_e2e(spark, tmp_path):
+    """Round-9 frozen-model composition: embedding-level
+    decontamination (functions/similarity.py semantic_contamination)
+    as IngestCuration's doc_filter. The benchmark eval-set embeddings
+    are corpus-external and frozen to parquet (the production shape —
+    eval sets never grow with the stream); a per-doc embedding side
+    table joins each batch's survivors to their vectors, and docs with
+    cosine >= threshold against ANY eval vector are dropped before
+    exact/near dedup state ever sees them. Parity: the streamed
+    shipped set equals the batch chain with the same frozen gate."""
+    import numpy as np
+
+    from kafka_denormalization_spark.functions.similarity import (
+        semantic_contamination,
+    )
+    from kafka_denormalization_spark.operators.chunking import span_dedup
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+    from kafka_denormalization_spark.streaming.ingest_curation import (
+        IngestCuration,
+    )
+
+    rng = np.random.default_rng(17)
+    evalv = rng.normal(size=(3, 8)).astype("float64")
+    # doc embeddings: docs 2 and 5 are near-copies of eval vectors
+    docvec = {i: rng.normal(size=8) for i in range(1, 7)}
+    docvec[2] = evalv[0] + rng.normal(size=8) * 0.01
+    docvec[5] = evalv[2] + rng.normal(size=8) * 0.01
+
+    mdl = str(tmp_path / "frozen")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(evalv)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{mdl}/eval")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in docvec.items()],
+        "doc_id long, embedding array<float>",
+    ).write.parquet(f"{mdl}/docvec")
+    eval_f = spark.read.parquet(f"{mdl}/eval")
+    docvec_f = spark.read.parquet(f"{mdl}/docvec")
+
+    def decon_gate(df):
+        flagged = (
+            semantic_contamination(
+                df.join(docvec_f, "doc_id").select("doc_id", "embedding"),
+                eval_f,
+                id_col="doc_id",
+                threshold=0.95,
+            )
+            .filter(F.col("contaminated"))
+            .select("doc_id")
+        )
+        return df.join(F.broadcast(flagged), "doc_id", "left_anti")
+
+    batches = [
+        [(1, "clean doc one a1 b1"), (2, "benchmark leak two a2 b2")],
+        [(3, "clean doc three a3 b3"), (4, "clean doc four a4 b4")],
+        [(5, "benchmark leak five a5 b5"), (6, "clean doc six a6 b6")],
+    ]
+    cur = IngestCuration(
+        spark, str(tmp_path / "state"), "doc_id", "text",
+        n_shards=4, chunk_tokens=4, doc_filter=decon_gate,
+    )
+    shipped = []
+    for batch in batches:
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        shipped.extend(r.asDict() for r in cur.process_batch(df).collect())
+    got = {r["doc_id"]: r for r in shipped}
+    assert set(got) == {1, 3, 4, 6}  # the two planted leaks are dropped
+
+    # batch reference: same chain, same frozen gate
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    spanned = span_dedup(union, "doc_id", "text", chunk_tokens=4)
+    surv = spanned.filter(
+        (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
+        & (F.length("text_dedup") > 0)
+    )
+    gated = decon_gate(surv)
+    ref = {
+        r["doc_id"]: r
+        for r in shard_plan(gated, "doc_id", n_shards=4, salt="shard").collect()
+    }
+    assert sorted(got) == sorted(ref)
+    for d in got:
+        assert got[d]["shard_id"] == ref[d]["shard_id"]

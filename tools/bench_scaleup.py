@@ -522,6 +522,61 @@ def _pagerank_xor(docs):
     return pagerank(e, "s", "d", n_iter=5)
 
 
+def _k_anonymity(docs):
+    from kafka_denormalization_spark.operators.privacy import k_anonymity_audit
+
+    d = docs.withColumn("len_bucket", F.expr("n_chars DIV 500"))
+    return k_anonymity_audit(d, ["source", "len_bucket"], "lang", k=5, l=2)
+
+
+def _pareto_front(events):
+    from kafka_denormalization_spark.operators.skyline import pareto_front
+
+    return pareto_front(events, "value", "user_id").select(
+        "event_id", "value", "user_id"
+    )
+
+
+def _z_order(events):
+    from kafka_denormalization_spark.operators.sharding import z_order_plan
+
+    ev = events.withColumn("ts_us", F.col("event_id") * 1000 + F.col("user_id"))
+    return z_order_plan(
+        ev, "event_id", "user_id", "ts_us", rows_per_shard=1000
+    ).select("event_id", "z", "shard_id", "pos")
+
+
+def _semantic_contamination(emb):
+    from kafka_denormalization_spark.functions.similarity import (
+        semantic_contamination,
+    )
+
+    ev = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 10_000_000))
+    return semantic_contamination(emb, ev, threshold=0.4)
+
+
+def _mahalanobis(emb):
+    from kafka_denormalization_spark.functions.similarity import (
+        mahalanobis_outliers,
+    )
+
+    return mahalanobis_outliers(emb, k=20)
+
+
+def _embedding_cov(emb):
+    from kafka_denormalization_spark.functions.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(emb)
+
+
+def _embedding_pca(emb):
+    from kafka_denormalization_spark.functions.similarity import embedding_pca
+
+    return embedding_pca(emb, n_iter=8)
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -563,6 +618,19 @@ OPS = {
     # salted: vocab / pair mass must grow with N like real data
     "zipf_fit": ("documents", "doc_id", _zipf_fit, True),
     "cross_source_dups": ("documents", "doc_id", _cross_source_dups, True),
+    "k_anonymity": ("documents", "doc_id", _k_anonymity, False),
+    # skyline over (value, user_id): shifting user ids grows the
+    # maximize-dim domain like real data
+    "pareto_front": ("events", "user_id", _pareto_front, False),
+    # shift user_id: scale-up adds USERS (one layout dim grows, shard
+    # count grows with the corpus at fixed rows_per_shard)
+    "z_order_layout": ("events", "user_id", _z_order, False),
+    # eval side pinned to the base slice (benchmarks don't grow with the
+    # corpus); only the broadcast-scanned corpus side scales
+    "semantic_contamination": ("embeddings", "vec_id", _semantic_contamination, False),
+    "mahalanobis_outliers": ("embeddings", "vec_id", _mahalanobis, False),
+    "embedding_covariance": ("embeddings", "vec_id", _embedding_cov, False),
+    "embedding_pca": ("embeddings", "vec_id", _embedding_pca, False),
     "dedup_mixture_shift": ("documents", "doc_id", _dedup_mixture_shift, True),
     "contamination_scrub": ("documents", "doc_id", _contamination_scrub, False),
     # salted: distinct (source, token) pairs must grow with N
