@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "mahalanobis_outliers",
     "embedding_covariance",
     "embedding_pca",
+    "audio_stats",
+    "audio_fingerprint",
+    "audio_dedup",
 ]
 
 

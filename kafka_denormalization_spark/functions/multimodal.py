@@ -518,3 +518,187 @@ def image_phash_dedup(
         out._sg_internal_cache = caches[0]
         out._sg_internal_caches = caches
     return out
+
+
+# ---------------------------------------------------------------------------
+# audio: deterministic fake-PCM codec + energy-delta fingerprint family
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"FAKA"
+AUDIO_FRAME_LEN = 64       # samples per fingerprint frame
+AUDIO_N_FRAMES = 65        # 65 frame energies -> 64 delta bits
+AUDIO_RATE = 16000
+
+
+def fake_audio_samples(seed: int, gain: int = 1, n: int | None = None) -> list[int]:
+    """Deterministic int16 PCM: a per-sample integer congruence scaled
+    by an integer gain. Pure integer arithmetic — bit-replayable in any
+    engine (the DuckDB oracles recompute these samples from ids), and
+    gain is a pure amplitude factor, so frame-energy ORDER (what the
+    fingerprint encodes) is gain-invariant by construction — the audio
+    analog of dHash's brightness invariance. |base| <= 8192, gain <= 3
+    stays inside int16 with no clipping (clipping would break the
+    monotone-energy argument)."""
+    if n is None:
+        n = AUDIO_FRAME_LEN * AUDIO_N_FRAMES
+    # the seed sets the STRIDE (not an additive offset — a constant
+    # offset barely moves frame-energy ORDER, which collapsed every
+    # seed onto ~one fingerprint in the first fixture)
+    return [
+        (((k * (179 + seed * 2) + 11) % 16384) - 8192) * gain
+        for k in range(n)
+    ]
+
+
+def make_audio_blob(samples: list[int], sample_rate: int = AUDIO_RATE) -> bytes:
+    """FAKA container: magic + u32 rate + u32 n_samples + int16 LE PCM."""
+    import struct
+
+    return (
+        AUDIO_MAGIC
+        + struct.pack("<II", sample_rate, len(samples))
+        + struct.pack(f"<{len(samples)}h", *samples)
+    )
+
+
+def _decode_audio(blob: bytes):
+    """(sample_rate, int64 sample array) from a FAKA blob; honest gate
+    for real containers (no soundfile/ffmpeg in this environment)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != AUDIO_MAGIC:
+        raise NotImplementedError(
+            "real audio decode (wav/mp3/ogg) requires soundfile/ffmpeg "
+            "(not in this container); FAKA blobs exercise the full "
+            "Spark plumbing with a deterministic codec"
+        )
+    rate, n = struct.unpack_from("<II", blob, 4)
+    samples = np.frombuffer(blob, dtype="<i2", count=n, offset=12).astype(
+        "int64"
+    )
+    return rate, samples
+
+
+def decode_audio_stats(
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Per-blob audio statistics via Arrow-batched mapInPandas: sample
+    count, rate, integer duration, peak amplitude, exact total energy
+    (sum of squares — int64, so cross-engine exact; no float RMS).
+
+    Scale (100 TB): decode runs inside the scan stage (mapInPandas,
+    Arrow batches); only 5 scalars per blob ever shuffle. The blob
+    column itself never leaves the scan.
+    """
+    import pandas as pd
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                rate, s = _decode_audio(bytes(blob))
+                rows.append(
+                    (
+                        int(i),
+                        len(s),
+                        int(rate),
+                        len(s) * 1000 // int(rate),
+                        int(abs(s).max()) if len(s) else 0,
+                        int((s * s).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "sample_rate", "duration_ms",
+                    "peak", "energy",
+                ],
+            )
+
+    schema = (
+        f"{id_col} long, n_samples long, sample_rate long, "
+        "duration_ms long, peak long, energy long"
+    )
+    return df.mapInPandas(stats, schema)
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """64-bit energy-delta audio fingerprint (Chromaprint-lite): the
+    signal is cut into 65 fixed frames; bit i is set iff frame i+1
+    carries more energy than frame i. Energy DELTAS are amplitude-
+    invariant (a gain multiplies every frame energy by g^2, preserving
+    order), so re-encoded / re-leveled copies of a recording collapse
+    onto one fingerprint — the audio analog of dHash's gradient bits.
+    Emitted as four 16-bit bands (b0..b3), directly compatible with
+    the phash_near_dup_pairs Hamming-ball machinery (pigeonhole
+    banding + exact popcount verify, optional max_bucket guard).
+
+    Exactness: frame energies are int64 sums of squares; the bit
+    comparisons are integer — any engine replays the fingerprint
+    bit-identically from the samples (the oracle does, from the ids).
+    """
+    import pandas as pd
+
+    def fp(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                _, s = _decode_audio(bytes(blob))
+                n_use = AUDIO_FRAME_LEN * AUDIO_N_FRAMES
+                s = s[:n_use]
+                e = (s * s).reshape(AUDIO_N_FRAMES, AUDIO_FRAME_LEN).sum(axis=1)
+                bands = [0, 0, 0, 0]
+                for b in range(64):
+                    if e[b + 1] > e[b]:
+                        bands[b // 16] |= 1 << (b % 16)
+                rows.append((int(i), *bands))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "b0", "b1", "b2", "b3"]
+            )
+
+    return df.mapInPandas(
+        fp, f"{id_col} long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+def audio_fp_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    hamming_max: int = 3,
+    max_bucket: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Audio near-dedup retention over energy-delta fingerprints —
+    the audio twin of ``image_phash_dedup``, sharing its entire
+    blocking/verify/retention machinery (phash_near_dup_pairs operates
+    on any (id, b0..b3) signature table): keep every recording whose
+    id is not dominated by a smaller-id near-duplicate.
+
+    Output: (id_col, b0..b3) — surviving recordings + signatures.
+    """
+    sig = audio_fingerprint(df, id_col, blob_col).withColumnRenamed(
+        id_col, "id"
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        # signatures referenced across blocking/verify/retention: never
+        # re-decode blobs (the image_phash_dedup measurement)
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = phash_near_dup_pairs(sig, "id", hamming_max, max_bucket)
+    out = sig.join(
+        pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias(id_col), "b0", "b1", "b2", "b3")
+    caches = [sig] if persist else []
+    guard = getattr(pairs, "_sg_internal_cache", None)
+    if guard is not None:
+        caches.append(guard)
+    if caches:
+        out._sg_internal_cache = caches[0]
+        out._sg_internal_caches = caches
+    return out

@@ -3838,6 +3838,85 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_SEED_MOD = 97  # doc_id % 97 seeds the PCM -> ~5-doc dup families
+AUDIO_N = 64 * 65
+
+
+def _audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FAKA audio blobs per document: seed = doc_id % 97
+    (planted duplicate families), gain = 1 + doc_id % 3 (amplitude
+    re-levels the fingerprint must be invariant to)."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_audio_samples,
+        make_audio_blob,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_audio_blob(
+                        fake_audio_samples(
+                            int(d) % AUDIO_SEED_MOD, 1 + int(d) % 3
+                        )
+                    ),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    return docs.mapInPandas(encode, "id long, blob binary")
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode statistics via Arrow mapInPandas
+    (functions/multimodal.py decode_audio_stats): exact integer sample
+    count / rate / duration / peak / energy per blob — the oracle
+    replays the deterministic PCM from the ids, so this mapInPandas
+    binary pipeline is hash-checked end-to-end (unlike the rows-only
+    image decode, the codec here is pure integer arithmetic)."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        decode_audio_stats,
+    )
+
+    return decode_audio_stats(_audio_blobs(spark, sf_dir), "id").select(
+        F.col("id").alias("doc_id"),
+        "n_samples", "sample_rate", "duration_ms", "peak", "energy",
+    )
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit energy-delta audio fingerprint (functions/multimodal.py
+    audio_fingerprint) as four 16-bit bands — amplitude-invariant by
+    construction (the gain=1+doc_id%3 re-levels collapse)."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    return audio_fingerprint(_audio_blobs(spark, sf_dir), "id").select(
+        F.col("id").alias("doc_id"), "b0", "b1", "b2", "b3"
+    )
+
+
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dedup retention (functions/multimodal.py
+    audio_fp_dedup): Hamming-ball blocking + exact popcount verify over
+    the energy-delta fingerprints, smaller-id survivor — the audio twin
+    of image_phash_dedup sharing its band machinery; the oracle is the
+    exact O(n^2) popcount join over replayed fingerprints."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        audio_fp_dedup,
+    )
+
+    out = audio_fp_dedup(_audio_blobs(spark, sf_dir), "id", hamming_max=3)
+    return out.select(F.col("id").alias("doc_id"), "b0", "b1", "b2", "b3")
+
+
 PCA_ITERS = 8
 
 
@@ -3929,6 +4008,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mahalanobis_outliers": q_mahalanobis_outliers,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca": q_embedding_pca,
+    "audio_stats": q_audio_stats,
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_dedup": q_audio_dedup,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -4056,14 +4138,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- r07 head: ALL 48 never-driver-checked names + 2 r04-stale ---
+    # --- r07 head: 50 never-driver-checked names (the whole backlog) ---
     # Selection rule (computed from the union of CORRECTNESS_r01..r06):
     # (a) every registry name absent from EVERY driver artifact — 40
-    # names spanning the post-r06 builder sessions plus this round's 8
+    # names spanning the post-r06 builder sessions plus this round's 11
     # additions — leads, with the two the r6 VERDICT explicitly
-    # requested (gopher_repetition, shard_plan_bytes) first; (b) 2 of
-    # the 26 names whose last driver check is the r04 artifact. The 24
-    # r04-stale names dropped to fit 50 (two_hop_denorm,
+    # requested (gopher_repetition, shard_plan_bytes) first. Of the 51
+    # never-checked names, z_order_stats is the one dropped to fit 50
+    # (it is a trivial aggregation over z_order_layout's checked
+    # lineage, and CORRECTNESS_FULL covers it builder-side); the 26
+    # r04-stale names should lead the r08 head (near_dup_clusters,
+    # cosine_dedup, two_hop_denorm,
     # sequence_packing, doc_chunks,
     # embedding_centroid, lang_id, text_stats, multimodal_metadata,
     # scd2_as_of, quality_filter, stratified_sample, range_join,
@@ -4073,7 +4158,7 @@ _DRIVER_HEAD = [
     # grouping_sets, set_ops, pivot_event_counts) are covered by the
     # builder-side CORRECTNESS_FULL regeneration and should lead the
     # r08 head.
-    # (a) never driver-checked (48)
+    # (a) never driver-checked (50 of 51)
     "gopher_repetition", "shard_plan_bytes",
     "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
     "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
@@ -4087,11 +4172,10 @@ _DRIVER_HEAD = [
     "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
     "domain_profile", "domain_filtered_corpus", "url_dedup",
     "domain_temperature_mix", "blocklist_filter", "epoch_shards",
-    "k_anonymity", "pareto_front", "z_order_layout", "z_order_stats",
+    "k_anonymity", "pareto_front", "z_order_layout",
     "semantic_contamination", "mahalanobis_outliers",
     "embedding_covariance", "embedding_pca",
-    # (b) last driver-checked in r04 (2 of 26)
-    "near_dup_clusters", "cosine_dedup",
+    "audio_stats", "audio_fingerprint", "audio_dedup",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4825,6 +4909,37 @@ def _pca_sql(n_iter: int) -> str:
            round((SELECT nrm FROM n{n_iter}), 9) AS eigval
     FROM v{n_iter}
     """
+
+
+# energy-delta fingerprint CTEs shared by audio_fingerprint /
+# audio_dedup: replay the deterministic PCM from ids, frame energies as
+# exact integer sums, delta bits packed into four 16-bit bands — the
+# same integer arithmetic functions/multimodal.audio_fingerprint runs
+# over the decoded blob bytes
+_AUDIO_FP_CTES_SQL = """
+    s AS (
+      SELECT doc_id, t.k AS k,
+             (((t.k * (179 + (doc_id % 97) * 2) + 11) % 16384)
+              - 8192) * (1 + doc_id % 3) AS v
+      FROM documents CROSS JOIN range(0, 4160) t(k)
+    ),
+    fr AS (
+      SELECT doc_id, k // 64 AS f, sum(v * v) AS e
+      FROM s GROUP BY doc_id, k // 64
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f AS i, (b.e > a.e) AS hit
+      FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      WHERE a.f < 64
+    ),
+    fp AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN i // 16 = 0 AND hit THEN 1 << (i % 16) ELSE 0 END) AS BIGINT) AS b0,
+        CAST(sum(CASE WHEN i // 16 = 1 AND hit THEN 1 << (i % 16) ELSE 0 END) AS BIGINT) AS b1,
+        CAST(sum(CASE WHEN i // 16 = 2 AND hit THEN 1 << (i % 16) ELSE 0 END) AS BIGINT) AS b2,
+        CAST(sum(CASE WHEN i // 16 = 3 AND hit THEN 1 << (i % 16) ELSE 0 END) AS BIGINT) AS b3
+      FROM bits GROUP BY doc_id
+    )"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -7201,4 +7316,34 @@ ORACLE_SQL: dict[str, str] = {
     FROM cov
     """,
     "embedding_pca": _pca_sql(PCA_ITERS),
+    "audio_stats": f"""
+    WITH s AS (
+      SELECT doc_id,
+             (((t.k * (179 + (doc_id % {AUDIO_SEED_MOD}) * 2) + 11) % 16384)
+              - 8192) * (1 + doc_id % 3) AS v
+      FROM documents CROSS JOIN range(0, {AUDIO_N}) t(k)
+    )
+    SELECT doc_id,
+           CAST({AUDIO_N} AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST({AUDIO_N * 1000 // 16000} AS BIGINT) AS duration_ms,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id
+    """,
+    "audio_fingerprint": f"""
+    WITH {_AUDIO_FP_CTES_SQL}
+    SELECT doc_id, b0, b1, b2, b3 FROM fp
+    """,
+    "audio_dedup": f"""
+    WITH {_AUDIO_FP_CTES_SQL},
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    )
+    SELECT doc_id, b0, b1, b2, b3 FROM fp
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
 }

@@ -286,3 +286,68 @@ def test_image_dhash_arbitrary_size_png_roundtrip(spark):
     out = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
            for r in M.image_dhash(df, "id", "blob").collect()}
     assert out[1] == out[2]
+
+
+# -- audio family ------------------------------------------------------------
+
+from kafka_denormalization_spark.functions.multimodal import (  # noqa: E402
+    audio_fingerprint,
+    audio_fp_dedup,
+    decode_audio_stats,
+    fake_audio_samples,
+    make_audio_blob,
+    _decode_audio,
+)
+
+
+def test_audio_codec_roundtrip():
+    samples = fake_audio_samples(seed=5, gain=2, n=256)
+    rate, got = _decode_audio(make_audio_blob(samples, sample_rate=8000))
+    assert rate == 8000
+    assert list(got) == samples
+
+
+def test_audio_real_codec_honest_gate():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_audio(b"RIFF" + b"\x00" * 64)  # a real WAV header
+
+
+def test_audio_stats_hand_computed(spark):
+    samples = [3, -4, 0, 5]
+    blob = make_audio_blob(samples, sample_rate=1000)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    r = decode_audio_stats(df).collect()[0]
+    assert r["n_samples"] == 4
+    assert r["sample_rate"] == 1000
+    assert r["duration_ms"] == 4  # 4 * 1000 // 1000
+    assert r["peak"] == 5
+    assert r["energy"] == 9 + 16 + 0 + 25
+
+
+def test_audio_fingerprint_amplitude_invariant(spark):
+    rows = [
+        (1, bytearray(make_audio_blob(fake_audio_samples(7, gain=1)))),
+        (2, bytearray(make_audio_blob(fake_audio_samples(7, gain=3)))),
+        (3, bytearray(make_audio_blob(fake_audio_samples(8, gain=1)))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    fp = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+          for r in audio_fingerprint(df).collect()}
+    assert fp[1] == fp[2]  # re-leveled copy collapses
+    assert fp[1] != fp[3]  # different recording does not
+
+
+def test_audio_fp_dedup_keeps_min_id_per_family(spark):
+    rows = [
+        (10, bytearray(make_audio_blob(fake_audio_samples(1, gain=1)))),
+        (11, bytearray(make_audio_blob(fake_audio_samples(1, gain=2)))),
+        (12, bytearray(make_audio_blob(fake_audio_samples(1, gain=3)))),
+        (20, bytearray(make_audio_blob(fake_audio_samples(2, gain=1)))),
+        (21, bytearray(make_audio_blob(fake_audio_samples(2, gain=2)))),
+        (30, bytearray(make_audio_blob(fake_audio_samples(3, gain=1)))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    kept = sorted(r["id"] for r in audio_fp_dedup(df).collect())
+    assert kept == [10, 20, 30]
