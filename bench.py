@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "audio_stats",
     "audio_fingerprint",
     "audio_dedup",
+    "embedding_debias",
 ]
 
 

@@ -1710,3 +1710,88 @@ def embedding_pca(
         F.col("x").alias("pc1"),
         F.round("_nrm", 9).alias("eigval"),
     )
+
+
+def embedding_debias(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 8,
+) -> DataFrame:
+    """All-but-the-top embedding cleanup (Mu & Viswanath, ICLR 2018):
+    center each vector and remove its projection onto the top principal
+    component — the standard post-processing that strips the corpus-wide
+    common direction (frequency/template bias) and measurably improves
+    similarity tasks. This is the CONSUMER of ``embedding_pca``:
+    reported per vector are the centered top-component projection and
+    the residual norm (how much of the vector survives the cleanup —
+    vectors living almost entirely in the top direction are
+    template-like, the curation signal).
+
+    Determinism: mu comes from the exact integer-sum means pass and pc1
+    from ``embedding_pca`` (both engine-identical); the per-vector
+    folds are sequential list reductions rounded to the 9-decimal grid
+    (the mahalanobis_outliers convention).
+
+    Scale (100 TB): the model side is a 1-row (mu[], pc1[]) broadcast
+    (dim-bounded); the corpus is touched once by the scoring scan (plus
+    the two bounded passes inside the PCA training). Shuffle volume:
+    two scalars per vector.
+
+    Output: (id_col, proj_r, resid_norm_r).
+    """
+    s1 = float(2**36)
+    means = (
+        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        .select(
+            "pos",
+            F.floor(F.col("v").cast("double") * F.lit(s1)).cast("long").alias("_f1"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("_f1").alias("_s1"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "pos",
+            (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
+        )
+    )
+    pc = embedding_pca(emb, vec_col, dim, n_iter).select("pos", "pc1")
+    model = (
+        means.join(pc, "pos")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_mu", "pc1"))).alias("_m"))
+        .select(
+            F.transform("_m", lambda s: s["_mu"]).alias("_mus"),
+            F.transform("_m", lambda s: s["pc1"]).alias("_pcs"),
+        )
+    )
+    centered = lambda i: (  # noqa: E731
+        F.element_at(F.col(vec_col), i + 1).cast("double")
+        - F.element_at(F.col("_mus"), i + 1)
+    )
+    proj = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc + centered(i) * F.element_at(F.col("_pcs"), i + 1),
+        ),
+        9,
+    )
+    scored = emb.crossJoin(F.broadcast(model)).select(
+        F.col(id_col), F.col(vec_col), "_mus", "_pcs", proj.alias("proj_r")
+    )
+    resid = lambda i: (  # noqa: E731
+        centered(i) - F.col("proj_r") * F.element_at(F.col("_pcs"), i + 1)
+    )
+    resid_norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda acc, i: acc + resid(i) * resid(i),
+            )
+        ),
+        9,
+    )
+    return scored.select(
+        id_col, "proj_r", resid_norm.alias("resid_norm_r")
+    )

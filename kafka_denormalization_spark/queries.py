@@ -3929,6 +3929,16 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_fns.embedding_covariance(emb)
 
 
+def q_embedding_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top cleanup (functions/similarity.py
+    embedding_debias; Mu & Viswanath 2018): per-vector centered
+    top-component projection + residual norm under the
+    embedding_pca model — vectors living in the common direction are
+    the template-like curation signal."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_fns.embedding_debias(emb, n_iter=PCA_ITERS)
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component by fixed-iteration power method
     (functions/similarity.py embedding_pca): 8 deterministic rounds of
@@ -4011,6 +4021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_stats": q_audio_stats,
     "audio_fingerprint": q_audio_fingerprint,
     "audio_dedup": q_audio_dedup,
+    "embedding_debias": q_embedding_debias,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -4141,12 +4152,13 @@ _DRIVER_HEAD = [
     # --- r07 head: 50 never-driver-checked names (the whole backlog) ---
     # Selection rule (computed from the union of CORRECTNESS_r01..r06):
     # (a) every registry name absent from EVERY driver artifact — 40
-    # names spanning the post-r06 builder sessions plus this round's 11
+    # names spanning the post-r06 builder sessions plus this round's 12
     # additions — leads, with the two the r6 VERDICT explicitly
-    # requested (gopher_repetition, shard_plan_bytes) first. Of the 51
-    # never-checked names, z_order_stats is the one dropped to fit 50
-    # (it is a trivial aggregation over z_order_layout's checked
-    # lineage, and CORRECTNESS_FULL covers it builder-side); the 26
+    # requested (gopher_repetition, shard_plan_bytes) first. Of the 52
+    # never-checked names, z_order_stats and audio_fingerprint are
+    # dropped to fit 50 (each is a strict sub-lineage of a checked
+    # sibling — z_order_layout / audio_dedup — and CORRECTNESS_FULL
+    # covers both builder-side); the 26
     # r04-stale names should lead the r08 head (near_dup_clusters,
     # cosine_dedup, two_hop_denorm,
     # sequence_packing, doc_chunks,
@@ -4158,7 +4170,7 @@ _DRIVER_HEAD = [
     # grouping_sets, set_ops, pivot_event_counts) are covered by the
     # builder-side CORRECTNESS_FULL regeneration and should lead the
     # r08 head.
-    # (a) never driver-checked (50 of 51)
+    # (a) never driver-checked (50 of 52)
     "gopher_repetition", "shard_plan_bytes",
     "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
     "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
@@ -4175,7 +4187,7 @@ _DRIVER_HEAD = [
     "k_anonymity", "pareto_front", "z_order_layout",
     "semantic_contamination", "mahalanobis_outliers",
     "embedding_covariance", "embedding_pca",
-    "audio_stats", "audio_fingerprint", "audio_dedup",
+    "audio_stats", "audio_dedup", "embedding_debias",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4875,10 +4887,12 @@ _COV_CTES_SQL = """
     )"""
 
 
-def _pca_sql(n_iter: int) -> str:
-    """Unrolled power-method CTE chain — textually the same
-    DECIMAL-fold / sqrt / divide / round-9 arithmetic
-    functions/similarity.embedding_pca runs per iteration."""
+def _pca_ctes(n_iter: int) -> str:
+    """Unrolled power-method CTE chain (covariance + v0..v{n}) —
+    textually the same DECIMAL-fold / sqrt / divide / round-9
+    arithmetic functions/similarity.embedding_pca runs per
+    iteration. Shared by the embedding_pca and embedding_debias
+    oracles."""
     parts = [
         _COV_CTES_SQL,
         """
@@ -4902,9 +4916,12 @@ def _pca_sql(n_iter: int) -> str:
     v{t} AS (
       SELECT pos, round(yr / nrm, 9) AS x FROM y{t}, n{t}
     )""")
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _pca_sql(n_iter: int) -> str:
     return f"""
-    WITH {body}
+    WITH {_pca_ctes(n_iter)}
     SELECT CAST(pos AS BIGINT) AS pos, x AS pc1,
            round((SELECT nrm FROM n{n_iter}), 9) AS eigval
     FROM v{n_iter}
@@ -7316,6 +7333,25 @@ ORACLE_SQL: dict[str, str] = {
     FROM cov
     """,
     "embedding_pca": _pca_sql(PCA_ITERS),
+    "embedding_debias": f"""
+    WITH {_pca_ctes(PCA_ITERS)},
+    model AS (
+      SELECT (SELECT list(mu ORDER BY pos) FROM m1) AS mus,
+             (SELECT list(x ORDER BY pos) FROM v{PCA_ITERS}) AS pcs
+    ),
+    p AS (
+      SELECT vec_id, embedding, mus, pcs,
+             round(list_sum(list_transform(range(1, 65), i ->
+               (CAST(embedding[i] AS DOUBLE) - mus[i]) * pcs[i])), 9) AS proj_r
+      FROM embeddings CROSS JOIN model
+    )
+    SELECT vec_id, proj_r,
+           round(sqrt(list_sum(list_transform(range(1, 65), i ->
+             ((CAST(embedding[i] AS DOUBLE) - mus[i]) - proj_r * pcs[i])
+             * ((CAST(embedding[i] AS DOUBLE) - mus[i]) - proj_r * pcs[i])))),
+             9) AS resid_norm_r
+    FROM p
+    """,
     "audio_stats": f"""
     WITH s AS (
       SELECT doc_id,

@@ -268,6 +268,9 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "embedding_pca",            # per-iteration 1-row norm broadcast
                                     # over the 64-row iterate (power
                                     # method; pagerank's census class)
+        "embedding_debias",         # 1-row (mu[], pc1[]) model-array
+                                    # broadcast over the scoring scan
+                                    # (embeds embedding_pca's norms)
     }
     from kafka_denormalization_spark.plans import explain_str
 

@@ -821,3 +821,39 @@ def test_embedding_pca_finds_planted_direction(spark):
     assert sorted((r["pos"], r["pc1"]) for r in out) == sorted(
         (r["pos"], r["pc1"]) for r in out2
     )
+
+
+def test_embedding_debias_strips_common_direction(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    direction = np.zeros(64)
+    direction[5] = 1.0
+    # every vector shares a large common component along e_5
+    base = (
+        direction[None, :] * (4.0 + rng.normal(size=(60, 1)))
+        + rng.normal(size=(60, 64)) * 0.05
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in S.embedding_debias(df, n_iter=8).collect()}
+    assert len(out) == 60
+    v = base.astype("float64")
+    centered = v - v.mean(axis=0)  # approximate check only
+    for i in range(60):
+        # the centered projection should carry ~the full e_5 deviation
+        assert abs(abs(out[i]["proj_r"]) - abs(centered[i, 5])) < 0.1
+        # and the residual is just the small noise (norm ~ 0.05*8)
+        assert out[i]["resid_norm_r"] < 1.5
+    # determinism across partitionings
+    out2 = {
+        r["vec_id"]: r
+        for r in S.embedding_debias(df.repartition(9), n_iter=8).collect()
+    }
+    assert all(
+        out[i]["proj_r"] == out2[i]["proj_r"]
+        and out[i]["resid_norm_r"] == out2[i]["resid_norm_r"]
+        for i in out
+    )
