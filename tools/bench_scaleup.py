@@ -577,6 +577,40 @@ def _embedding_pca(emb):
     return embedding_pca(emb, n_iter=8)
 
 
+def _audio_dedup(docs):
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        audio_fp_dedup,
+        fake_audio_samples,
+        make_audio_blob,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_audio_blob(
+                        fake_audio_samples(int(d) % 97, 1 + int(d) % 3)
+                    ),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.select("doc_id").mapInPandas(encode, "id long, blob binary")
+    return audio_fp_dedup(blobs, "id", hamming_max=3)
+
+
+def _embedding_debias(emb):
+    from kafka_denormalization_spark.functions.similarity import (
+        embedding_debias,
+    )
+
+    return embedding_debias(emb, n_iter=8)
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -631,6 +665,11 @@ OPS = {
     "mahalanobis_outliers": ("embeddings", "vec_id", _mahalanobis, False),
     "embedding_covariance": ("embeddings", "vec_id", _embedding_cov, False),
     "embedding_pca": ("embeddings", "vec_id", _embedding_pca, False),
+    # replication multiplies dup-FAMILY size (id%97 seeds survive the
+    # id shift) — the realistic "more copies at scale" shape; pair
+    # volume grows with family width under the banded join
+    "audio_dedup": ("documents", "doc_id", _audio_dedup, False),
+    "embedding_debias": ("embeddings", "vec_id", _embedding_debias, False),
     "dedup_mixture_shift": ("documents", "doc_id", _dedup_mixture_shift, True),
     "contamination_scrub": ("documents", "doc_id", _contamination_scrub, False),
     # salted: distinct (source, token) pairs must grow with N
