@@ -476,6 +476,7 @@ def _sig_keep_min(
     hamming_max: int,
     max_bucket: int | None,
     id_col: str,
+    persist: bool = True,
 ) -> DataFrame:
     """Keep-min retention over an (id, b0..b3) signature table with an
     EXACT-duplicate collapse before the pair join.
@@ -498,16 +499,26 @@ def _sig_keep_min(
     survivors). The guard remains the lever for NEAR-but-not-identical
     hot buckets, which the exact collapse cannot touch.
     """
-    reps = sig.groupBy("b0", "b1", "b2", "b3").agg(
-        F.min("id").alias("id")
-    )
+    # REPS (not the raw signatures) is the frame the blocking/verify/
+    # retention joins re-reference — 5 consumers in the executed plan;
+    # persisting it caps every replay at a |distinct signatures|-sized
+    # cache scan and keeps the (b0..b3) collapse exchange to one run
+    reps = sig.groupBy("b0", "b1", "b2", "b3").agg(F.min("id").alias("id"))
+    if persist:
+        from pyspark import StorageLevel
+
+        reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = phash_near_dup_pairs(reps, "id", hamming_max, max_bucket)
     out = reps.join(
         pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
     ).select(F.col("id").alias(id_col), "b0", "b1", "b2", "b3")
+    caches = [reps] if persist else []
     guard = getattr(pairs, "_sg_internal_cache", None)
     if guard is not None:
-        out._sg_internal_cache = guard
+        caches.append(guard)
+    if caches:
+        out._sg_internal_cache = caches[0]
+        out._sg_internal_caches = caches
     return out
 
 
@@ -530,26 +541,12 @@ def image_phash_dedup(
     Output: (id_col, b0..b3) — surviving images with their signatures.
     """
     sig = image_dhash(df, id_col, blob_col)
-    if persist:
-        from pyspark import StorageLevel
-
-        # the signature frame (5 longs/image) is referenced 4x across
-        # the blocking/verify/retention joins; without a persist every
-        # reference re-runs the decode+hash mapInPandas over the BLOBS
-        # — measured ~4x the whole query at sf0.1. At cluster scale
-        # this is the "compute signatures once, never re-decode" rule.
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    out = _sig_keep_min(sig, hamming_max, max_bucket, id_col)
-    caches = [sig] if persist else []
-    guard = getattr(out, "_sg_internal_cache", None)
-    if guard is not None:
-        caches.append(guard)
-    if caches:
-        # cleanup contract as elsewhere: callers unpersist these when
-        # done with the returned frame
-        out._sg_internal_cache = caches[0]
-        out._sg_internal_caches = caches
-    return out
+    # since the exact-collapse landed, the raw signature frame has ONE
+    # consumer (the reps aggregation) — _sig_keep_min persists REPS,
+    # the frame the joins actually re-reference, so blobs still decode
+    # exactly once and the old sig-level persist is pure overhead
+    # (cache handles ride on the returned frame as before)
+    return _sig_keep_min(sig, hamming_max, max_bucket, id_col, persist)
 
 
 # ---------------------------------------------------------------------------
@@ -716,18 +713,6 @@ def audio_fp_dedup(
     sig = audio_fingerprint(df, id_col, blob_col).withColumnRenamed(
         id_col, "id"
     )
-    if persist:
-        from pyspark import StorageLevel
-
-        # signatures referenced across blocking/verify/retention: never
-        # re-decode blobs (the image_phash_dedup measurement)
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    out = _sig_keep_min(sig, hamming_max, max_bucket, id_col)
-    caches = [sig] if persist else []
-    guard = getattr(out, "_sg_internal_cache", None)
-    if guard is not None:
-        caches.append(guard)
-    if caches:
-        out._sg_internal_cache = caches[0]
-        out._sg_internal_caches = caches
-    return out
+    # reps (inside _sig_keep_min) is the persisted frame — see
+    # image_phash_dedup; blobs decode exactly once either way
+    return _sig_keep_min(sig, hamming_max, max_bucket, id_col, persist)
