@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "audio_fingerprint",
     "audio_dedup",
     "embedding_debias",
+    "signal_correlations",
+    "z_order_prune",
 ]
 
 

@@ -2034,3 +2034,101 @@ def collocations(
         .orderBy(F.col("pmi_r").desc(), "bigram")
         .limit(int(top_k))
     )
+
+
+def signal_correlations(
+    sig: DataFrame,
+    cols: list[str],
+    scale: int = 10**6,
+) -> DataFrame:
+    """Pearson correlation matrix over a per-document signal table
+    (the quality_signals consumer): which quality signals are
+    redundant, which carry independent information — the audit that
+    decides whether a new filter stage adds signal or re-measures an
+    existing one. Rows with ANY null signal are dropped (the empty-doc
+    rows quality_signals nulls out), so every pair sees the same n.
+
+    Cross-engine exactness: each signal is floored to ``scale`` integer
+    units; all sums (Sx, Sxx, Sxy) run in DECIMAL(38,0)/HUGEINT over
+    those integers — exact and order-free — and the closed-form
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    touches floats only in the final cast/sqrt/divide/round-9 chain
+    (single deterministic IEEE ops). Zero-variance signals yield NULL.
+
+    Scale (100 TB): one pass over the signal table — the k^2-per-row
+    pair explode collapses map-side to a k^2-row aggregate (k = a
+    handful of signals), the moments side is k rows; everything after
+    the partial agg is broadcast arithmetic.
+
+    Output: (sig_a, sig_b, corr_r) for each unordered pair a < b (by
+    ``cols`` position) — k*(k-1)/2 rows.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least 2 signal columns")
+    ints = [
+        F.floor(F.col(c).cast("double") * F.lit(float(scale))).cast("long")
+        for c in cols
+    ]
+    base = sig.na.drop(subset=list(cols)).select(F.array(*ints).alias("_a"))
+    seq = F.sequence(F.lit(0), F.lit(k - 1))
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    mom = (
+        base.select(F.posexplode("_a").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("x"))).alias("s"),
+            F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("ss"),
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            seq,
+            lambda i: F.transform(
+                seq,
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        dec(F.element_at(F.col("_a"), i + 1))
+                        * dec(F.element_at(F.col("_a"), j + 1))
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        base.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.i", "_p.j", "_p.p")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sij"))
+    )
+    mi = mom.select(
+        F.col("i"), F.col("n"), F.col("s").alias("si"), F.col("ss").alias("sii")
+    )
+    mj = mom.select(
+        F.col("i").alias("j"), F.col("s").alias("sj"), F.col("ss").alias("sjj")
+    )
+    names = F.array(*[F.lit(c) for c in cols])
+    num = F.col("n") * F.col("sij") - F.col("si") * F.col("sj")
+    da = F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    db = F.col("n") * F.col("sjj") - F.col("sj") * F.col("sj")
+    corr = F.when(
+        (da > 0) & (db > 0),
+        F.round(
+            num.cast("double")
+            / F.sqrt(da.cast("double") * db.cast("double")),
+            9,
+        ),
+    )
+    return (
+        pairs.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.element_at(names, F.col("i") + 1).alias("sig_a"),
+            F.element_at(names, F.col("j") + 1).alias("sig_b"),
+            corr.alias("corr_r"),
+        )
+    )

@@ -428,3 +428,73 @@ def z_order_stats(
         F.min(dim_b).alias("b_min"),
         F.max(dim_b).alias("b_max"),
     )
+
+
+def z_order_prune(
+    stats: DataFrame,
+    bounds: DataFrame,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Data-skipping report over a z-order layout: for ``n_probes``
+    aligned probe rectangles (probe i covers the i-th 1/n slice of BOTH
+    dimensions — the "this user, this week" shape the layout exists
+    for), the fraction of shards a min/max-pruning scan planner skips.
+    This is the measurable consumer of ``z_order_stats``: on a hash
+    layout every envelope spans the full domain and prune_frac is 0;
+    on the Morton layout most shards fall outside any aligned
+    rectangle.
+
+    ``stats``: z_order_stats output; ``bounds``: 1-row frame with
+    (_amn, _amx, _bmn, _bmx) — the same aggregate z_order_plan uses.
+    Probe edges are exact integer arithmetic (lo + (span * i) DIV n),
+    so any engine derives identical rectangles.
+
+    Scale: everything here is bounded — |shards| stats rows, 1-row
+    bounds, n_probes rows; the broadcast nested loops are the
+    documented 1-row/bounded class.
+
+    Output: (probe_id, n_shards, n_overlap, prune_frac_r).
+    """
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    spark = stats.sparkSession
+    pr = (
+        spark.range(n_probes)
+        .withColumnRenamed("id", "probe_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "probe_id",
+            (F.col("_amn") + F.expr(f"((_amx - _amn) * probe_id) DIV {n_probes}")).alias("_ulo"),
+            (F.col("_amn") + F.expr(f"((_amx - _amn) * (probe_id + 1)) DIV {n_probes}")).alias("_uhi"),
+            (F.col("_bmn") + F.expr(f"((_bmx - _bmn) * probe_id) DIV {n_probes}")).alias("_tlo"),
+            (F.col("_bmn") + F.expr(f"((_bmx - _bmn) * (probe_id + 1)) DIV {n_probes}")).alias("_thi"),
+        )
+    )
+    total = stats.agg(F.count(F.lit(1)).alias("n_shards"))
+    overlap = (
+        pr.join(
+            F.broadcast(stats),
+            (F.col("a_min") <= F.col("_uhi"))
+            & (F.col("a_max") >= F.col("_ulo"))
+            & (F.col("b_min") <= F.col("_thi"))
+            & (F.col("b_max") >= F.col("_tlo")),
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        pr.select("probe_id")
+        .join(overlap, "probe_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "probe_id",
+            F.col("n_shards").cast("long").alias("n_shards"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_shards").cast("double"),
+                9,
+            ).alias("prune_frac_r"),
+        )
+    )

@@ -3838,6 +3838,48 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSIG_COLS = [
+    "n_words", "n_chars", "mean_word_len_r",
+    "frac_unique_r", "top_word_frac_r", "stop_frac_r",
+]
+
+
+def q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the quality_signals bundle
+    (functions/text.py signal_correlations): which signals are
+    redundant vs independent — exact DECIMAL/HUGEINT integer-moment
+    folds, floats only in the final sqrt/divide/round."""
+    docs = table(spark, sf_dir, "documents")
+    sig = text_fns.quality_signals(docs, "doc_id", "text")
+    return text_fns.signal_correlations(sig, QSIG_COLS)
+
+
+def q_z_order_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping report over the z-order layout
+    (operators/sharding.py z_order_prune): for 4 aligned probe
+    rectangles, the fraction of shards a min/max-pruning planner skips
+    — the measurable payoff of the Morton clustering (a hash layout
+    prunes nothing)."""
+    from kafka_denormalization_spark.operators.sharding import (
+        z_order_plan,
+        z_order_prune,
+        z_order_stats,
+    )
+
+    ev = events_table(spark, sf_dir)
+    plan = z_order_plan(
+        ev, "event_id", "user_id", "ts_us", rows_per_shard=Z_ROWS_PER_SHARD
+    )
+    stats = z_order_stats(plan, "user_id", "ts_us")
+    bounds = ev.agg(
+        F.min(F.col("user_id").cast("long")).alias("_amn"),
+        F.max(F.col("user_id").cast("long")).alias("_amx"),
+        F.min(F.col("ts_us").cast("long")).alias("_bmn"),
+        F.max(F.col("ts_us").cast("long")).alias("_bmx"),
+    )
+    return z_order_prune(stats, bounds, n_probes=4)
+
+
 AUDIO_SEED_MOD = 97  # doc_id % 97 seeds the PCM -> ~5-doc dup families
 AUDIO_N = 64 * 65
 
@@ -4022,6 +4064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fingerprint": q_audio_fingerprint,
     "audio_dedup": q_audio_dedup,
     "embedding_debias": q_embedding_debias,
+    "signal_correlations": q_signal_correlations,
+    "z_order_prune": q_z_order_prune,
     "lang_id": q_lang_id,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
@@ -4152,13 +4196,14 @@ _DRIVER_HEAD = [
     # --- r07 head: 50 never-driver-checked names (the whole backlog) ---
     # Selection rule (computed from the union of CORRECTNESS_r01..r06):
     # (a) every registry name absent from EVERY driver artifact — 40
-    # names spanning the post-r06 builder sessions plus this round's 12
+    # names spanning the post-r06 builder sessions plus this round's 14
     # additions — leads, with the two the r6 VERDICT explicitly
-    # requested (gopher_repetition, shard_plan_bytes) first. Of the 52
-    # never-checked names, z_order_stats and audio_fingerprint are
-    # dropped to fit 50 (each is a strict sub-lineage of a checked
-    # sibling — z_order_layout / audio_dedup — and CORRECTNESS_FULL
-    # covers both builder-side); the 26
+    # requested (gopher_repetition, shard_plan_bytes) first. Of the 54
+    # never-checked names, z_order_stats, audio_fingerprint,
+    # z_order_prune and embedding_covariance are dropped to fit 50
+    # (each is a strict sub-lineage or bounded consumer of a checked
+    # sibling — z_order_layout / audio_dedup / embedding_pca — and
+    # CORRECTNESS_FULL covers all four builder-side); the 26
     # r04-stale names should lead the r08 head (near_dup_clusters,
     # cosine_dedup, two_hop_denorm,
     # sequence_packing, doc_chunks,
@@ -4170,7 +4215,7 @@ _DRIVER_HEAD = [
     # grouping_sets, set_ops, pivot_event_counts) are covered by the
     # builder-side CORRECTNESS_FULL regeneration and should lead the
     # r08 head.
-    # (a) never driver-checked (50 of 52)
+    # (a) never driver-checked (50 of 54)
     "gopher_repetition", "shard_plan_bytes",
     "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
     "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
@@ -4186,7 +4231,7 @@ _DRIVER_HEAD = [
     "domain_temperature_mix", "blocklist_filter", "epoch_shards",
     "k_anonymity", "pareto_front", "z_order_layout",
     "semantic_contamination", "mahalanobis_outliers",
-    "embedding_covariance", "embedding_pca",
+    "embedding_pca", "signal_correlations",
     "audio_stats", "audio_dedup", "embedding_debias",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
@@ -7370,6 +7415,88 @@ ORACLE_SQL: dict[str, str] = {
     "audio_fingerprint": f"""
     WITH {_AUDIO_FP_CTES_SQL}
     SELECT doc_id, b0, b1, b2, b3 FROM fp
+    """,
+    "signal_correlations": f"""
+    WITH {_QSIG_CTES_SQL},
+    sigv AS (
+      SELECT [
+        CAST(floor(CAST(n_words AS DOUBLE) * 1000000.0) AS BIGINT),
+        CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT),
+        CAST(floor(mean_word_len_r * 1000000.0) AS BIGINT),
+        CAST(floor(frac_unique_r * 1000000.0) AS BIGINT),
+        CAST(floor(top_word_frac_r * 1000000.0) AS BIGINT),
+        CAST(floor(stop_frac_r * 1000000.0) AS BIGINT)
+      ] AS a
+      FROM qsig
+      WHERE mean_word_len_r IS NOT NULL AND frac_unique_r IS NOT NULL
+        AND top_word_frac_r IS NOT NULL AND stop_frac_r IS NOT NULL
+    ),
+    mom AS (
+      SELECT t.i AS i, count(*) AS n,
+             sum(CAST(a[t.i + 1] AS HUGEINT)) AS s,
+             sum(CAST(a[t.i + 1] AS HUGEINT) * a[t.i + 1]) AS ss
+      FROM sigv CROSS JOIN range(0, 6) t(i) GROUP BY 1
+    ),
+    prs AS (
+      SELECT ti.i AS i, tj.j AS j,
+             sum(CAST(a[ti.i + 1] AS HUGEINT) * a[tj.j + 1]) AS sij
+      FROM sigv CROSS JOIN range(0, 6) ti(i) CROSS JOIN range(0, 6) tj(j)
+      WHERE ti.i < tj.j GROUP BY 1, 2
+    ),
+    nm(idx, nmv) AS (
+      VALUES (0, 'n_words'), (1, 'n_chars'), (2, 'mean_word_len_r'),
+             (3, 'frac_unique_r'), (4, 'top_word_frac_r'),
+             (5, 'stop_frac_r')
+    )
+    SELECT na.nmv AS sig_a, nb.nmv AS sig_b,
+           CASE WHEN (mi.n * mi.ss - mi.s * mi.s) > 0
+                 AND (mj.n * mj.ss - mj.s * mj.s) > 0
+                THEN round(
+                  CAST(mi.n * p.sij - mi.s * mj.s AS DOUBLE)
+                  / sqrt(CAST(mi.n * mi.ss - mi.s * mi.s AS DOUBLE)
+                         * CAST(mj.n * mj.ss - mj.s * mj.s AS DOUBLE)), 9)
+           END AS corr_r
+    FROM prs p
+    JOIN mom mi ON p.i = mi.i JOIN mom mj ON p.j = mj.i
+    JOIN nm na ON p.i = na.idx JOIN nm nb ON p.j = nb.idx
+    """,
+    "z_order_prune": f"""
+    WITH {_ZORDER_ZED_SQL.format(rows=Z_ROWS_PER_SHARD)},
+    zstats AS (
+      SELECT p.shard_id,
+             min(e.user_id) AS a_min, max(e.user_id) AS a_max,
+             min(epoch_us(e.ts)) AS b_min, max(epoch_us(e.ts)) AS b_max
+      FROM zplan p JOIN events e USING (event_id)
+      GROUP BY 1
+    ),
+    zb AS (
+      SELECT CAST(min(user_id) AS BIGINT) AS amn,
+             CAST(max(user_id) AS BIGINT) AS amx,
+             min(epoch_us(ts)) AS bmn, max(epoch_us(ts)) AS bmx
+      FROM events
+    ),
+    probes AS (
+      SELECT t.i AS probe_id,
+             amn + ((amx - amn) * t.i) // 4 AS ulo,
+             amn + ((amx - amn) * (t.i + 1)) // 4 AS uhi,
+             bmn + ((bmx - bmn) * t.i) // 4 AS tlo,
+             bmn + ((bmx - bmn) * (t.i + 1)) // 4 AS thi
+      FROM range(0, 4) t(i) CROSS JOIN zb
+    ),
+    tot AS (SELECT count(*) AS n_shards FROM zstats),
+    ov AS (
+      SELECT probe_id, count(*) AS n_overlap
+      FROM probes p JOIN zstats s
+        ON s.a_min <= p.uhi AND s.a_max >= p.ulo
+       AND s.b_min <= p.thi AND s.b_max >= p.tlo
+      GROUP BY 1
+    )
+    SELECT p.probe_id,
+           CAST(n_shards AS BIGINT) AS n_shards,
+           CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(1.0 - CAST(coalesce(n_overlap, 0) AS DOUBLE)
+                 / CAST(n_shards AS DOUBLE), 9) AS prune_frac_r
+    FROM probes p LEFT JOIN ov USING (probe_id) CROSS JOIN tot
     """,
     "audio_dedup": f"""
     WITH {_AUDIO_FP_CTES_SQL},

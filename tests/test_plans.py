@@ -271,6 +271,9 @@ def test_no_unjustified_scale_killers_anywhere(spark):
         "embedding_debias",         # 1-row (mu[], pc1[]) model-array
                                     # broadcast over the scoring scan
                                     # (embeds embedding_pca's norms)
+        "z_order_prune",            # 1-row bounds + 1-row shard-total
+                                    # broadcasts over the bounded
+                                    # (probes x shard-stats) report
     }
     from kafka_denormalization_spark.plans import explain_str
 

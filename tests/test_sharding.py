@@ -586,3 +586,32 @@ def test_z_order_degenerate_dim(spark):
     by_rank = sorted(plan, key=lambda r: (r["shard_id"], r["pos"]))
     xs = [r["x"] for r in by_rank]
     assert xs == sorted(xs)
+
+
+def test_z_order_prune_beats_hash_layout(spark):
+    from kafka_denormalization_spark.operators.sharding import z_order_prune
+
+    g = _grid(spark)
+    bounds = g.agg(
+        F.min(F.col("x").cast("long")).alias("_amn"),
+        F.max(F.col("x").cast("long")).alias("_amx"),
+        F.min(F.col("y").cast("long")).alias("_bmn"),
+        F.max(F.col("y").cast("long")).alias("_bmx"),
+    )
+    zplan = z_order_plan(g, "id", "x", "y", rows_per_shard=64)
+    zs = z_order_stats(zplan, "x", "y")
+    zp = {r["probe_id"]: r for r in z_order_prune(zs, bounds, 4).collect()}
+    assert all(r["n_shards"] == 16 for r in zp.values())
+    # aligned quadrant probes on a 32x32 grid: most z-shards prune
+    assert sum(r["prune_frac_r"] for r in zp.values()) / 4 >= 0.5
+    # the hash layout's envelopes span the domain: nothing prunes
+    hplan = shard_plan(g, "id", n_shards=16)
+    hs = (
+        hplan.groupBy("shard_id")
+        .agg(
+            F.min("x").alias("a_min"), F.max("x").alias("a_max"),
+            F.min("y").alias("b_min"), F.max("y").alias("b_max"),
+        )
+    )
+    hp = z_order_prune(hs, bounds, 4).collect()
+    assert all(r["prune_frac_r"] == 0.0 for r in hp)

@@ -973,3 +973,46 @@ def test_collocations_min_count_floor(spark):
     )
     got = T.collocations(df, "text", min_count=2, top_k=10).collect()
     assert "rare pair" not in {r["bigram"] for r in got}
+
+
+def test_signal_correlations_matches_numpy(spark):
+    import numpy as np
+
+    from kafka_denormalization_spark.functions.text import (
+        signal_correlations,
+    )
+
+    rng = np.random.default_rng(31)
+    a = rng.normal(10, 2, size=200)
+    rows = [
+        (i, float(a[i]), float(2 * a[i] + 3), float(rng.normal()), 7.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, s1 double, s2 double, s3 double, s4 double")
+    out = {
+        (r["sig_a"], r["sig_b"]): r["corr_r"]
+        for r in signal_correlations(df, ["s1", "s2", "s3", "s4"]).collect()
+    }
+    assert len(out) == 6
+    # s2 is a positive affine image of s1 -> corr exactly 1 on the grid
+    assert abs(out[("s1", "s2")] - 1.0) < 1e-6
+    # independent noise ~ 0
+    assert abs(out[("s1", "s3")]) < 0.2
+    # constant column -> zero variance -> NULL
+    assert out[("s1", "s4")] is None
+    # parity with numpy on the SAME floored-integer inputs
+    ints = np.floor(np.array([[r[1], r[2], r[3]] for r in rows]) * 1e6)
+    ref = np.corrcoef(ints.T)
+    for (x, y), idx in ((("s1", "s2"), (0, 1)), (("s1", "s3"), (0, 2)), (("s2", "s3"), (1, 2))):
+        assert abs(out[(x, y)] - ref[idx]) < 1e-6
+
+
+def test_signal_correlations_validation(spark):
+    from kafka_denormalization_spark.functions.text import (
+        signal_correlations,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        signal_correlations(None, ["only_one"])
