@@ -14,12 +14,12 @@ Per-query timing is split into two attributable phases (round-6):
             (e.g. the LSH family materializes its memoized pair table
             at build time since round 5's eager_cleanup);
   exec_s  — the noop-sink materialization of the returned DataFrame.
-The per-query value in "queries" stays build+exec (the round-5 totals
-methodology, so totals remain comparable). The phase split goes to
-BENCH_PHASES.json next to this file (committed), NOT into the stdout
-line: the driver's tail capture truncated the round-6 artifact when the
-phases map made the line long (VERDICT r06 #3), so the headline line
-stays compact — total + per-query seconds only.
+The per-query value stays build+exec (the round-5 totals methodology, so
+totals remain comparable). The stdout headline carries ONLY the total,
+the query count, and the 10 slowest queries (the driver's tail capture
+truncated both the round-6 and round-7 artifacts when the full per-query
+map was inlined); the complete per-query timings + build/exec phase
+split + any errors go to the committed BENCH_PHASES.json sidecar.
 """
 
 from __future__ import annotations
@@ -209,11 +209,21 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only the TAIL of stdout; the round-7 headline
+    # (119 inline per-query entries) outgrew that window and the artifact
+    # recorded `parsed: null` (VERDICT r07 "What's wrong" #1). Keep the
+    # stdout line under ~1 KB: total + count + the 10 slowest queries.
+    # The FULL per-query map (timings + build/exec phase split) lives in
+    # the committed BENCH_PHASES.json sidecar.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
+        "queries": slowest,
         "sf": sf,
     }
     if errors:
@@ -221,14 +231,22 @@ def main() -> None:
         # fewer queries than a healthy run — flag it so totals are never
         # compared across runs with different coverage
         out["valid"] = False
-        out["errors"] = errors
-    # phase split (build vs exec) is a committed sidecar, kept out of the
-    # stdout headline so the driver's tail capture can never truncate it
+        out["n_errors"] = len(errors)
     phases_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PHASES.json"
     )
     with open(phases_path, "w") as fh:
-        json.dump({"sf": sf, "total_s": total, "phases": phases}, fh, indent=1)
+        json.dump(
+            {
+                "sf": sf,
+                "total_s": total,
+                "queries": timings,
+                "phases": phases,
+                "errors": errors,
+            },
+            fh,
+            indent=1,
+        )
     print(json.dumps(out), flush=True)
 
 

@@ -669,15 +669,32 @@ def audio_fingerprint(
     Exactness: frame energies are int64 sums of squares; the bit
     comparisons are integer — any engine replays the fingerprint
     bit-identically from the samples (the oracle does, from the ids).
+
+    Input contract: every blob must carry at least
+    ``AUDIO_FRAME_LEN * AUDIO_N_FRAMES`` (= 4160) samples — shorter
+    recordings have no 65-frame energy profile and raise a clear
+    ValueError naming the offending id (honest-gate convention;
+    previously a short blob crashed with an opaque numpy reshape error
+    inside the executor — ADVICE r07 #4). Longer blobs fingerprint
+    their leading 4160 samples. ``decode_audio_stats`` remains the
+    any-length path.
     """
     import pandas as pd
 
     def fp(batches):
+        n_use = AUDIO_FRAME_LEN * AUDIO_N_FRAMES
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 _, s = _decode_audio(bytes(blob))
-                n_use = AUDIO_FRAME_LEN * AUDIO_N_FRAMES
+                if len(s) < n_use:
+                    raise ValueError(
+                        f"audio_fingerprint: blob {id_col}={int(i)} has "
+                        f"{len(s)} samples; the 65-frame energy-delta "
+                        f"fingerprint needs >= {n_use} "
+                        f"(AUDIO_FRAME_LEN*AUDIO_N_FRAMES) — filter short "
+                        "recordings out or use decode_audio_stats"
+                    )
                 s = s[:n_use]
                 e = (s * s).reshape(AUDIO_N_FRAMES, AUDIO_FRAME_LEN).sum(axis=1)
                 bands = [0, 0, 0, 0]

@@ -1436,11 +1436,24 @@ def semantic_contamination(
 
     Output: (id_col, max_sim, n_hits, contaminated) — one row per
     corpus vector, including zero-hit rows (max_sim from the full
-    eval scan; the audit wants the near-misses too).
+    eval scan; the audit wants the near-misses too). An EMPTY eval set
+    raises ValueError: the crossJoin+groupBy would otherwise return
+    zero rows, silently dropping the whole corpus from the audit
+    (ADVICE r07 #3) — and an empty benchmark set is a caller bug, not
+    a meaningful audit. The emptiness probe is an eager 1-row action
+    on the (bounded, broadcastable-by-contract) eval side only; the
+    corpus-sized alternative (left-joining the aggregate back onto the
+    corpus) would add a second corpus-wide shuffle to a one-pass plan.
     """
     ev = eval_set.select(
         F.col(eval_id_col).alias("_eid"), F.col(eval_vec_col).alias("_ev")
     )
+    if ev.isEmpty():
+        raise ValueError(
+            "semantic_contamination: eval_set is empty — every corpus row "
+            "would be silently dropped from the audit; pass a non-empty "
+            "evaluation set"
+        )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
     sim = cosine(F.col("_cv"), F.col("_ev"))
     return (

@@ -336,8 +336,11 @@ def z_order_plan(
 
     Mechanism: each dimension is normalized to ``[0, 2^bits)`` by EXACT
     integer arithmetic — ``((x - min) * (2^bits - 1)) DIV (max - min)``
-    (integer DIV, never float division: exact for 64-bit spans, where
-    the double path wobbles in the low bit beyond 2^53) — then
+    with the product carried in DECIMAL(38,0) (never float division:
+    exact for FULL 64-bit spans; a BIGINT product would silently wrap
+    once the span exceeds 2^63/(2^bits - 1) ≈ 2^47 — e.g. any
+    epoch-microsecond dimension spanning more than ~4.5 years — and a
+    double wobbles in the low bit beyond 2^53) — then
     Morton-interleaved into a z-value; rows are globally ranked by
     ``(z, id)`` and dealt into contiguous ``rows_per_shard`` chunks.
     Contiguous-in-z chunks are the point: each shard covers a small
@@ -372,18 +375,26 @@ def z_order_plan(
         F.min(F.col(dim_b).cast("long")).alias("_bmn"),
         F.max(F.col(dim_b).cast("long")).alias("_bmx"),
     ).localCheckpoint(eager=True)
-    top = F.lit((1 << bits) - 1).cast("long")
+    # (x - min) and the span are carried in DECIMAL(38,0): exact for the
+    # full signed-64-bit domain (span can reach 2^64 - 1, the scaled
+    # product 65535x that — ~24 digits, well inside 38), where BIGINT
+    # arithmetic would wrap silently for spans above ~2^47 under
+    # non-ANSI Spark while the DuckDB oracle errors (ADVICE r07 #1).
+    # Spark's `div` (IntegralDivide) on decimals returns the exact
+    # BIGINT quotient, which here is <= 2^bits - 1.
+    top = F.lit((1 << bits) - 1).cast("decimal(38,0)")
+    dec = "decimal(38,0)"
     with_b = df.crossJoin(F.broadcast(bounds)).select(
         "*",
-        ((F.col(dim_a).cast("long") - F.col("_amn")) * top).alias("_sa"),
-        (F.col("_amx") - F.col("_amn")).alias("_wa"),
-        ((F.col(dim_b).cast("long") - F.col("_bmn")) * top).alias("_sb"),
-        (F.col("_bmx") - F.col("_bmn")).alias("_wb"),
+        ((F.col(dim_a).cast(dec) - F.col("_amn").cast(dec)) * top).alias("_sa"),
+        (F.col("_amx").cast(dec) - F.col("_amn").cast(dec)).alias("_wa"),
+        ((F.col(dim_b).cast(dec) - F.col("_bmn").cast(dec)) * top).alias("_sb"),
+        (F.col("_bmx").cast(dec) - F.col("_bmn").cast(dec)).alias("_wb"),
     )
-    na = F.when(F.col("_wa") > 0, F.expr("_sa DIV _wa")).otherwise(
+    na = F.when(F.col("_wa") > 0, F.expr("_sa div _wa")).otherwise(
         F.lit(0).cast("long")
     )
-    nb = F.when(F.col("_wb") > 0, F.expr("_sb DIV _wb")).otherwise(
+    nb = F.when(F.col("_wb") > 0, F.expr("_sb div _wb")).otherwise(
         F.lit(0).cast("long")
     )
     zed = with_b.withColumn(

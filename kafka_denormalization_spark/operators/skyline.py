@@ -53,13 +53,26 @@ def pareto_front(
     num_buckets: int = 256,
 ) -> DataFrame:
     """All rows of ``df`` on the (minimize ``min_col``, maximize
-    ``max_col``) Pareto front. Output: the input rows, unmodified."""
+    ``max_col``) Pareto front. Output: the input rows, unmodified.
+
+    NULL contract: rows with a NULL in EITHER criterion are excluded —
+    they are never part of the front and never dominate anything
+    (SQL three-valued comparison semantics; matches the NOT EXISTS
+    oracle, where a NULL criterion can satisfy neither dominance arm).
+    Without the explicit filter a NULL row would poison the bucketed
+    running max (``F.least`` skips NULLs, landing NULL-min rows in the
+    top bucket where a non-NULL ``max_col`` wrongly eliminates
+    legitimate front points — ADVICE r07 #2)."""
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
-    pts = df.select(
-        F.col(min_col).cast("double").alias("_x"),
-        F.col(max_col).cast("double").alias("_y"),
-    ).distinct()
+    pts = (
+        df.select(
+            F.col(min_col).cast("double").alias("_x"),
+            F.col(max_col).cast("double").alias("_y"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .distinct()
+    )
 
     # the 1-row bounds and the <=num_buckets summary below are eagerly
     # checkpointed: they are re-referenced by multiple consumers, and

@@ -4868,22 +4868,28 @@ def _morton_sql(a: str, b: str, bits: int = 16) -> str:
 
 
 # z-order oracle: normalize both dims with the same exact-integer
-# ((x - min) * 65535) // span arithmetic, interleave, rank by (z, id)
+# ((x - min) * 65535) // span arithmetic, interleave, rank by (z, id).
+# The scaled product is carried in HUGEINT, mirroring the Spark side's
+# DECIMAL(38,0): exact for full 64-bit spans where a BIGINT product
+# would overflow (ADVICE r07 #1).
 _ZORDER_ZED_SQL = f"""
     b AS (
-      SELECT CAST(min(user_id) AS BIGINT) AS amn,
-             CAST(max(user_id) AS BIGINT) AS amx,
-             min(epoch_us(ts)) AS bmn, max(epoch_us(ts)) AS bmx
+      SELECT CAST(min(user_id) AS HUGEINT) AS amn,
+             CAST(max(user_id) AS HUGEINT) AS amx,
+             CAST(min(epoch_us(ts)) AS HUGEINT) AS bmn,
+             CAST(max(epoch_us(ts)) AS HUGEINT) AS bmx
       FROM events
     ),
     nrm AS (
       SELECT event_id,
-             CASE WHEN amx > amn
-                  THEN ((CAST(user_id AS BIGINT) - amn) * 65535) // (amx - amn)
-                  ELSE 0 END AS na,
-             CASE WHEN bmx > bmn
-                  THEN ((epoch_us(ts) - bmn) * 65535) // (bmx - bmn)
-                  ELSE 0 END AS nb
+             CAST(CASE WHEN amx > amn
+                  THEN ((CAST(user_id AS HUGEINT) - amn) * 65535)
+                       // (amx - amn)
+                  ELSE 0 END AS BIGINT) AS na,
+             CAST(CASE WHEN bmx > bmn
+                  THEN ((CAST(epoch_us(ts) AS HUGEINT) - bmn) * 65535)
+                       // (bmx - bmn)
+                  ELSE 0 END AS BIGINT) AS nb
       FROM events, b
     ),
     zed AS (

@@ -339,6 +339,22 @@ def test_audio_fingerprint_amplitude_invariant(spark):
     assert fp[1] != fp[3]  # different recording does not
 
 
+def test_audio_fingerprint_short_blob_clear_error(spark):
+    """ADVICE r07 #4 regression: a blob with fewer than
+    AUDIO_FRAME_LEN*AUDIO_N_FRAMES samples used to die with an opaque
+    numpy reshape ValueError inside the executor; now the fingerprint
+    path raises a clear, id-naming error (decode_audio_stats remains
+    the any-length path)."""
+    short = make_audio_blob(fake_audio_samples(3, n=100))
+    df = spark.createDataFrame([(42, bytearray(short))], "id long, blob binary")
+    with pytest.raises(Exception) as ei:
+        audio_fingerprint(df).collect()
+    assert "audio_fingerprint: blob id=42 has 100 samples" in str(ei.value)
+    # the any-length stats path still accepts the same blob
+    r = decode_audio_stats(df).collect()[0]
+    assert r["n_samples"] == 100
+
+
 def test_audio_fp_dedup_keeps_min_id_per_family(spark):
     rows = [
         (10, bytearray(make_audio_blob(fake_audio_samples(1, gain=1)))),

@@ -588,6 +588,38 @@ def test_z_order_degenerate_dim(spark):
     assert xs == sorted(xs)
 
 
+def test_z_order_wide_span_no_overflow(spark):
+    """ADVICE r07 #1 regression: a dimension spanning more than
+    2^63/65535 (~2^47 — e.g. epoch-microseconds over >4.5 years) used
+    to wrap the BIGINT product (x - min) * 65535 silently under
+    non-ANSI Spark, producing wrong z-values. The DECIMAL(38,0)
+    normalization must match exact Python integer arithmetic across
+    the FULL signed-64-bit domain, including min/max endpoints."""
+    lo, hi = -(2**63), 2**63 - 1
+    xs = [lo, -(2**50), -1, 0, 1, 7, 2**40, 2**50, 2**62, hi]
+    rows = [(i, x, i % 4) for i, x in enumerate(xs)]
+    g = spark.createDataFrame(rows, "id long, x long, y long")
+    plan = {r["id"]: r for r in
+            z_order_plan(g, "id", "x", "y", rows_per_shard=4).collect()}
+
+    def norm(v, mn, mx):
+        return (v - mn) * 65535 // (mx - mn) if mx > mn else 0
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    expect = {
+        i: morton(norm(x, lo, hi), norm(i % 4, 0, 3))
+        for i, x in enumerate(xs)
+    }
+    got = {i: plan[i]["z"] for i in expect}
+    assert got == expect, (got, expect)
+
+
 def test_z_order_prune_beats_hash_layout(spark):
     from kafka_denormalization_spark.operators.sharding import z_order_prune
 

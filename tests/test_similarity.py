@@ -731,6 +731,23 @@ def test_semantic_contamination_matches_numpy(spark):
     assert z["max_sim"] == 0.0 and not z["contaminated"]
 
 
+def test_semantic_contamination_empty_eval_raises(spark):
+    """ADVICE r07 #3 regression: an empty eval set used to make the
+    crossJoin+groupBy silently return zero rows, dropping the whole
+    corpus from the audit despite the one-row-per-corpus-vector
+    contract. Now a clear ValueError at build time."""
+    import pytest
+
+    cdf = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="eval_set is empty"):
+        S.semantic_contamination(cdf, empty)
+
+
 def test_mahalanobis_outliers_matches_numpy(spark):
     import numpy as np
 

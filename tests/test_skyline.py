@@ -83,6 +83,33 @@ def test_constant_min_dim(spark):
     assert _run(spark, pts) == [(3.0, 9), (3.0, 9)]
 
 
+def test_null_criteria_excluded_and_never_dominate(spark):
+    """ADVICE r07 #2 regression: a row with NULL min_col used to land in
+    the top bucket (F.least skips NULLs) where its max_col poisoned the
+    running max, wrongly eliminating legitimate front points. Contract:
+    NULL-criteria rows are excluded — never on the front, never
+    dominating (matches the oracle's NOT EXISTS under three-valued
+    comparison)."""
+    rows = [
+        (0, 1.0, 5),      # front
+        (1, 2.0, 7),      # front
+        (2, None, 100),   # NULL x, huge y: must NOT eliminate (1.0, 5)
+        (3, 0.5, None),   # NULL y: must NOT eliminate anything
+        (4, 3.0, 2),      # dominated by (1.0, 5)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    out = sorted(
+        (r["x"], r["y"]) for r in pareto_front(df, "x", "y").collect()
+    )
+    assert out == [(1.0, 5), (2.0, 7)]
+    # and with a single bucket too (degenerate path)
+    out1 = sorted(
+        (r["x"], r["y"])
+        for r in pareto_front(df, "x", "y", num_buckets=1).collect()
+    )
+    assert out1 == [(1.0, 5), (2.0, 7)]
+
+
 def test_validation(spark):
     df = None
     with pytest.raises(ValueError):
