@@ -335,7 +335,7 @@ def phash_near_dup_pairs(
     sig: DataFrame,
     id_col: str = "id",
     hamming_max: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash band signatures: Hamming-ball
     LSH blocking + exact verify.
@@ -363,7 +363,15 @@ def phash_near_dup_pairs(
     zero-false-negative pigeonhole guarantee for bounded recall on the
     split buckets ONLY (unsplit buckets keep the full guarantee);
     retention structure is measured band-for-band on the
-    offset-equivalent fixture in tools/bench_phash_skew.py. Default OFF.
+    offset-equivalent fixture in tools/bench_phash_skew.py.
+
+    Default ``"auto"`` (the 100-TB policy, VERDICT r07 #3): the cap is
+    derived from the observed (band, value) width distribution —
+    clamp(p99.9 width, AUTO_BUCKET_FLOOR, AUTO_BUCKET_CEIL from
+    functions/similarity.py) — and the split only engages, with a
+    logged recall bound, when a bucket exceeds it; corpora with no hot
+    bucket get the identical unguarded pair set. ``None`` turns the
+    guard (and its width pass) off entirely.
 
     Scale (100 TB): the self-join shuffles on (band_idx, band_value) —
     4 rows of 3 longs per image, never pixels; candidate volume is
@@ -408,14 +416,20 @@ def phash_near_dup_pairs(
 
 
 def _phash_candidates(
-    sig: DataFrame, id_col: str, max_bucket: int | None
+    sig: DataFrame, id_col: str, max_bucket: int | str | None
 ) -> tuple[DataFrame, DataFrame | None]:
     """Blocking stage of ``phash_near_dup_pairs``: distinct candidate
     (id_a, id_b) pairs from the (band, value) self-join, with the
-    optional band-seeded hot-bucket split. Returns (candidates,
+    optional band-seeded hot-bucket split (``"auto"`` derives the cap
+    from the observed width distribution — see
+    similarity.resolve_auto_bucket_cap). Returns (candidates,
     internal persisted frame or None)."""
-    if max_bucket is not None and max_bucket < 2:
-        raise ValueError("max_bucket must be >= 2")
+    from kafka_denormalization_spark.functions.similarity import (
+        _validate_max_bucket,
+        resolve_auto_bucket_cap,
+    )
+
+    _validate_max_bucket(max_bucket)
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("_bi", "_bv"),
@@ -427,34 +441,36 @@ def _phash_candidates(
         # band rows are consumed twice (width scan + both join sides)
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
         internal_cache = bands
-        hot = (
-            bands.groupBy("_bi", "_bv")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .filter(F.col("_w") > max_bucket)
-            .select(
+        widths = bands.groupBy("_bi", "_bv").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        if max_bucket == "auto":
+            cap = resolve_auto_bucket_cap(widths, 4, what="phash")
+            max_bucket = cap  # None => no split needed; keep the persist
+        if max_bucket is not None:
+            hot = widths.filter(F.col("_w") > max_bucket).select(
                 "_bi",
                 "_bv",
                 F.ceil(F.col("_w") / F.lit(max_bucket))
                 .cast("long")
                 .alias("_nsub"),
             )
-        )
-        bands = bands.join(hot, ["_bi", "_bv"], "left").select(
-            "_id",
-            "_bi",
-            F.when(F.col("_nsub").isNull(), F.col("_bv"))
-            .otherwise(
-                # band-seeded sub-bucket draw — see docstring
-                F.xxhash64(
-                    F.col("_bv"),
-                    F.pmod(
-                        F.xxhash64(F.col("_bi"), F.col("_id")),
-                        F.col("_nsub"),
-                    ),
+            bands = bands.join(hot, ["_bi", "_bv"], "left").select(
+                "_id",
+                "_bi",
+                F.when(F.col("_nsub").isNull(), F.col("_bv"))
+                .otherwise(
+                    # band-seeded sub-bucket draw — see docstring
+                    F.xxhash64(
+                        F.col("_bv"),
+                        F.pmod(
+                            F.xxhash64(F.col("_bi"), F.col("_id")),
+                            F.col("_nsub"),
+                        ),
+                    )
                 )
+                .alias("_bv"),
             )
-            .alias("_bv"),
-        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -474,7 +490,7 @@ def _phash_candidates(
 def _sig_keep_min(
     sig: DataFrame,
     hamming_max: int,
-    max_bucket: int | None,
+    max_bucket: int | str | None,
     id_col: str,
     persist: bool = True,
 ) -> DataFrame:
@@ -527,7 +543,7 @@ def image_phash_dedup(
     id_col: str = "id",
     blob_col: str = "blob",
     hamming_max: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
     persist: bool = True,
 ) -> DataFrame:
     """Image near-dedup retention: hash every image (image_dhash), find
@@ -716,7 +732,7 @@ def audio_fp_dedup(
     id_col: str = "id",
     blob_col: str = "blob",
     hamming_max: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
     persist: bool = True,
 ) -> DataFrame:
     """Audio near-dedup retention over energy-delta fingerprints —

