@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "embedding_debias",
     "signal_correlations",
     "z_order_prune",
+    # round-10 operators (this session)
+    "substring_dedup",
 ]
 
 

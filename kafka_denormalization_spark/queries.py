@@ -1002,6 +1002,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, "doc_id", "text", chunk_tokens=16)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window exact-substring dedup (operators/chunking.py
+    exact_substr_dedup; Lee et al. 2021 ExactSubstr at stride-1 window
+    granularity — the fidelity upgrade over chunk-aligned span_dedup):
+    EVERY 16-token window is digested, repeated window text survives
+    only at its globally-first (doc_id, start), tokens survive iff
+    covered by a kept window, docs reassembled from surviving
+    positions. Pure integer/string arithmetic — bitwise oracle match."""
+    from kafka_denormalization_spark.operators.chunking import (
+        exact_substr_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return exact_substr_dedup(docs, "doc_id", "text", window_tokens=16)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights (operators/sampling.py
     dsir_log_weights; Xie et al., NeurIPS 2023): hashed unigram+bigram
@@ -4110,6 +4126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_doc_tokens": q_bpe_doc_tokens,
     "bpe_sequence_packing": q_bpe_sequence_packing,
     "span_dedup": q_span_dedup,
+    "substring_dedup": q_substring_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "lm_perplexity": q_lm_perplexity,
@@ -5917,6 +5934,43 @@ ORACLE_SQL: dict[str, str] = {
     "span_dedup": f"""
     WITH {_SPAN_CTES_SQL}
     SELECT doc_id, text_dedup, n_chunks, n_dropped FROM spanout
+    """,
+    # rolling-window ExactSubstr replay: every 16-token window start,
+    # first occurrence by (doc_id, start), token kept iff covered by a
+    # kept window, text rebuilt from kept positions in order
+    "substring_dedup": f"""
+    WITH xbase AS (
+      SELECT doc_id, {_TOKS_SQL} AS w, len({_TOKS_SQL}) AS n FROM documents
+    ), xwins AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(w, s + 1, s + 16), ' ')) AS h
+      FROM (
+        SELECT doc_id, w, unnest(range(0, n - 15)) AS s
+        FROM xbase WHERE n >= 16
+      )
+    ), xfirst AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        FROM xwins
+      ) WHERE rn = 1
+    ), xcover AS (
+      SELECT DISTINCT doc_id, p
+      FROM (SELECT doc_id, unnest(range(s, s + 16)) AS p FROM xfirst)
+    ), xrebuilt AS (
+      SELECT c.doc_id, count(*) AS n_kept,
+             array_to_string(list(b.w[c.p + 1] ORDER BY c.p), ' ')
+               AS text_dedup
+      FROM xcover c JOIN xbase b USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.n < 16 THEN array_to_string(b.w, ' ')
+                ELSE coalesce(r.text_dedup, '') END AS text_dedup,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN b.n < 16 THEN b.n
+                     ELSE coalesce(r.n_kept, 0) END AS BIGINT) AS n_kept
+    FROM xbase b LEFT JOIN xrebuilt r USING (doc_id)
     """,
     "dsir_weights": f"""
     {_DSIR_WEIGHTS_SQL}
