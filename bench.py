@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "z_order_prune",
     # round-10 operators (this session)
     "substring_dedup",
+    "paired_dedup",
 ]
 
 

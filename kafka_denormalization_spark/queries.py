@@ -3517,6 +3517,86 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _paired_pixels(s: int, flip: bool) -> bytes:
+    """_phash_pixels with the group seed supplied directly (the paired
+    fixture keys the image on the CAPTION PREFIX, not the doc id) and
+    the 1-pixel perturbation decoupled from the seed."""
+    import numpy as np
+
+    a, b = 7 + s % 101, 13 + s % 103
+    ii, jj = np.meshgrid(
+        np.arange(PHASH_H), np.arange(PHASH_W), indexing="ij"
+    )
+    px = bytearray(((s * 31 + ii * a + jj * b) % 256).astype("uint8").tobytes())
+    if flip:
+        px[0] = (px[0] + 128) % 256
+    return bytes(px)
+
+
+def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal paired (image, caption) near-dup audit
+    (functions/multimodal.py paired_near_dup_audit): documents become
+    image-text pairs — the image is generated from a deterministic seed
+    keyed on the CAPTION'S 64-char prefix hash (so text near-dup
+    families that share a prefix also share an image: the 'both' class
+    is non-vacuous), with a 1-pixel perturbation on doc_id % 5 = 0 —
+    and every pair near-dup in at least one modality is classified
+    both / image_only / caption_only (the asymmetric same-caption-
+    different-image audit). Image side: dHash Hamming-band blocking +
+    exact popcount (zero false negatives through distance 3); caption
+    side: MinHash-LSH at 64 hashes x 32 bands + exact Jaccard (recall
+    ~1 at the 0.5 threshold — the minhash_lsh_dedup adjudication). The
+    oracle replays the pixel/dHash arithmetic and the brute-force
+    all-pairs Jaccard."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+        paired_near_dup_audit,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text"),
+        (
+            F.conv(
+                F.substring(F.md5(F.substring("text", 1, 64)), 1, 8), 16, 10
+            ).cast("long")
+            % PHASH_GROUPS
+        ).alias("_s"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_image_blob(
+                        PHASH_W,
+                        PHASH_H,
+                        _paired_pixels(int(s), int(d) % 5 == 0),
+                    ),
+                    t,
+                )
+                for d, s, t in zip(pdf["doc_id"], pdf["_s"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob", "caption"])
+
+    paired = docs.mapInPandas(encode, "id long, blob binary, caption string")
+    return paired_near_dup_audit(
+        paired,
+        "id",
+        "blob",
+        "caption",
+        hamming_max=3,
+        threshold=0.5,
+        num_hashes=64,
+        bands=32,
+    ).select(
+        F.col("id_a"), F.col("id_b"), "hamming", "jaccard_r", "dup_class"
+    )
+
+
 # to_json canonicalization: both engines serialize nested structs to JSON
 # strings so the driver's hasher (which chokes on struct cells — round-1
 # red row) compares scalars. Field order matches because Spark emits struct
@@ -4147,6 +4227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
     "image_phash_dedup": q_image_phash_dedup,
+    "paired_dedup": q_paired_dedup,
     "range_join": q_range_join,
     "rollup_timeseries": q_rollup_timeseries,
     "sliding_window": q_sliding_window,
@@ -7148,6 +7229,75 @@ ORACLE_SQL: dict[str, str] = {
     )
     SELECT s.doc_id, s.b0, s.b1, s.b2, s.b3 FROM sig s
     WHERE s.doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+    # cross-modal paired audit: image seed = caption-prefix hash mod
+    # groups (+ doc_id%5 1-pixel flip), dHash replayed exactly; caption
+    # side is the brute-force all-pairs Jaccard; a pair reports iff
+    # near-dup in at least one modality, classified by both metrics
+    "paired_dedup": f"""
+    WITH pd AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 8)) AS BIGINT)
+               % {PHASH_GROUPS} AS s,
+             (doc_id % 5 = 0) AS flip
+      FROM documents
+    ),
+    ppx AS (
+      SELECT doc_id, i, j,
+             CASE WHEN flip AND i = 0 AND j = 0
+               THEN ((s * 31 + i * (7 + s % 101) + j * (13 + s % 103))
+                     % 256 + 128) % 256
+               ELSE (s * 31 + i * (7 + s % 101) + j * (13 + s % 103)) % 256
+             END AS p
+      FROM pd, range(0, {PHASH_H}) t1(i), range(0, {PHASH_W}) t2(j)
+    ),
+    ppooled AS (
+      SELECT doc_id, i // 4 AS r, j // 4 AS c,
+             CAST(SUM(p) // 16 AS BIGINT) AS v
+      FROM ppx GROUP BY doc_id, i // 4, j // 4
+    ),
+    pbits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS k
+      FROM ppooled a JOIN ppooled b
+        ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8 AND a.v < b.v
+    ),
+    psig AS (
+      SELECT pd.doc_id,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 0 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b0,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 1 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b1,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 2 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b2,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 3 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b3
+      FROM pd LEFT JOIN pbits ON pd.doc_id = pbits.doc_id
+      GROUP BY pd.doc_id
+    ),
+    pham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS BIGINT) AS hamming
+      FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+    ),
+    pdsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    pjac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                              AS DOUBLE)
+                  ELSE 0.0 END AS j
+      FROM pdsh a JOIN pdsh b ON a.doc_id < b.doc_id
+    )
+    SELECT h.id_a, h.id_b, h.hamming, round(j.j, 9) AS jaccard_r,
+           CASE WHEN h.hamming <= 3 AND round(j.j, 9) >= 0.5 THEN 'both'
+                WHEN h.hamming <= 3 THEN 'image_only'
+                ELSE 'caption_only' END AS dup_class
+    FROM pham h JOIN pjac j USING (id_a, id_b)
+    WHERE h.hamming <= 3 OR j.j >= 0.5
     """,
     "multimodal_metadata": """
     SELECT doc_id,

@@ -408,3 +408,67 @@ def test_audio_fp_dedup_keeps_min_id_per_family(spark):
     df = spark.createDataFrame(rows, "id long, blob binary")
     kept = sorted(r["id"] for r in audio_fp_dedup(df).collect())
     assert kept == [10, 20, 30]
+
+
+# -- cross-modal paired dedup -------------------------------------------------
+
+
+def test_paired_near_dup_audit_classes(spark):
+    """Planted image-text pairs exercising every dup_class: (1,2) dup in
+    BOTH modalities, (3,4) same image / unrelated captions
+    (image_only), (5,6) same caption / unrelated images (caption_only,
+    the asymmetric boilerplate-alt-text audit), 7 a singleton that must
+    not appear at all."""
+    import random
+
+    rng = random.Random(3)
+    img_a = bytes(rng.randrange(256) for _ in range(36 * 32))
+    img_b = bytes(rng.randrange(256) for _ in range(36 * 32))
+    img_c = bytes(rng.randrange(256) for _ in range(36 * 32))
+    img_d = bytes(rng.randrange(256) for _ in range(36 * 32))
+    cap_x = "a photo of a red fox jumping over the lazy dog"
+    cap_y = "stock image of corporate teamwork synergy meeting room"
+    cap_z = " ".join(f"u{i}" for i in range(10))
+    cap_w = " ".join(f"v{i}" for i in range(10))
+    rows = [
+        (1, bytearray(M.make_image_blob(36, 32, img_a)), cap_x),
+        (2, bytearray(M.make_image_blob(36, 32, img_a)), cap_x + " outdoors"),
+        (3, bytearray(M.make_image_blob(36, 32, img_b)), cap_z),
+        (4, bytearray(M.make_image_blob(36, 32, img_b)), cap_w),
+        (5, bytearray(M.make_image_blob(36, 32, img_c)), cap_y),
+        (6, bytearray(M.make_image_blob(36, 32, img_d)), cap_y),
+        (7, bytearray(M.make_image_blob(36, 32, bytes(reversed(img_a)))),
+         " ".join(f"s{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary, caption string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in M.paired_near_dup_audit(df, "id", "blob", "caption").collect()
+    }
+    assert out[(1, 2)]["dup_class"] == "both"
+    assert out[(1, 2)]["hamming"] <= 3
+    assert out[(1, 2)]["jaccard_r"] >= 0.5
+    assert out[(3, 4)]["dup_class"] == "image_only"
+    assert out[(3, 4)]["hamming"] == 0
+    assert out[(3, 4)]["jaccard_r"] == 0.0  # exact fill, disjoint grams
+    assert out[(5, 6)]["dup_class"] == "caption_only"
+    assert out[(5, 6)]["jaccard_r"] == 1.0
+    assert out[(5, 6)]["hamming"] > 3  # exact fill from the signatures
+    assert not any(7 in k for k in out)
+    assert set(out) == {(1, 2), (3, 4), (5, 6)}
+
+
+def test_paired_near_dup_audit_short_caption_jaccard_zero(spark):
+    """Captions shorter than the gram width carry no grams: an
+    image-dup pair of such docs lands in image_only with jaccard 0.0
+    (not a crash, not a dropped pair)."""
+    px = bytes((i * 7) % 256 for i in range(36 * 32))
+    rows = [
+        (1, bytearray(M.make_image_blob(36, 32, px)), "hi"),
+        (2, bytearray(M.make_image_blob(36, 32, px)), "yo"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary, caption string")
+    r = M.paired_near_dup_audit(df, "id", "blob", "caption").collect()
+    assert len(r) == 1
+    assert r[0]["dup_class"] == "image_only"
+    assert r[0]["jaccard_r"] == 0.0 and r[0]["hamming"] == 0
