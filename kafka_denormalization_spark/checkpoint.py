@@ -1,0 +1,44 @@
+"""Lineage truncation with an optional RELIABLE-checkpoint knob.
+
+Iterative operators (connected_components, pagerank, kmeans_assign,
+embedding_pca) and multi-consumer pipelines (corpus_pipeline_v4's
+stage frames) truncate lineage every round with an eager
+``localCheckpoint`` — without it the plan doubles per iteration and the
+job dies on planning long before it dies on data. ``localCheckpoint``
+stores blocks on the EXECUTORS: fast (no DFS write) but not tolerant to
+executor loss — if an executor holding checkpoint blocks dies, the
+lineage needed to recompute them is gone and the job fails. That is the
+right default for a single-JVM local session and for short iterations,
+but a real 1000-executor cluster run over hours wants the RELIABLE
+variant: ``SparkContext.setCheckpointDir`` + ``DataFrame.checkpoint``,
+which writes the blocks to the (replicated, executor-independent)
+checkpoint directory.
+
+``truncate_lineage(df, checkpoint_dir)`` is the one switch point: every
+operator that truncates lineage routes through it and exposes an
+optional ``checkpoint_dir`` parameter (default None = localCheckpoint,
+today's behavior). Results are IDENTICAL through both paths — the
+checkpoint only changes where the materialized rows live
+(tests/test_graph.py::test_reliable_checkpoint_path_identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def truncate_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Eagerly materialize ``df`` and cut its lineage: executor-local
+    blocks by default, reliable DFS blocks under ``checkpoint_dir``
+    when given. The session's checkpoint dir is set once per distinct
+    value (``setCheckpointDir`` mints a fresh UUID subdirectory per
+    call, so re-setting it every round would scatter the blocks)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if getattr(sc, "_sg_ckpt_dir", None) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        sc._sg_ckpt_dir = checkpoint_dir
+    return df.checkpoint(eager=True)

@@ -27,28 +27,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_denormalization_spark.checkpoint import truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``;
     ``component`` is the smallest node id in the node's connected
     component. Node ids must be orderable (long/string both work; the sum
-    convergence check hashes labels, so strings are fine)."""
-    sym = (
+    convergence check hashes labels, so strings are fine).
+
+    ``checkpoint_dir``: route the per-round lineage truncation through a
+    RELIABLE checkpoint instead of localCheckpoint — the executor-loss-
+    tolerant variant a long cluster run wants (see checkpoint.py);
+    results are identical through both paths."""
+    sym = truncate_lineage(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .dropDuplicates(),
+        checkpoint_dir,
     )
-    labels = (
+    labels = truncate_lineage(
         sym.select(F.col("u").alias("node"))
         .dropDuplicates()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
 
     def _fingerprint(lab: DataFrame) -> int:
@@ -71,11 +79,11 @@ def connected_components(
         msgs = sym.join(labels, sym["v"] == labels["node"]).select(
             F.col("u").alias("node"), F.col("label")
         )
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            checkpoint_dir,
         )
         new_fp = _fingerprint(new_labels)
         labels = new_labels
@@ -91,6 +99,7 @@ def pagerank(
     dst_col: str,
     damping_pct: int = 85,
     n_iter: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank by power method — graph authority
     scoring, the crawl-curation primitive (seed ranking / domain
@@ -137,15 +146,19 @@ def pagerank(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     d = int(damping_pct)
-    e = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).localCheckpoint(eager=True)
+    e = truncate_lineage(
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")),
+        checkpoint_dir,
+    )
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = e.select(F.col("_s").alias("node")).distinct()
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.expr("CAST(1000000000 AS BIGINT) DIV _n").alias("rn")
-    ).localCheckpoint(eager=True)
+    ranks = truncate_lineage(
+        nodes.crossJoin(F.broadcast(n1)).select(
+            "node", F.expr("CAST(1000000000 AS BIGINT) DIV _n").alias("rn")
+        ),
+        checkpoint_dir,
+    )
     for _ in range(n_iter):
         contrib = (
             e.join(ranks, e["_s"] == ranks["node"])
@@ -155,7 +168,7 @@ def pagerank(
                 F.expr("rn DIV _deg").alias("_c"),
             )
         )
-        ranks = (
+        ranks = truncate_lineage(
             contrib.groupBy("node")
             .agg(F.sum("_c").alias("_sc"))
             .crossJoin(F.broadcast(n1))
@@ -165,8 +178,8 @@ def pagerank(
                     f"CAST({(100 - d) * 10_000_000} AS BIGINT) DIV _n"
                     f" + ({d} * _sc) DIV 100"
                 ).alias("rn"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
     return ranks.select(
         "node",

@@ -1665,6 +1665,7 @@ def embedding_covariance(
     emb: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full dim x dim covariance of the embedding corpus — the
     second-moment table every embedding-space audit builds on
@@ -1730,8 +1731,10 @@ def embedding_covariance(
             "pos",
             (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
         )
-        .localCheckpoint(eager=True)
     )
+    from kafka_denormalization_spark.checkpoint import truncate_lineage
+
+    means = truncate_lineage(means, checkpoint_dir)
     mi = means.select(F.col("pos").alias("i"), F.col("_mu").alias("_mui"))
     mj = means.select(F.col("pos").alias("j"), F.col("_mu").alias("_muj"))
     return (
@@ -1750,6 +1753,7 @@ def embedding_pca(
     vec_col: str = "embedding",
     dim: int = 64,
     n_iter: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Top principal component of the embedding corpus by
     fixed-iteration power method over the exact covariance table —
@@ -1781,7 +1785,12 @@ def embedding_pca(
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    cov = embedding_covariance(emb, vec_col, dim).localCheckpoint(eager=True)
+    from kafka_denormalization_spark.checkpoint import truncate_lineage
+
+    cov = truncate_lineage(
+        embedding_covariance(emb, vec_col, dim, checkpoint_dir),
+        checkpoint_dir,
+    )
     x0 = round(1.0 / math.sqrt(dim), 9)
     v = cov.select(F.col("i").alias("pos")).distinct().select(
         "pos", F.lit(x0).cast("double").alias("x")
@@ -1810,10 +1819,11 @@ def embedding_pca(
                 ).cast("double")
             ).alias("_nrm")
         )
-        v = (
-            y.crossJoin(F.broadcast(norm))
-            .select("pos", F.round(F.col("yr") / F.col("_nrm"), 9).alias("x"))
-            .localCheckpoint(eager=True)
+        v = truncate_lineage(
+            y.crossJoin(F.broadcast(norm)).select(
+                "pos", F.round(F.col("yr") / F.col("_nrm"), 9).alias("x")
+            ),
+            checkpoint_dir,
         )
     return v.crossJoin(F.broadcast(norm)).select(
         F.col("pos").cast("long").alias("pos"),
@@ -1828,6 +1838,7 @@ def embedding_debias(
     vec_col: str = "embedding",
     dim: int = 64,
     n_iter: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All-but-the-top embedding cleanup (Mu & Viswanath, ICLR 2018):
     center each vector and remove its projection onto the top principal
@@ -1865,7 +1876,9 @@ def embedding_debias(
             (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
         )
     )
-    pc = embedding_pca(emb, vec_col, dim, n_iter).select("pos", "pc1")
+    pc = embedding_pca(emb, vec_col, dim, n_iter, checkpoint_dir).select(
+        "pos", "pc1"
+    )
     model = (
         means.join(pc, "pos")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "_mu", "pc1"))).alias("_m"))

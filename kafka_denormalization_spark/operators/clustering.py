@@ -60,6 +60,7 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 3,
     persist: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means, ``iters`` assignment rounds with ``iters - 1``
     centroid updates between them. Seeds are the ``k`` vectors with the
@@ -67,6 +68,12 @@ def kmeans_assign(
     avoids an unpartitioned row-number window just to mint 0..k-1).
     Clusters that lose all members disappear for later rounds (standard
     Lloyd behavior; deterministic here, so both engines agree).
+
+    ``checkpoint_dir``: reliably checkpoint the (k-row) centroid table
+    after every update round — plan depth stays O(1) in ``iters`` and
+    the materialized rounds survive executor loss (checkpoint.py); the
+    default keeps the pure-lazy plan (fine at the default 3 rounds).
+    Results identical through both paths.
 
     Output: (id_col, cluster_id, dist_r) — every vector's final cluster
     and squared distance on the 9-decimal grid.
@@ -155,6 +162,12 @@ def kmeans_assign(
                 ).alias("_carr")
             )
         )
+        if checkpoint_dir is not None:
+            from kafka_denormalization_spark.checkpoint import (
+                truncate_lineage,
+            )
+
+            centroids = truncate_lineage(centroids, checkpoint_dir)
     return assigned.select(
         F.col("_vid").alias(id_col),
         F.col("_cid").alias("cluster_id"),

@@ -1944,7 +1944,8 @@ V4_SALT = "temp4"
 
 
 def _corpus_v4_mixed(
-    spark: SparkSession, sf_dir: str, return_stages: bool = False
+    spark: SparkSession, sf_dir: str, return_stages: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """The round-8 curation chain up to the temperature mix: boilerplate
     LINE strip (line_dedup over the synthetic 3-token lines — docs
@@ -1973,7 +1974,11 @@ def _corpus_v4_mixed(
         # executor-loss recompute at cluster scale).
         if not return_stages:
             return df.persist(StorageLevel.MEMORY_AND_DISK)
-        return df.localCheckpoint(eager=True)
+        # checkpoint_dir swaps in the RELIABLE (executor-loss-tolerant)
+        # checkpoint — see kafka_denormalization_spark/checkpoint.py
+        from kafka_denormalization_spark.checkpoint import truncate_lineage
+
+        return truncate_lineage(df, checkpoint_dir)
 
     docs = table(spark, sf_dir, "documents")
     stripped = text_fns.line_dedup(

@@ -159,3 +159,106 @@ def test_pagerank_mass_conservation_bound(spark):
         .collect()[0][0]
     )
     assert 10**9 * (1 - 1e-5) <= total <= 10**9
+
+
+def test_reliable_checkpoint_path_identical(spark, tmp_path):
+    """checkpoint.py knob (VERDICT r07 next-round #6): every iterative
+    operator produces IDENTICAL results whether lineage is truncated
+    with localCheckpoint (default) or the reliable
+    setCheckpointDir + .checkpoint() variant — only block placement
+    differs. Covers connected_components, pagerank, embedding_pca
+    (+ its covariance pass), and kmeans_assign."""
+    import random
+
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components,
+        pagerank,
+    )
+    from kafka_denormalization_spark.functions.similarity import (
+        embedding_pca,
+    )
+    from kafka_denormalization_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (3, 9)], "src long, dst long"
+    )
+    cc_local = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges, "src", "dst").collect()
+    )
+    cc_rel = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, "src", "dst", checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert cc_local == cc_rel
+
+    pr_local = sorted(
+        (r["node"], r["rank_nano"])
+        for r in pagerank(edges, "src", "dst", n_iter=4).collect()
+    )
+    pr_rel = sorted(
+        (r["node"], r["rank_nano"])
+        for r in pagerank(
+            edges, "src", "dst", n_iter=4, checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert pr_local == pr_rel
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pca_local = sorted(
+        (r["pos"], r["pc1"], r["eigval"])
+        for r in embedding_pca(emb, dim=8, n_iter=4).collect()
+    )
+    pca_rel = sorted(
+        (r["pos"], r["pc1"], r["eigval"])
+        for r in embedding_pca(
+            emb, dim=8, n_iter=4, checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert pca_local == pca_rel
+
+    km_local = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_r"])
+        for r in kmeans_assign(emb, "vec_id", "embedding", k=3, iters=3).collect()
+    )
+    km_rel = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_r"])
+        for r in kmeans_assign(
+            emb, "vec_id", "embedding", k=3, iters=3, checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert km_local == km_rel
+
+    # the reliable blocks actually landed in the requested directory
+    import os
+
+    assert any(os.scandir(ckpt))
+
+
+def test_reliable_checkpoint_v4_stages_identical(spark, tmp_path):
+    """The multi-consumer v4 stage frames give the same funnel counts
+    through the reliable-checkpoint path."""
+    from kafka_denormalization_spark.queries import _corpus_v4_mixed
+
+    sf = "/root/testdata/sf0.001"
+    _, stages_local = _corpus_v4_mixed(spark, sf, return_stages=True)
+    counts_local = {k: df.count() for k, df in stages_local.items()}
+    _, stages_rel = _corpus_v4_mixed(
+        spark, sf, return_stages=True,
+        checkpoint_dir=str(tmp_path / "ckpt_v4"),
+    )
+    counts_rel = {k: df.count() for k, df in stages_rel.items()}
+    assert counts_local == counts_rel
