@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     # round-10 operators (this session)
     "substring_dedup",
     "paired_dedup",
+    "conv_turn_dedup",
+    "conv_pii_scrub",
+    "conv_pair_contamination",
 ]
 
 

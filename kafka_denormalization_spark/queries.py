@@ -309,14 +309,16 @@ _GRAMS2_SQL = (
 ).format(t=_TOKS_SQL)
 
 
-def _pii_chain_sql(col: str) -> str:
+def _pii_chain_sql(
+    col: str, patterns: list[tuple[str, str]] | None = None
+) -> str:
     """Nested DuckDB regexp_replace chain generated from the SAME pattern
     list the Spark side applies (functions/text.py PII_PATTERNS) — one
     source of truth, so the two engines cannot drift. Single quotes in a
     pattern/replacement are doubled so the generated literal stays a valid
     (and non-injectable) DuckDB string."""
     expr = col
-    for pat, repl in text_fns.PII_PATTERNS:
+    for pat, repl in patterns if patterns is not None else text_fns.PII_PATTERNS:
         pat_lit = pat.replace("'", "''")
         repl_lit = repl.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_lit}', '{repl_lit}', 'g')"
@@ -1016,6 +1018,119 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return exact_substr_dedup(docs, "doc_id", "text", window_tokens=16)
+
+
+# ---------------------------------------------------------------------------
+# conversation / SFT-data curation (functions/conversations.py)
+# ---------------------------------------------------------------------------
+
+CONV_TURN_TOKENS = 12
+CONV_PROMPT_TOKENS = 8
+
+
+def _conversation_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic conversation fixture in the turns normal form:
+    each document becomes one conversation whose turns are its
+    12-token chunks (chunk_documents), roles alternating
+    user/assistant from the first chunk. Repeated 12-token chunks
+    across documents (the testdata's planted boilerplate spans) become
+    repeated turns — the canned-response shape turn_dedup audits.
+    Every 7th conversation gets a deterministic PII suffix (an email +
+    a phone run) on its first two turns, so the role-aware scrub is
+    observable in the oracle (documents.parquet itself carries no PII
+    shapes — pii_scrub's `changed` column is all-false on testdata)."""
+    from kafka_denormalization_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=CONV_TURN_TOKENS
+    )
+    base = chunks.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("chunk_id").cast("long").alias("turn_idx"),
+        F.when(F.col("chunk_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("chunk_text").alias("content"),
+    )
+    pii_suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("conv_id").cast("string"),
+        F.lit("@example.com or +1 555-123-"),
+        (F.lit(1000) + F.col("conv_id") % 9000).cast("string"),
+    )
+    return base.withColumn(
+        "content",
+        F.when(
+            (F.col("conv_id") % 7 == 0) & (F.col("turn_idx") < 2),
+            F.concat(F.col("content"), pii_suffix),
+        ).otherwise(F.col("content")),
+    )
+
+
+def q_conv_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation turn-level dedup audit (functions/
+    conversations.py turn_dedup): every (role, content) turn survives
+    as original only at its globally-first (conv_id, turn_idx); later
+    copies are flagged with a pointer to the original — the
+    canned-assistant-response audit, span_dedup's convention at turn
+    granularity."""
+    from kafka_denormalization_spark.functions.conversations import (
+        turn_dedup,
+    )
+
+    return turn_dedup(_conversation_turns(spark, sf_dir))
+
+
+def q_conv_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-aware PII redaction over conversation turns (functions/
+    conversations.py role_scrub_pii): user turns get the full
+    emails/IPv4/phone chain, assistant turns emails only, other roles
+    pass through — the pattern lists are the Java/RE2 shared subset so
+    the oracle replays them verbatim."""
+    from kafka_denormalization_spark.functions.conversations import (
+        role_scrub_pii,
+    )
+
+    return role_scrub_pii(_conversation_turns(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "content_scrubbed", "changed"
+    )
+
+
+def q_conv_pair_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-response pair decontamination (functions/
+    conversations.py instruction_response_pairs +
+    pair_ngram_contamination): SFT pairs are user turns immediately
+    followed by an assistant turn; a pair is contaminated iff its
+    INSTRUCTION shares an 8-token gram with any eval prompt. Eval
+    prompts follow the semantic_contamination holdout convention —
+    every doc_id % 20 == 0 document contributes its first 8 tokens (so
+    those docs' own conversations are planted positives and cross-doc
+    prefix overlaps are organic ones)."""
+    from kafka_denormalization_spark.functions.conversations import (
+        instruction_response_pairs,
+        pair_ngram_contamination,
+    )
+    from kafka_denormalization_spark.functions.text import tokens as _toks
+
+    turns = _conversation_turns(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    t = _toks(F.col("text"))
+    prompts = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(
+            F.size(t) >= CONV_PROMPT_TOKENS,
+            F.concat_ws(
+                " ", F.slice(t, 1, CONV_PROMPT_TOKENS)
+            ),
+        ).alias("prompt"),
+    ).filter(F.col("prompt").isNotNull())
+    pairs = instruction_response_pairs(turns)
+    return pair_ngram_contamination(
+        pairs, prompts, "eval_id", "prompt", n=CONV_PROMPT_TOKENS
+    ).select("conv_id", "turn_idx", "n_eval_hits", "contaminated")
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4212,6 +4327,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_sequence_packing": q_bpe_sequence_packing,
     "span_dedup": q_span_dedup,
     "substring_dedup": q_substring_dedup,
+    "conv_turn_dedup": q_conv_turn_dedup,
+    "conv_pii_scrub": q_conv_pii_scrub,
+    "conv_pair_contamination": q_conv_pair_contamination,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "lm_perplexity": q_lm_perplexity,
@@ -4462,6 +4580,36 @@ def _span_ctes_sql(src: str = "documents") -> str:
 
 
 _SPAN_CTES_SQL = _span_ctes_sql()
+
+# conversation fixture: 12-token chunks as turns, roles alternating —
+# the same list_slice chunking as _span_ctes_sql at CONV_TURN_TOKENS;
+# every 7th conversation's first two turns carry the deterministic PII
+# suffix (see _conversation_turns)
+_CONV_TURNS_SQL = f"""cvt AS (
+      SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+    ),
+    cturns0 AS (
+      SELECT doc_id AS conv_id, CAST(chunk_id AS BIGINT) AS turn_idx,
+             CASE WHEN chunk_id % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             array_to_string(
+               list_slice(w, chunk_id * 12 + 1, chunk_id * 12 + 12), ' '
+             ) AS content
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(greatest(1, (len(w) + 11) // 12))) AS chunk_id
+        FROM cvt
+      )
+    ),
+    cturns AS (
+      SELECT conv_id, turn_idx, role,
+             CASE WHEN conv_id % 7 = 0 AND turn_idx < 2
+               THEN content || ' contact user' || CAST(conv_id AS VARCHAR)
+                    || '@example.com or +1 555-123-'
+                    || CAST(1000 + conv_id % 9000 AS VARCHAR)
+               ELSE content END AS content
+      FROM cturns0
+    )"""
 
 
 def _nb_ctes_sql(src: str) -> str:
@@ -6020,6 +6168,84 @@ ORACLE_SQL: dict[str, str] = {
     "span_dedup": f"""
     WITH {_SPAN_CTES_SQL}
     SELECT doc_id, text_dedup, n_chunks, n_dropped FROM spanout
+    """,
+    # conversation fixture replay: 12-token chunks, alternating roles —
+    # textually the same slicing as the span_dedup chunk CTEs
+    "conv_turn_dedup": f"""
+    WITH {_CONV_TURNS_SQL},
+    cfirst AS (
+      SELECT conv_id, turn_idx, role, content,
+             first_value(conv_id) OVER wd AS src_conv,
+             first_value(turn_idx) OVER wd AS src_turn
+      FROM cturns
+      WINDOW wd AS (PARTITION BY md5(role || '|' || content)
+                    ORDER BY conv_id, turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT conv_id, turn_idx, role, content,
+           (conv_id <> src_conv OR turn_idx <> src_turn) AS is_dup,
+           src_conv, src_turn
+    FROM cfirst
+    """,
+    "conv_pii_scrub": f"""
+    WITH {_CONV_TURNS_SQL}
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'user' THEN {_pii_chain_sql("content")}
+                WHEN role = 'assistant'
+                  THEN {_pii_chain_sql("content", text_fns.PII_PATTERNS[:1])}
+                ELSE content END AS content_scrubbed,
+           (CASE WHEN role = 'user' THEN {_pii_chain_sql("content")}
+                 WHEN role = 'assistant'
+                   THEN {_pii_chain_sql("content", text_fns.PII_PATTERNS[:1])}
+                 ELSE content END) <> content AS changed
+    FROM cturns
+    """,
+    "conv_pair_contamination": f"""
+    WITH {_CONV_TURNS_SQL},
+    cpairs AS (
+      SELECT u.conv_id, u.turn_idx, u.content AS instruction
+      FROM cturns u JOIN cturns a
+        ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+      WHERE u.role = 'user' AND a.role = 'assistant'
+    ),
+    cprompts AS (
+      SELECT doc_id AS eval_id,
+             array_to_string(list_slice({_TOKS_SQL}, 1, 8), ' ') AS prompt
+      FROM documents
+      WHERE doc_id % 20 = 0 AND len({_TOKS_SQL}) >= 8
+    ),
+    cpg AS (
+      SELECT DISTINCT eval_id, g FROM (
+        SELECT eval_id,
+               unnest(list_transform(
+                 range(0, greatest(len(string_split(prompt, ' ')) - 7, 0)),
+                 i -> array_to_string(
+                        (string_split(prompt, ' '))[i+1:i+8], ' ')
+               )) AS g
+        FROM cprompts
+      )
+    ),
+    cig AS (
+      SELECT conv_id, turn_idx,
+             unnest(list_transform(
+               range(0, greatest(len(string_split_regex(trim(instruction),
+                                                        '\\s+')) - 7, 0)),
+               i -> array_to_string(
+                      (string_split_regex(trim(instruction),
+                                          '\\s+'))[i+1:i+8], ' ')
+             )) AS g
+      FROM cpairs
+    ),
+    chits AS (
+      SELECT conv_id, turn_idx,
+             CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hits
+      FROM cig JOIN cpg USING (g)
+      GROUP BY conv_id, turn_idx
+    )
+    SELECT p.conv_id, p.turn_idx,
+           coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+    FROM cpairs p LEFT JOIN chits h USING (conv_id, turn_idx)
     """,
     # rolling-window ExactSubstr replay: every 16-token window start,
     # first occurrence by (doc_id, start), token kept iff covered by a
