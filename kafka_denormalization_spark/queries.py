@@ -4414,46 +4414,44 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- r07 head: 50 never-driver-checked names (the whole backlog) ---
-    # Selection rule (computed from the union of CORRECTNESS_r01..r06):
-    # (a) every registry name absent from EVERY driver artifact — 40
-    # names spanning the post-r06 builder sessions plus this round's 14
-    # additions — leads, with the two the r6 VERDICT explicitly
-    # requested (gopher_repetition, shard_plan_bytes) first. Of the 54
-    # never-checked names, z_order_stats, audio_fingerprint,
-    # z_order_prune and embedding_covariance are dropped to fit 50
-    # (each is a strict sub-lineage or bounded consumer of a checked
-    # sibling — z_order_layout / audio_dedup / embedding_pca — and
-    # CORRECTNESS_FULL covers all four builder-side); the 26
-    # r04-stale names should lead the r08 head (near_dup_clusters,
-    # cosine_dedup, two_hop_denorm,
-    # sequence_packing, doc_chunks,
-    # embedding_centroid, lang_id, text_stats, multimodal_metadata,
-    # scd2_as_of, quality_filter, stratified_sample, range_join,
-    # rollup_timeseries, session_window, stats_agg, shipping_priority,
-    # local_supplier_volume, profile_orders, quality_checks,
-    # funnel_counts, rank_distribution, fuzzy_name_pairs,
-    # grouping_sets, set_ops, pivot_event_counts) are covered by the
-    # builder-side CORRECTNESS_FULL regeneration and should lead the
-    # r08 head.
-    # (a) never driver-checked (50 of 54)
-    "gopher_repetition", "shard_plan_bytes",
-    "cross_source_dups", "dedup_mixture_shift", "dedup_weights",
-    "soft_dedup_sample", "cluster_source_mix", "zipf_fit",
-    "zipf_fit_head", "contamination_scrub", "source_divergence",
-    "collocations", "copurchase_pagerank",
-    "quality_signals", "ngram_diversity", "source_overlap",
-    "unimax_mixture", "doremi_weights", "lm_burstiness", "unimax_shards",
-    "v4_attribution", "signal_filter", "cluster_size_histogram",
-    "line_dedup", "ccnet_buckets", "nb_quality", "shard_manifest",
-    "corpus_diff", "corpus_pipeline_v4", "token_fertility",
-    "prototype_prune", "icp_packing", "v4_funnel", "curriculum_shards",
-    "domain_profile", "domain_filtered_corpus", "url_dedup",
-    "domain_temperature_mix", "blocklist_filter", "epoch_shards",
-    "k_anonymity", "pareto_front", "z_order_layout",
-    "semantic_contamination", "mahalanobis_outliers",
-    "embedding_pca", "signal_correlations",
-    "audio_stats", "audio_dedup", "embedding_debias",
+    # --- r08 head ---
+    # Selection rule (VERDICT r07 next-round #1 + the standing
+    # changed-code bias):
+    # (a) the 26 names whose freshest DRIVER-side check was r04 (the
+    #     round-6/7 verdicts' outstanding evidence-hygiene debt) LEAD;
+    # (b) the 4 names never driver-checked (dropped from the r07 head
+    #     to fit 50);
+    # (c) the 5 queries added THIS round (substring_dedup,
+    #     paired_dedup, conv_*);
+    # (d) 15 names whose code paths changed this round: pareto_front
+    #     (NULL-criteria fix), z_order_layout (DECIMAL overflow fix),
+    #     semantic_contamination (empty-eval guard), audio_* (short-
+    #     blob gate), the LSH/phash family (auto hot-bucket cap
+    #     default), and the iterative ops threaded through the
+    #     reliable-checkpoint knob.
+    # After this head lands, no registry name's freshest driver check
+    # is older than r05.
+    # (a) r04-stale
+    "cosine_dedup", "doc_chunks", "embedding_centroid", "funnel_counts",
+    "fuzzy_name_pairs", "grouping_sets", "lang_id",
+    "local_supplier_volume", "multimodal_metadata", "near_dup_clusters",
+    "pivot_event_counts", "profile_orders", "quality_checks",
+    "quality_filter", "range_join", "rank_distribution",
+    "rollup_timeseries", "scd2_as_of", "sequence_packing",
+    "session_window", "set_ops", "shipping_priority", "stats_agg",
+    "stratified_sample", "text_stats", "two_hop_denorm",
+    # (b) never driver-checked
+    "z_order_stats", "embedding_covariance", "audio_fingerprint",
+    "z_order_prune",
+    # (c) new this round
+    "substring_dedup", "paired_dedup", "conv_turn_dedup",
+    "conv_pii_scrub", "conv_pair_contamination",
+    # (d) changed code paths this round
+    "pareto_front", "z_order_layout", "semantic_contamination",
+    "audio_dedup", "audio_stats", "minhash_lsh_dedup",
+    "near_dedup_docs", "image_phash_dedup", "copurchase_pagerank",
+    "embedding_pca", "embedding_debias", "kmeans_clusters",
+    "semantic_dedup", "v4_funnel", "span_dedup",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
