@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "substring_dedup",
     "paired_dedup",
     "conv_turn_dedup",
+    "conv_turn_near_dedup",
     "conv_pii_scrub",
     "conv_pair_contamination",
 ]

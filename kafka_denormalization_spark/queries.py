@@ -1133,6 +1133,37 @@ def q_conv_pair_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "n_eval_hits", "contaminated")
 
 
+def q_conv_turn_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level NEAR-dedup pairs (the fuzzy complement to
+    conv_turn_dedup's exact audit — reworded canned responses, template
+    greetings with a name slot): MinHash-LSH over turn content at 64
+    hashes x 32 bands + exact 3-gram Jaccard >= 0.5 (recall ~1 at the
+    threshold — the minhash_lsh_dedup adjudication). Turns are keyed by
+    conv_id * 4096 + turn_idx (turn counts are bounded by document
+    length / 12, far below 4096); the pair table reports both ends
+    decomposed. Oracle: brute-force all-pairs turn Jaccard."""
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    turns = _conversation_turns(spark, sf_dir)
+    keyed = turns.select(
+        (F.col("conv_id") * 4096 + F.col("turn_idx")).alias("uid"),
+        "content",
+    )
+    pairs = minhash_lsh_pairs(
+        keyed, "uid", "content", n=3, num_hashes=64, bands=32,
+        threshold=0.5, persist=False,
+    )
+    return pairs.select(
+        F.expr("id_a DIV 4096").alias("conv_a"),
+        (F.col("id_a") % 4096).cast("long").alias("turn_a"),
+        F.expr("id_b DIV 4096").alias("conv_b"),
+        (F.col("id_b") % 4096).cast("long").alias("turn_b"),
+        F.round("jaccard_sim", 9).alias("jaccard_r"),
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights (operators/sampling.py
     dsir_log_weights; Xie et al., NeurIPS 2023): hashed unigram+bigram
@@ -4328,6 +4359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "substring_dedup": q_substring_dedup,
     "conv_turn_dedup": q_conv_turn_dedup,
+    "conv_turn_near_dedup": q_conv_turn_near_dedup,
     "conv_pii_scrub": q_conv_pii_scrub,
     "conv_pair_contamination": q_conv_pair_contamination,
     "kmeans_clusters": q_kmeans_clusters,
@@ -6197,6 +6229,33 @@ ORACLE_SQL: dict[str, str] = {
                    THEN {_pii_chain_sql("content", text_fns.PII_PATTERNS[:1])}
                  ELSE content END) <> content AS changed
     FROM cturns
+    """,
+    # turn-level near-dedup: brute-force all-pairs 3-gram Jaccard over
+    # the turn fixture (LSH at 64x32 has recall ~1 at the 0.5
+    # threshold — the minhash_lsh_dedup adjudication)
+    "conv_turn_near_dedup": f"""
+    WITH {_CONV_TURNS_SQL},
+    tsh AS (
+      SELECT conv_id * 4096 + turn_idx AS uid, conv_id, turn_idx,
+             list_distinct(list_transform(
+               range(0, greatest(CAST(len(t) AS BIGINT) - 2, 0)),
+               i -> array_to_string((t)[i+1:i+3], ' '))) AS sh
+      FROM (SELECT conv_id, turn_idx,
+                   string_split_regex(trim(content), '\\s+') AS t
+            FROM cturns)
+    ),
+    tp AS (
+      SELECT a.conv_id AS conv_a, a.turn_idx AS turn_a,
+             b.conv_id AS conv_b, b.turn_idx AS turn_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                              AS DOUBLE)
+                  ELSE 0.0 END AS j
+      FROM tsh a JOIN tsh b ON a.uid < b.uid
+    )
+    SELECT conv_a, turn_a, conv_b, turn_b, round(j, 9) AS jaccard_r
+    FROM tp WHERE j >= 0.5
     """,
     "conv_pair_contamination": f"""
     WITH {_CONV_TURNS_SQL},

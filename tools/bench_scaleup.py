@@ -611,6 +611,113 @@ def _embedding_debias(emb):
     return embedding_debias(emb, n_iter=8)
 
 
+def _substring_dedup(docs):
+    from kafka_denormalization_spark.operators.chunking import (
+        exact_substr_dedup,
+    )
+
+    return exact_substr_dedup(docs, "doc_id", "text", window_tokens=16)
+
+
+def _paired_dedup(docs):
+    """The q_paired_dedup fixture with image-group count scaling with N
+    (constant group size, the image_phash_dedup convention); captions
+    are salted so cross-replica caption cliques don't go quadratic —
+    the within-replica organic near-dup mass scales linearly."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+        paired_near_dup_audit,
+    )
+    from kafka_denormalization_spark.queries import (
+        PHASH_H,
+        PHASH_W,
+        _paired_pixels,
+    )
+
+    spark = docs.sparkSession
+    groups = 37 * int(spark.conf.get("bench.scaleup.n_rep", "1"))
+    seeded = docs.select(
+        "doc_id",
+        "text",
+        (
+            F.conv(
+                F.substring(F.md5(F.substring("text", 1, 64)), 1, 8), 16, 10
+            ).cast("long")
+            % groups
+        ).alias("_s"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_image_blob(
+                        PHASH_W, PHASH_H,
+                        _paired_pixels(int(s), int(d) % 5 == 0),
+                    ),
+                    t,
+                )
+                for d, s, t in zip(pdf["doc_id"], pdf["_s"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob", "caption"])
+
+    paired = seeded.mapInPandas(encode, "id long, blob binary, caption string")
+    return paired_near_dup_audit(
+        paired, "id", "blob", "caption",
+        threshold=0.5, num_hashes=64, bands=32,
+    )
+
+
+def _conv_turns_from(docs):
+    from kafka_denormalization_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=12)
+    return chunks.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("chunk_id").cast("long").alias("turn_idx"),
+        F.when(F.col("chunk_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("chunk_text").alias("content"),
+    )
+
+
+def _conv_turn_dedup(docs):
+    from kafka_denormalization_spark.functions.conversations import (
+        turn_dedup,
+    )
+
+    return turn_dedup(_conv_turns_from(docs))
+
+
+def _conv_pair_contamination(docs):
+    """Eval side pinned to the base slice (benchmarks don't grow with
+    the corpus — the semantic_contamination convention); only the
+    instruction-side gram explode scales."""
+    from kafka_denormalization_spark.functions.conversations import (
+        instruction_response_pairs,
+        pair_ngram_contamination,
+    )
+    from kafka_denormalization_spark.functions.text import tokens as _toks
+
+    spark = docs.sparkSession
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = _toks(F.col("text"))
+    prompts = base.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(F.size(t) >= 8, F.concat_ws(" ", F.slice(t, 1, 8))).alias(
+            "prompt"
+        ),
+    ).filter(F.col("prompt").isNotNull())
+    pairs = instruction_response_pairs(_conv_turns_from(docs))
+    return pair_ngram_contamination(pairs, prompts, "eval_id", "prompt", n=8)
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -677,6 +784,15 @@ OPS = {
     # salted: disjoint replica vocab -> distinct bigrams grow with N
     "collocations": ("documents", "doc_id", _collocations, True),
     "pagerank": ("documents", "doc_id", _pagerank_xor, False),
+    # unsalted: "more copies at scale" is the realistic shape — the
+    # first-occurrence groupBy absorbs hot digests map-side
+    "substring_dedup": ("documents", "doc_id", _substring_dedup, False),
+    # salted captions (see builder): organic pair mass scales linearly
+    "paired_dedup": ("documents", "doc_id", _paired_dedup, True),
+    "conv_turn_dedup": ("documents", "doc_id", _conv_turn_dedup, False),
+    "conv_pair_contamination": (
+        "documents", "doc_id", _conv_pair_contamination, False,
+    ),
 }
 
 
