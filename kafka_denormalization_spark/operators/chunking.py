@@ -120,11 +120,34 @@ def exact_substr_dedup(
     if window_tokens < 2:
         raise ValueError("window_tokens must be >= 2")
     w_ = int(window_tokens)
+    base, digested = substr_window_digests(docs, id_col, text_col, w_)
+    # globally-first occurrence per window text: one partial-agg groupBy
+    first = digested.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("_s").alias("s"))
+        ).alias("_k")
+    )
+    kept_wins = first.select(
+        F.col("_k.i").alias(id_col),
+        F.col("_k.s").alias("_s"),
+        (F.col("_k.s") + F.lit(w_ - 1)).alias("_e"),
+    )
+    return assemble_from_kept_windows(base, kept_wins, id_col, w_)
+
+
+def substr_window_digests(
+    docs: DataFrame, id_col: str, text_col: str, window_tokens: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the rolling-window substring dedup: returns
+    (base, digested) where base = (id, _w tokens, _n) and digested =
+    (id, _s start, _h window md5) — one row per window start for docs
+    long enough to carry one. Used by the batch operator and the
+    streaming twin (streaming/ingest_dedup.IngestSubstrDedup)."""
+    w_ = int(window_tokens)
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col), toks.alias("_w"), F.size(toks).alias("_n")
     )
-    # every window start for docs long enough to carry one
     wins = base.filter(F.col("_n") >= w_).select(
         id_col,
         "_w",
@@ -137,17 +160,17 @@ def exact_substr_dedup(
             "_h"
         ),
     )
-    # globally-first occurrence per window text: one partial-agg groupBy
-    first = digested.groupBy("_h").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("i"), F.col("_s").alias("s"))
-        ).alias("_k")
-    )
-    kept_wins = first.select(
-        F.col("_k.i").alias(id_col),
-        F.col("_k.s").alias("_s"),
-        (F.col("_k.s") + F.lit(w_ - 1)).alias("_e"),
-    )
+    return base, digested
+
+
+def assemble_from_kept_windows(
+    base: DataFrame, kept_wins: DataFrame, id_col: str, w_: int
+) -> DataFrame:
+    """Shared back half of the rolling-window substring dedup: merge a
+    doc's kept windows (id, _s, _e) into coverage intervals, explode the
+    covered positions (bounded by the kept span), rebuild each doc from
+    its surviving tokens; short docs (no windows) pass through intact.
+    Output: (id_col, text_dedup, n_tokens, n_kept)."""
     # merge kept windows into coverage intervals: a window starts a new
     # interval when it begins past the running max end of everything
     # before it (positions inclusive, so contiguous means start <= end+1)

@@ -336,25 +336,27 @@ def z_order_plan(
 
     Mechanism: each dimension is normalized to ``[0, 2^bits)`` by EXACT
     integer arithmetic — ``((x - min) * (2^bits - 1)) DIV (max - min)``
-    with the product carried in DECIMAL(38,0) (never float division:
-    exact for FULL 64-bit spans; a BIGINT product would silently wrap
-    once the span exceeds 2^63/(2^bits - 1) ≈ 2^47 — e.g. any
-    epoch-microsecond dimension spanning more than ~4.5 years — and a
-    double wobbles in the low bit beyond 2^53) — then
+    in LONG when the span allows, escalating to DECIMAL(38,0) for
+    spans beyond 2^63/(2^bits - 1) ≈ 2^47 where a BIGINT product would
+    silently wrap (e.g. any epoch-microsecond dimension spanning more
+    than ~4.5 years; never float division — a double wobbles in the
+    low bit beyond 2^53); exact for the FULL 64-bit domain — then
     Morton-interleaved into a z-value; rows are globally ranked by
     ``(z, id)`` and dealt into contiguous ``rows_per_shard`` chunks.
     Contiguous-in-z chunks are the point: each shard covers a small
     hyper-rectangle of (dim_a, dim_b), so its min/max envelope is tight
     on both dimensions (``z_order_stats`` measures exactly that).
 
-    Scale (100 TB): the dimension min/max is a 1-row aggregate
-    broadcast (documented BNLJ class). The global rank reuses the
-    shard_plan_bytes / curriculum_shards no-global-window
-    decomposition: rows are banded by the TOP ``band_bits`` bits of z
-    (<= 2^band_bits bands — the one unpartitioned window runs on that
-    bounded band-count table), offset by the band prefix sum, and
-    row_number'd within their band only. One aggregation + one
-    partitioned window + two broadcast joins; no global sort.
+    Scale (100 TB): the dimension min/max is ONE bounded aggregate
+    collected to the driver and inlined as literals (the normalization
+    is then a pure codegen expression — no bounds join at all). The
+    global rank reuses the shard_plan_bytes / curriculum_shards
+    no-global-window decomposition: rows are banded by the TOP
+    ``band_bits`` bits of z (<= 2^band_bits bands — the one
+    unpartitioned window runs on that bounded band-count table),
+    offset by the band prefix sum, and row_number'd within their band
+    only. One aggregation + one partitioned window + one broadcast
+    join; no global sort.
 
     Output: all input columns + (z, shard_id, pos) — a pure function of
     the (dim_a, dim_b, id) multiset, identical on any partitioning or
@@ -364,42 +366,64 @@ def z_order_plan(
         raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
     if not 1 <= band_bits <= 2 * bits:
         raise ValueError(f"band_bits must be in [1, {2 * bits}]")
-    # 1-row bounds + the <=2^band_bits offsets table below are eagerly
-    # checkpointed: both are re-referenced by corpus-sized consumers,
-    # and without a LogicalRDD leaf every consumer replays the full
-    # scan lineage (plan-audited: 8 scans -> 3 passes — bounds, band
-    # counts, rank; the first two are inherent to the exact layout)
-    bounds = df.agg(
+    # The 1-row dimension bounds are COLLECTED to the driver (one
+    # bounded aggregate job — the eager work the old localCheckpoint
+    # paid anyway) and inlined as literals: the normalization becomes a
+    # pure codegen expression (no bounds crossJoin), and the driver can
+    # pick the arithmetic per dimension:
+    #   - span * (2^bits - 1) fits int64 (span <= ~2^47): exact LONG
+    #     arithmetic, whole-stage codegen — every realistic dimension;
+    #   - wider spans (e.g. epoch-microsecond ranges over >4.5 years,
+    #     up to the full 2^64 - 1 signed-64-bit domain): exact
+    #     DECIMAL(38,0) arithmetic — a BIGINT product would wrap
+    #     silently under non-ANSI Spark while the DuckDB oracle errors
+    #     (ADVICE r07 #1). Spark's `div` (IntegralDivide) returns the
+    #     exact BIGINT quotient (<= 2^bits - 1) for both types.
+    # The measured cost of running DECIMAL unconditionally was ~3x on
+    # the whole layout query (BENCH r08 A/B), hence the driver-side
+    # dispatch.
+    row = df.agg(
         F.min(F.col(dim_a).cast("long")).alias("_amn"),
         F.max(F.col(dim_a).cast("long")).alias("_amx"),
         F.min(F.col(dim_b).cast("long")).alias("_bmn"),
         F.max(F.col(dim_b).cast("long")).alias("_bmx"),
-    ).localCheckpoint(eager=True)
-    # (x - min) and the span are carried in DECIMAL(38,0): exact for the
-    # full signed-64-bit domain (span can reach 2^64 - 1, the scaled
-    # product 65535x that — ~24 digits, well inside 38), where BIGINT
-    # arithmetic would wrap silently for spans above ~2^47 under
-    # non-ANSI Spark while the DuckDB oracle errors (ADVICE r07 #1).
-    # Spark's `div` (IntegralDivide) on decimals returns the exact
-    # BIGINT quotient, which here is <= 2^bits - 1.
-    top = F.lit((1 << bits) - 1).cast("decimal(38,0)")
-    dec = "decimal(38,0)"
-    with_b = df.crossJoin(F.broadcast(bounds)).select(
+    ).collect()[0]
+    top = (1 << bits) - 1
+    long_safe = (2**63 - 1) // top
+
+    def scaled(dim: str, mn, mx):
+        """(numerator column, divisor column) for ((x - mn) * top) and
+        the span, in the narrowest exact type; None for degenerate
+        (constant / empty) dimensions."""
+        if mn is None or mx is None or mx <= mn:
+            return None, None
+        span = int(mx) - int(mn)
+        if span <= long_safe:
+            num = (F.col(dim).cast("long") - F.lit(int(mn))) * F.lit(top)
+            den = F.lit(span)
+        else:
+            dec = "decimal(38,0)"
+            num = (
+                F.col(dim).cast(dec) - F.lit(int(mn)).cast(dec)
+            ) * F.lit(top).cast(dec)
+            den = F.expr(f"CAST('{span}' AS DECIMAL(38,0))")
+        return num, den
+
+    sa, wa = scaled(dim_a, row["_amn"], row["_amx"])
+    sb, wb = scaled(dim_b, row["_bmn"], row["_bmx"])
+    zero = F.lit(0).cast("long")
+    with_b = df.select(
         "*",
-        ((F.col(dim_a).cast(dec) - F.col("_amn").cast(dec)) * top).alias("_sa"),
-        (F.col("_amx").cast(dec) - F.col("_amn").cast(dec)).alias("_wa"),
-        ((F.col(dim_b).cast(dec) - F.col("_bmn").cast(dec)) * top).alias("_sb"),
-        (F.col("_bmx").cast(dec) - F.col("_bmn").cast(dec)).alias("_wb"),
+        (sa if sa is not None else zero).alias("_sa"),
+        (wa if wa is not None else F.lit(1)).alias("_wa"),
+        (sb if sb is not None else zero).alias("_sb"),
+        (wb if wb is not None else F.lit(1)).alias("_wb"),
     )
-    na = F.when(F.col("_wa") > 0, F.expr("_sa div _wa")).otherwise(
-        F.lit(0).cast("long")
-    )
-    nb = F.when(F.col("_wb") > 0, F.expr("_sb div _wb")).otherwise(
-        F.lit(0).cast("long")
-    )
+    na = F.expr("_sa div _wa") if sa is not None else zero
+    nb = F.expr("_sb div _wb") if sb is not None else zero
     zed = with_b.withColumn(
         "z", morton_interleave(na, nb, bits)
-    ).drop("_amn", "_amx", "_bmn", "_bmx", "_sa", "_wa", "_sb", "_wb")
+    ).drop("_sa", "_wa", "_sb", "_wb")
 
     band = F.shiftright(F.col("z"), 2 * bits - band_bits)
     banded = zed.withColumn("_band", band)
