@@ -3699,6 +3699,8 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1 at the 0.5 threshold — the minhash_lsh_dedup adjudication). The
     oracle replays the pixel/dHash arithmetic and the brute-force
     all-pairs Jaccard."""
+    import math
+
     import pandas as pd
 
     from kafka_denormalization_spark.functions.multimodal import (
@@ -3706,14 +3708,24 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired_near_dup_audit,
     )
 
-    docs = table(spark, sf_dir, "documents").select(
+    base = table(spark, sf_dir, "documents")
+    # image-group count scales with the corpus (constant ~13-doc group
+    # size — the image_phash_dedup scale-up convention): fixed groups
+    # would make every group a width-n/37 near-clique, and the audit's
+    # pair output (and its candidate-bounded Jaccard fill) would grow
+    # quadratically in corpus size; the count is a 1-row aggregate the
+    # oracle replays as a scalar subquery. 500 docs -> 37 groups, so
+    # sf0.01 results are unchanged.
+    n_docs = base.count()
+    groups = PHASH_GROUPS * max(1, math.ceil(n_docs / 500))
+    docs = base.select(
         "doc_id",
         F.col("text"),
         (
             F.conv(
                 F.substring(F.md5(F.substring("text", 1, 64)), 1, 8), 16, 10
             ).cast("long")
-            % PHASH_GROUPS
+            % groups
         ).alias("_s"),
     )
 
@@ -3733,7 +3745,20 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["id", "blob", "caption"])
 
-    paired = docs.mapInPandas(encode, "id long, blob binary, caption string")
+    from pyspark import StorageLevel
+
+    # persisted: the audit consumes the frame for blobs (dHash) AND for
+    # captions (the Jaccard fill) — mapInPandas cannot column-prune, so
+    # an unpersisted frame would regenerate every image for the
+    # caption-only pass (blobs are ~1.2 KB/doc; trivial to cache)
+    paired = docs.mapInPandas(
+        encode, "id long, blob binary, caption string"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # caption side: the session-memoized corpus LSH pair table (same
+    # ids, same 64x32 params, same 0.5 threshold — shared with
+    # minhash_lsh_dedup and the whole near-dup family) instead of a
+    # second signature pipeline; bench A/B: 19.9 s -> the image side +
+    # fills only
     return paired_near_dup_audit(
         paired,
         "id",
@@ -3743,6 +3768,7 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         num_hashes=64,
         bands=32,
+        caption_pairs=_lsh_pairs_shared(spark, sf_dir),
     ).select(
         F.col("id_a"), F.col("id_b"), "hamming", "jaccard_r", "dup_class"
     )
@@ -7523,12 +7549,16 @@ ORACLE_SQL: dict[str, str] = {
     # side is the brute-force all-pairs Jaccard; a pair reports iff
     # near-dup in at least one modality, classified by both metrics
     "paired_dedup": f"""
-    WITH pd AS (
+    WITH pdn AS (
+      SELECT CAST({PHASH_GROUPS} * ceil(count(*) / 500.0) AS BIGINT) AS pg
+      FROM documents
+    ),
+    pd AS (
       SELECT doc_id, text,
              CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 8)) AS BIGINT)
-               % {PHASH_GROUPS} AS s,
+               % pg AS s,
              (doc_id % 5 = 0) AS flip
-      FROM documents
+      FROM documents, pdn
     ),
     ppx AS (
       SELECT doc_id, i, j,
