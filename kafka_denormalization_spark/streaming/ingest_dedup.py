@@ -484,3 +484,119 @@ class IngestSpanDedup:
         return _compact_all(
             self.spark, [(self.state_dir, _STATE_SCHEMA, "bucket")]
         )
+
+
+class IngestSubstrDedup:
+    """Continuous-ingest rolling-window SUBSTRING dedup — the streaming
+    face of operators/chunking.py ``exact_substr_dedup`` (stride-1
+    ExactSubstr), completing the incremental family: exact
+    (:class:`IngestDedup`), chunk-span (:class:`IngestSpanDedup`), near
+    (:class:`IngestNearDedup`), and now arbitrary-offset substring.
+    Per micro-batch, every ``window_tokens``-token WINDOW whose text was
+    already emitted by an earlier batch — or whose within-batch first
+    occurrence is elsewhere (min (doc_id, start) wins, the batch
+    operator's rule) — is not a coverage witness; each document is
+    re-emitted rebuilt from the tokens its fresh windows cover. Short
+    documents pass through intact.
+
+    Union parity (pytest-pinned): with document ids increasing across
+    batches — the arrival-order contract every twin in this module
+    documents — the streamed union equals ``exact_substr_dedup`` over
+    the concatenated corpus: a window text's global winner is its first
+    batch's within-batch winner either way.
+
+    State: the emitted window-digest set, hash-bucketed parquet exactly
+    like :class:`IngestSpanDedup` (md5 window digests; window text
+    never enters state). Reads prune to the batch's buckets; appends
+    are set-idempotent under replay.
+
+    Output per batch: (id, text_dedup, n_tokens, n_kept) — the batch
+    operator's schema.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str,
+        text_col: str,
+        window_tokens: int = 16,
+        n_buckets: int = 32,
+    ) -> None:
+        if window_tokens < 2:
+            raise ValueError("window_tokens must be >= 2")
+        self.spark = spark
+        self.state_dir = os.path.join(state_dir, "substr_digests")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.window_tokens = int(window_tokens)
+        self.n_buckets = n_buckets
+
+    def _seen(self, prune: DataFrame) -> DataFrame:
+        try:
+            df = self.spark.read.schema(_STATE_SCHEMA).parquet(self.state_dir)
+        except AnalysisException:
+            return self.spark.createDataFrame([], _STATE_SCHEMA)
+        return df.join(
+            F.broadcast(prune.filter(F.col("bucket") >= 0)),
+            on="bucket",
+            how="left_semi",
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        from kafka_denormalization_spark.operators.chunking import (
+            assemble_from_kept_windows,
+            substr_window_digests,
+        )
+
+        id_col = self.id_col
+        w_ = self.window_tokens
+        base, digested = substr_window_digests(
+            batch_df, id_col, self.text_col, w_
+        )
+        # within-batch first occurrence (the batch operator's min rule)
+        first = digested.groupBy("_h").agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("_s").alias("s"))
+            ).alias("_k")
+        )
+        batch_first = first.select(
+            "_h",
+            F.col("_k.i").alias(id_col),
+            F.col("_k.s").alias("_s"),
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("_h")), F.lit(self.n_buckets)).cast("int"),
+        )
+        seen = self._seen(batch_first.select("bucket").distinct())
+        # pin the fresh winners BEFORE the state append: the append
+        # changes what _seen() returns, and an unpinned `fresh` re-read
+        # after the append would see its own digests as already-seen
+        fresh = batch_first.join(
+            seen.withColumnRenamed("key", "_h"), ["_h"], "left_anti"
+        ).localCheckpoint(eager=True)
+        (
+            fresh.select(F.col("_h").alias("key"), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self.state_dir)
+        )
+        kept_wins = fresh.select(
+            id_col, "_s", (F.col("_s") + F.lit(w_ - 1)).alias("_e")
+        )
+        return assemble_from_kept_windows(base, kept_wins, id_col, w_)
+
+    def foreach_batch(self, sink):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            sink(self.process_batch(batch_df, epoch_id), epoch_id)
+
+        return fn
+
+    def compact(self) -> dict[str, int]:
+        """Rewrite the digest state to one file per bucket (see
+        ``compact_state``)."""
+        return _compact_all(
+            self.spark, [(self.state_dir, _STATE_SCHEMA, "bucket")]
+        )

@@ -1142,6 +1142,69 @@ def test_ingest_span_dedup_across_batches(spark, tmp_path):
     assert out3[4]["text_dedup"] == "" and out3[4]["n_dropped"] == 2
 
 
+def test_ingest_substr_dedup_union_parity_and_restart(spark, tmp_path):
+    """Streaming rolling-window substring dedup: (a) the streamed union
+    over ordered batches equals exact_substr_dedup over the
+    concatenated corpus (the twin's documented contract); (b) a
+    chunk-misaligned duplicate run arriving in a LATER batch is
+    stripped (the fidelity IngestSpanDedup lacks); (c) restart via a
+    fresh instance keeps the window memory; (d) short docs pass
+    intact."""
+    from kafka_denormalization_spark.operators.chunking import (
+        exact_substr_dedup,
+    )
+    from kafka_denormalization_spark.streaming.ingest_dedup import (
+        IngestSubstrDedup,
+    )
+
+    run = " ".join(f"r{i}" for i in range(20))
+    batches = [
+        [(1, "u1 u2 " + run + " u3 u4 u5 u6 u7 u8"), (2, "x y")],
+        [(3, "v1 v2 v3 v4 v5 " + run + " v6 v7 v8")],
+        [(4, "w1 w2 w3 w4 w5 w6 w7 w8 fresh stuff here now")],
+    ]
+    dd = IngestSubstrDedup(
+        spark, str(tmp_path / "st"), "doc_id", "text", window_tokens=8
+    )
+    streamed = {}
+    for i, rows in enumerate(batches):
+        if i == 2:  # restart before the last batch: state must persist
+            dd = IngestSubstrDedup(
+                spark, str(tmp_path / "st"), "doc_id", "text",
+                window_tokens=8,
+            )
+        for r in dd.process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect():
+            streamed[r["doc_id"]] = (
+                r["text_dedup"], r["n_tokens"], r["n_kept"]
+            )
+
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_kept"])
+        for r in exact_substr_dedup(
+            union, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    assert streamed == batch
+    # the non-chunk-aligned duplicate actually got stripped mid-stream
+    assert "r7 r8 r9 r10 r11 r12" not in streamed[3][0]
+    assert streamed[3][2] < streamed[3][1]
+    assert streamed[2] == ("x y", 2, 2)  # short doc intact
+    # state compaction keeps the memory
+    dd.compact()
+    again = dd.process_batch(
+        spark.createDataFrame(
+            [(9, "u1 u2 " + run + " u3 u4 u5 u6 u7 u8")],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert again["text_dedup"] == "" and again["n_kept"] == 0
+
+
 def test_ingest_dedup_replayed_epoch_emits_once(spark, tmp_path):
     """The documented exactly-once story, proven: IngestDedup's state
     appends are set-idempotent (a replay cannot flip decisions), and the
