@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "paired_dedup",
     "conv_turn_dedup",
     "conv_turn_near_dedup",
+    "conv_stats",
     "conv_pii_scrub",
     "conv_pair_contamination",
 ]

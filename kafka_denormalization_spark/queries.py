@@ -1133,6 +1133,28 @@ def q_conv_pair_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "n_eval_hits", "contaminated")
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation shape report (the SFT-dataset health view:
+    truncated single-turn convs, role imbalance, assistant verbosity):
+    turn counts by role, char totals by role, and the full-turn count —
+    one partial-aggregated groupBy on conv_id, exact integer sums."""
+    turns = _conversation_turns(spark, sf_dir)
+    is_user = F.col("role") == "user"
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(is_user, 1).otherwise(0)).cast("long").alias("n_user"),
+        F.sum(F.when(~is_user, 1).otherwise(0))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.when(is_user, F.length("content")).otherwise(0))
+        .cast("long")
+        .alias("user_chars"),
+        F.sum(F.when(~is_user, F.length("content")).otherwise(0))
+        .cast("long")
+        .alias("assistant_chars"),
+    )
+
+
 def q_conv_turn_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-level NEAR-dedup pairs (the fuzzy complement to
     conv_turn_dedup's exact audit — reworded canned responses, template
@@ -4386,6 +4408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "conv_turn_dedup": q_conv_turn_dedup,
     "conv_turn_near_dedup": q_conv_turn_near_dedup,
+    "conv_stats": q_conv_stats,
     "conv_pii_scrub": q_conv_pii_scrub,
     "conv_pair_contamination": q_conv_pair_contamination,
     "kmeans_clusters": q_kmeans_clusters,
@@ -6255,6 +6278,20 @@ ORACLE_SQL: dict[str, str] = {
                    THEN {_pii_chain_sql("content", text_fns.PII_PATTERNS[:1])}
                  ELSE content END) <> content AS changed
     FROM cturns
+    """,
+    "conv_stats": f"""
+    WITH {_CONV_TURNS_SQL}
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user,
+           CAST(sum(CASE WHEN role <> 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assistant,
+           CAST(sum(CASE WHEN role = 'user' THEN length(content)
+                         ELSE 0 END) AS BIGINT) AS user_chars,
+           CAST(sum(CASE WHEN role <> 'user' THEN length(content)
+                         ELSE 0 END) AS BIGINT) AS assistant_chars
+    FROM cturns GROUP BY conv_id
     """,
     # turn-level near-dedup: brute-force all-pairs 3-gram Jaccard over
     # the turn fixture (LSH at 64x32 has recall ~1 at the 0.5

@@ -637,7 +637,12 @@ def _paired_dedup(docs):
     )
 
     spark = docs.sparkSession
-    groups = 37 * int(spark.conf.get("bench.scaleup.n_rep", "1"))
+    # the query's convention: 37 groups per 500 docs (constant ~13-doc
+    # group size). The base slice is sf0.1 = 5000 docs, so x1 = 370
+    # groups — a first cut at 37 * n_rep kept 135-doc groups and the
+    # pair output (and its Jaccard fill) carried a 10x constant,
+    # reading as 14.5x at x32 when the operator itself scales linearly
+    groups = 370 * int(spark.conf.get("bench.scaleup.n_rep", "1"))
     seeded = docs.select(
         "doc_id",
         "text",
