@@ -4502,8 +4502,12 @@ _DRIVER_HEAD = [
     #     round-6/7 verdicts' outstanding evidence-hygiene debt) LEAD;
     # (b) the 4 names never driver-checked (dropped from the r07 head
     #     to fit 50);
-    # (c) the 5 queries added THIS round (substring_dedup,
-    #     paired_dedup, conv_*);
+    # (c) the 7 queries added THIS round (substring_dedup,
+    #     paired_dedup, conv_* — conv_turn_near_dedup and conv_stats
+    #     sit in the (d) block's last slots, displacing two names whose
+    #     code-path change is inert by default: kmeans_clusters /
+    #     span_dedup only changed behind the checkpoint_dir knob and
+    #     the shared-half refactor, both union-green);
     # (d) 15 names whose code paths changed this round: pareto_front
     #     (NULL-criteria fix), z_order_layout (DECIMAL overflow fix),
     #     semantic_contamination (empty-eval guard), audio_* (short-
@@ -4531,8 +4535,8 @@ _DRIVER_HEAD = [
     "pareto_front", "z_order_layout", "semantic_contamination",
     "audio_dedup", "audio_stats", "minhash_lsh_dedup",
     "near_dedup_docs", "image_phash_dedup", "copurchase_pagerank",
-    "embedding_pca", "embedding_debias", "kmeans_clusters",
-    "semantic_dedup", "v4_funnel", "span_dedup",
+    "embedding_pca", "embedding_debias", "conv_turn_near_dedup",
+    "semantic_dedup", "v4_funnel", "conv_stats",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
