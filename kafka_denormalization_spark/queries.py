@@ -1173,9 +1173,14 @@ def q_conv_turn_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("conv_id") * 4096 + F.col("turn_idx")).alias("uid"),
         "content",
     )
+    # persist + eager_cleanup: the verify references the gram frame
+    # three times (persist=False re-tokenized the turn corpus thrice —
+    # 14.6 s on the bench line; eager_cleanup materializes the pairs
+    # then releases the gram/bucket caches, the _lsh_pairs_shared
+    # convention)
     pairs = minhash_lsh_pairs(
         keyed, "uid", "content", n=3, num_hashes=64, bands=32,
-        threshold=0.5, persist=False,
+        threshold=0.5, eager_cleanup=True,
     )
     return pairs.select(
         F.expr("id_a DIV 4096").alias("conv_a"),
