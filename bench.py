@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "conv_turn_dedup",
     "conv_turn_near_dedup",
     "conv_stats",
+    "conv_dedup",
+    "paired_retention",
     "conv_pii_scrub",
     "conv_pair_contamination",
 ]

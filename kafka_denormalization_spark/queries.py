@@ -1133,6 +1133,93 @@ def q_conv_pair_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "n_eval_hits", "contaminated")
 
 
+def q_paired_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over the cross-modal audit (the paired_dedup consumer):
+    only pairs near-dup in BOTH modalities merge — the safe joint rule
+    (image_only keeps distinct captions, caption_only keeps distinct
+    images) — and merging is cluster-correct: connected components over
+    the both-class pairs, min-id representative survives (the
+    cluster_dedup_docs composition). Output: one row per SURVIVING pair
+    id with the size of the family it represents (1 for untouched
+    ids). Oracle: recursive-CTE closure over the shared paired CTEs."""
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components,
+    )
+
+    audit = q_paired_dedup(spark, sf_dir)
+    both = audit.filter(F.col("dup_class") == "both").select("id_a", "id_b")
+    comps = connected_components(both, src="id_a", dst="id_b")
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged")
+    )
+    dominated = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("id")
+    )
+    all_ids = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return (
+        all_ids.join(dominated, "id", "left_anti")
+        .join(
+            sizes.withColumnRenamed("component", "id"), "id", "left"
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("n_merged"), F.lit(1)).cast("long").alias(
+                "n_merged"
+            ),
+        )
+    )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-LEVEL exact dedup audit (the whole-transcript
+    complement to turn_dedup): a conversation's identity is the md5 of
+    its turn digests concatenated in turn order (role participates via
+    the per-turn digest); later conversations with an identical turn
+    sequence are flagged with the first occurrence. One per-conv
+    aggregation (sorted-fold digest) + one digest groupBy — transcript
+    text never shuffles twice.
+
+    Fixture note: documents.parquet carries no EXACT full-text
+    duplicates (near-dups only), so every 50th conversation is cloned
+    under conv_id + 10^6 — deterministic planted positives the oracle
+    replays (the corpus_diff synthetic-mutation convention)."""
+    base = _conversation_turns(spark, sf_dir)
+    clones = base.filter(F.col("conv_id") % 50 == 3).withColumn(
+        "conv_id", F.col("conv_id") + F.lit(1_000_000)
+    )
+    turns = base.unionByName(clones)
+    sig = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("turn_idx").alias("t"),
+                                F.md5(
+                                    F.concat_ws("|", "role", "content")
+                                ).alias("d"),
+                            )
+                        )
+                    ),
+                    lambda st: st.getField("d"),
+                ),
+            )
+        ).alias("_h"),
+    )
+    first = sig.groupBy("_h").agg(F.min("conv_id").alias("src_conv"))
+    return sig.join(first, "_h").select(
+        "conv_id",
+        "n_turns",
+        (F.col("conv_id") != F.col("src_conv")).alias("is_dup"),
+        "src_conv",
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation shape report (the SFT-dataset health view:
     truncated single-turn convs, role imbalance, assistant verbosity):
@@ -4414,6 +4501,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_dedup": q_conv_turn_dedup,
     "conv_turn_near_dedup": q_conv_turn_near_dedup,
     "conv_stats": q_conv_stats,
+    "conv_dedup": q_conv_dedup,
+    "paired_retention": q_paired_retention,
     "conv_pii_scrub": q_conv_pii_scrub,
     "conv_pair_contamination": q_conv_pair_contamination,
     "kmeans_clusters": q_kmeans_clusters,
@@ -4668,6 +4757,80 @@ def _span_ctes_sql(src: str = "documents") -> str:
 
 
 _SPAN_CTES_SQL = _span_ctes_sql()
+
+# paired (image, caption) audit CTE chain — shared by the
+# paired_dedup and paired_retention oracles (pixel/dHash replay +
+# brute-force all-pairs Jaccard + the flagged pair union)
+_PAIRED_CTES_SQL = f"""pdn AS (
+      SELECT CAST({PHASH_GROUPS} * ceil(count(*) / 500.0) AS BIGINT) AS pg
+      FROM documents
+    ),
+    pd AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 8)) AS BIGINT)
+               % pg AS s,
+             (doc_id % 5 = 0) AS flip
+      FROM documents, pdn
+    ),
+    ppx AS (
+      SELECT doc_id, i, j,
+             CASE WHEN flip AND i = 0 AND j = 0
+               THEN ((s * 31 + i * (7 + s % 101) + j * (13 + s % 103))
+                     % 256 + 128) % 256
+               ELSE (s * 31 + i * (7 + s % 101) + j * (13 + s % 103)) % 256
+             END AS p
+      FROM pd, range(0, {PHASH_H}) t1(i), range(0, {PHASH_W}) t2(j)
+    ),
+    ppooled AS (
+      SELECT doc_id, i // 4 AS r, j // 4 AS c,
+             CAST(SUM(p) // 16 AS BIGINT) AS v
+      FROM ppx GROUP BY doc_id, i // 4, j // 4
+    ),
+    pbits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS k
+      FROM ppooled a JOIN ppooled b
+        ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8 AND a.v < b.v
+    ),
+    psig AS (
+      SELECT pd.doc_id,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 0 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b0,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 1 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b1,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 2 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b2,
+        CAST(coalesce(SUM(CASE WHEN k // 16 = 3 THEN 1 << (k % 16) END), 0)
+             AS BIGINT) AS b3
+      FROM pd LEFT JOIN pbits ON pd.doc_id = pbits.doc_id
+      GROUP BY pd.doc_id
+    ),
+    pham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS BIGINT) AS hamming
+      FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+    ),
+    pdsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    pjac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                              AS DOUBLE)
+                  ELSE 0.0 END AS j
+      FROM pdsh a JOIN pdsh b ON a.doc_id < b.doc_id
+    ),
+    ppairs AS (
+      SELECT h.id_a, h.id_b, h.hamming, round(j.j, 9) AS jaccard_r,
+             CASE WHEN h.hamming <= 3 AND round(j.j, 9) >= 0.5 THEN 'both'
+                  WHEN h.hamming <= 3 THEN 'image_only'
+                  ELSE 'caption_only' END AS dup_class
+      FROM pham h JOIN pjac j USING (id_a, id_b)
+      WHERE h.hamming <= 3 OR j.j >= 0.5
+    )"""
+
 
 # conversation fixture: 12-token chunks as turns, roles alternating —
 # the same list_slice chunking as _span_ctes_sql at CONV_TURN_TOKENS;
@@ -6288,6 +6451,48 @@ ORACLE_SQL: dict[str, str] = {
                  ELSE content END) <> content AS changed
     FROM cturns
     """,
+    "paired_retention": f"""
+    WITH RECURSIVE {_PAIRED_CTES_SQL},
+    bedges AS (
+      SELECT id_a AS u, id_b AS v FROM ppairs WHERE dup_class = 'both'
+      UNION ALL
+      SELECT id_b, id_a FROM ppairs WHERE dup_class = 'both'
+    ),
+    breach(node, r) AS (
+      SELECT u, u FROM bedges
+      UNION
+      SELECT e.u, breach.r FROM bedges e JOIN breach ON e.v = breach.node
+    ),
+    bcomp AS (SELECT node, min(r) AS component FROM breach GROUP BY node),
+    bsizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_merged
+      FROM bcomp GROUP BY component
+    )
+    SELECT d.doc_id AS id, coalesce(z.n_merged, 1) AS n_merged
+    FROM documents d
+    LEFT JOIN bcomp c ON d.doc_id = c.node AND c.node <> c.component
+    LEFT JOIN bsizes z ON d.doc_id = z.component
+    WHERE c.node IS NULL
+    """,
+    "conv_dedup": f"""
+    WITH {_CONV_TURNS_SQL},
+    callturns AS (
+      SELECT conv_id, turn_idx, role, content FROM cturns
+      UNION ALL
+      SELECT conv_id + 1000000, turn_idx, role, content
+      FROM cturns WHERE conv_id % 50 = 3
+    ),
+    csig AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             md5(string_agg(md5(role || '|' || content), '|'
+                            ORDER BY turn_idx)) AS h
+      FROM callturns GROUP BY conv_id
+    ),
+    cfirstc AS (SELECT h, min(conv_id) AS src_conv FROM csig GROUP BY h)
+    SELECT s.conv_id, s.n_turns,
+           (s.conv_id <> f.src_conv) AS is_dup, f.src_conv
+    FROM csig s JOIN cfirstc f USING (h)
+    """,
     "conv_stats": f"""
     WITH {_CONV_TURNS_SQL}
     SELECT conv_id,
@@ -7595,73 +7800,8 @@ ORACLE_SQL: dict[str, str] = {
     # side is the brute-force all-pairs Jaccard; a pair reports iff
     # near-dup in at least one modality, classified by both metrics
     "paired_dedup": f"""
-    WITH pdn AS (
-      SELECT CAST({PHASH_GROUPS} * ceil(count(*) / 500.0) AS BIGINT) AS pg
-      FROM documents
-    ),
-    pd AS (
-      SELECT doc_id, text,
-             CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 8)) AS BIGINT)
-               % pg AS s,
-             (doc_id % 5 = 0) AS flip
-      FROM documents, pdn
-    ),
-    ppx AS (
-      SELECT doc_id, i, j,
-             CASE WHEN flip AND i = 0 AND j = 0
-               THEN ((s * 31 + i * (7 + s % 101) + j * (13 + s % 103))
-                     % 256 + 128) % 256
-               ELSE (s * 31 + i * (7 + s % 101) + j * (13 + s % 103)) % 256
-             END AS p
-      FROM pd, range(0, {PHASH_H}) t1(i), range(0, {PHASH_W}) t2(j)
-    ),
-    ppooled AS (
-      SELECT doc_id, i // 4 AS r, j // 4 AS c,
-             CAST(SUM(p) // 16 AS BIGINT) AS v
-      FROM ppx GROUP BY doc_id, i // 4, j // 4
-    ),
-    pbits AS (
-      SELECT a.doc_id, a.r * 8 + a.c AS k
-      FROM ppooled a JOIN ppooled b
-        ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
-      WHERE a.c < 8 AND a.v < b.v
-    ),
-    psig AS (
-      SELECT pd.doc_id,
-        CAST(coalesce(SUM(CASE WHEN k // 16 = 0 THEN 1 << (k % 16) END), 0)
-             AS BIGINT) AS b0,
-        CAST(coalesce(SUM(CASE WHEN k // 16 = 1 THEN 1 << (k % 16) END), 0)
-             AS BIGINT) AS b1,
-        CAST(coalesce(SUM(CASE WHEN k // 16 = 2 THEN 1 << (k % 16) END), 0)
-             AS BIGINT) AS b2,
-        CAST(coalesce(SUM(CASE WHEN k // 16 = 3 THEN 1 << (k % 16) END), 0)
-             AS BIGINT) AS b3
-      FROM pd LEFT JOIN pbits ON pd.doc_id = pbits.doc_id
-      GROUP BY pd.doc_id
-    ),
-    pham AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-                AS BIGINT) AS hamming
-      FROM psig a JOIN psig b ON a.doc_id < b.doc_id
-    ),
-    pdsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
-    pjac AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
-                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-                              AS DOUBLE)
-                  ELSE 0.0 END AS j
-      FROM pdsh a JOIN pdsh b ON a.doc_id < b.doc_id
-    )
-    SELECT h.id_a, h.id_b, h.hamming, round(j.j, 9) AS jaccard_r,
-           CASE WHEN h.hamming <= 3 AND round(j.j, 9) >= 0.5 THEN 'both'
-                WHEN h.hamming <= 3 THEN 'image_only'
-                ELSE 'caption_only' END AS dup_class
-    FROM pham h JOIN pjac j USING (id_a, id_b)
-    WHERE h.hamming <= 3 OR j.j >= 0.5
+    WITH {_PAIRED_CTES_SQL}
+    SELECT id_a, id_b, hamming, jaccard_r, dup_class FROM ppairs
     """,
     "multimodal_metadata": """
     SELECT doc_id,
