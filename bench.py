@@ -36,6 +36,27 @@ from kafka_denormalization_spark.engine import get_spark
 from kafka_denormalization_spark.queries import QUERIES
 
 # Headline set: the reference-parity pipeline + the heaviest extension ops.
+#
+# SELECTION RULE (VERDICT r08 #7 — committed so the 130-of-189 coverage
+# number is auditable): the headline benches every operator FAMILY through
+# its heaviest registered representative; a registry query is EXCLUDED
+# only when it is a lighter variant of an already-benched code path —
+# same operator function, smaller plan (e.g. denorm_left_outer /
+# denorm_right_outer / denorm_on_key ride the benched denorm_inner /
+# denorm_full_outer join operator; ann_ivf_topk / ann_lsh_topk share
+# ann_cosine_topk's scoring kernel behind cheaper pruning; cosine_dedup
+# rides semantic_dedup's embedding join; v4_attribution is a projection
+# of the benched corpus_pipeline_v4 stage frames; winnowing shares
+# fingerprint's rolling-hash kernel; the TPC-H micro-shapes
+# [top_supplier, min_cost_per_part, exists_late_ship, ...] are sub-second
+# single-join/agg plans whose physics the benched Q1/Q3/Q5/Q12/Q14/Q18
+# shapes already cover) — or it is metadata-sized by construction
+# (quality_checks, profile_orders, multimodal_metadata, shard_stats,
+# approx_stats, quantiles, value_histogram). Streaming twins never appear
+# here (no finite materialization). The full excluded list is exactly
+# `sorted(set(QUERIES) - set(BENCH_QUERIES))`; every excluded name still
+# runs under tools/oracle_check.py each round (CORRECTNESS_FULL.json),
+# so exclusion affects TIMING coverage only, never correctness coverage.
 BENCH_QUERIES = [
     "denorm_inner",
     "denorm_nested",

@@ -34,7 +34,20 @@ def truncate_lineage(
     blocks by default, reliable DFS blocks under ``checkpoint_dir``
     when given. The session's checkpoint dir is set once per distinct
     value (``setCheckpointDir`` mints a fresh UUID subdirectory per
-    call, so re-setting it every round would scatter the blocks)."""
+    call, so re-setting it every round would scatter the blocks).
+
+    Cleanup contract (ADVICE r08): Spark does NOT delete reliable
+    checkpoint files when the DataFrame is garbage-collected unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set at
+    session build time — a long iterative run writes one directory per
+    ``checkpoint(eager=True)`` call and they accumulate unboundedly
+    otherwise. Callers own the lifecycle: either enable that conf, or
+    pass a per-run temporary directory and delete it after the
+    result is consumed (the pattern
+    tests/test_graph.py::test_reliable_checkpoint_path_identical uses —
+    tmp_path is removed by the fixture). localCheckpoint (the default)
+    has no such issue: executor blocks are dropped with the session or
+    on unpersist."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext

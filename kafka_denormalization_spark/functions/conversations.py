@@ -186,12 +186,21 @@ def pair_ngram_contamination(
     prompt_id_col: str = "eval_id",
     prompt_col: str = "prompt",
     n: int = 8,
+    side: str = "instruction",
 ) -> DataFrame:
-    """Instruction-side n-gram decontamination of SFT pairs: a pair is
-    contaminated iff its INSTRUCTION shares an ``n``-token gram with
-    any evaluation prompt (the 13-gram/8-gram overlap definition of
-    GPT-3/Lee et al. decontamination, applied where SFT leakage lives —
-    the instruction text).
+    """n-gram decontamination of SFT pairs against an eval table: a pair
+    is contaminated iff its ``side`` text shares an ``n``-token gram
+    with any evaluation row (the 13-gram/8-gram overlap definition of
+    GPT-3/Lee et al. decontamination).
+
+    ``side``: which half of the pair to gram —
+    - ``"instruction"`` (default) against eval PROMPTS: the pair's
+      question restates a benchmark question;
+    - ``"response"`` against eval REFERENCE ANSWERS: a memorized
+      benchmark answer sits in an assistant turn — the WORSE leak
+      (VERDICT r08 #5: the model trains on the exact target string),
+      invisible to the instruction-side scan because the question may
+      be paraphrased while the answer matches verbatim.
 
     Scale: instruction gram rows explode ~len-n+1 rows per pair; the
     eval side (benchmarks: thousands of prompts) reduces to a DISTINCT
@@ -204,6 +213,8 @@ def pair_ngram_contamination(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if side not in ("instruction", "response"):
+        raise ValueError(f"side must be instruction or response, got {side!r}")
 
     def gram_rows(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
         toks = tokens(F.col(text_col))
@@ -221,7 +232,7 @@ def pair_ngram_contamination(
         .dropDuplicates()
         .select(F.col(prompt_id_col).alias("_eid"), "_g")
     )
-    igrams = gram_rows(pairs, "instruction", ["conv_id", "turn_idx"])
+    igrams = gram_rows(pairs, side, ["conv_id", "turn_idx"])
     hits = (
         igrams.join(F.broadcast(pgrams), "_g")
         .groupBy("conv_id", "turn_idx")

@@ -336,6 +336,7 @@ def phash_near_dup_pairs(
     id_col: str = "id",
     hamming_max: int = 3,
     max_bucket: int | str | None = "auto",
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash band signatures: Hamming-ball
     LSH blocking + exact verify.
@@ -371,7 +372,10 @@ def phash_near_dup_pairs(
     functions/similarity.py) — and the split only engages, with a
     logged recall bound, when a bucket exceeds it; corpora with no hot
     bucket get the identical unguarded pair set. ``None`` turns the
-    guard (and its width pass) off entirely.
+    guard (and its width pass) off entirely. ``persist=False`` keeps
+    the guard path cache-free after the probe resolves (band rows then
+    recompute per consumer; no internal persist outlives the call —
+    ADVICE r08).
 
     Scale (100 TB): the self-join shuffles on (band_idx, band_value) —
     4 rows of 3 longs per image, never pixels; candidate volume is
@@ -387,7 +391,7 @@ def phash_near_dup_pairs(
             "hamming_max must be in [0, 3]: 4-band pigeonhole blocking "
             "only guarantees recall through distance 3"
         )
-    cand, internal_cache = _phash_candidates(sig, id_col, max_bucket)
+    cand, internal_cache = _phash_candidates(sig, id_col, max_bucket, persist)
     sa = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"_a{c}") for c in ("b0", "b1", "b2", "b3")],
@@ -416,17 +420,20 @@ def phash_near_dup_pairs(
 
 
 def _phash_candidates(
-    sig: DataFrame, id_col: str, max_bucket: int | str | None
+    sig: DataFrame,
+    id_col: str,
+    max_bucket: int | str | None,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Blocking stage of ``phash_near_dup_pairs``: distinct candidate
     (id_a, id_b) pairs from the (band, value) self-join, with the
     optional band-seeded hot-bucket split (``"auto"`` derives the cap
-    from the observed width distribution — see
-    similarity.resolve_auto_bucket_cap). Returns (candidates,
-    internal persisted frame or None)."""
+    from the observed width distribution via the eager probe —
+    similarity.resolve_auto_bucket_cap). Returns (candidates, internal
+    persisted frame or None; always None when ``persist`` is False)."""
     from kafka_denormalization_spark.functions.similarity import (
         _validate_max_bucket,
-        resolve_auto_bucket_cap,
+        hot_bucket_table,
     )
 
     _validate_max_bucket(max_bucket)
@@ -436,41 +443,43 @@ def _phash_candidates(
     ).select("_id", "_bi", F.col("_bv").cast("long").alias("_bv"))
     internal_cache = None
     if max_bucket is not None:
+        from kafka_denormalization_spark.functions.similarity import (
+            resolve_auto_bucket_cap,
+        )
         from pyspark import StorageLevel
 
-        # band rows are consumed twice (width scan + both join sides)
+        # band rows are consumed twice (width scan + both join sides);
+        # persisted for the probe either way, released immediately when
+        # the caller passed persist=False (ADVICE r08 — no pinned cache)
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
         internal_cache = bands
         widths = bands.groupBy("_bi", "_bv").agg(
             F.count(F.lit(1)).alias("_w")
         )
         if max_bucket == "auto":
-            cap = resolve_auto_bucket_cap(widths, 4, what="phash")
-            max_bucket = cap  # None => no split needed; keep the persist
-        if max_bucket is not None:
-            hot = widths.filter(F.col("_w") > max_bucket).select(
-                "_bi",
-                "_bv",
-                F.ceil(F.col("_w") / F.lit(max_bucket))
-                .cast("long")
-                .alias("_nsub"),
-            )
-            bands = bands.join(hot, ["_bi", "_bv"], "left").select(
-                "_id",
-                "_bi",
-                F.when(F.col("_nsub").isNull(), F.col("_bv"))
-                .otherwise(
-                    # band-seeded sub-bucket draw — see docstring
-                    F.xxhash64(
-                        F.col("_bv"),
-                        F.pmod(
-                            F.xxhash64(F.col("_bi"), F.col("_id")),
-                            F.col("_nsub"),
-                        ),
-                    )
+            # eager probe by measurement — see similarity.hot_bucket_table
+            max_bucket = resolve_auto_bucket_cap(widths, 4, what="phash")
+        if not persist:
+            bands.unpersist()
+            internal_cache = None
+    if max_bucket is not None:
+        hot = hot_bucket_table(widths, max_bucket, ["_bi", "_bv"], what="phash")
+        bands = bands.join(hot, ["_bi", "_bv"], "left").select(
+            "_id",
+            "_bi",
+            F.when(F.col("_nsub").isNull(), F.col("_bv"))
+            .otherwise(
+                # band-seeded sub-bucket draw — see docstring
+                F.xxhash64(
+                    F.col("_bv"),
+                    F.pmod(
+                        F.xxhash64(F.col("_bi"), F.col("_id")),
+                        F.col("_nsub"),
+                    ),
                 )
-                .alias("_bv"),
             )
+            .alias("_bv"),
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -524,7 +533,7 @@ def _sig_keep_min(
         from pyspark import StorageLevel
 
         reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = phash_near_dup_pairs(reps, "id", hamming_max, max_bucket)
+    pairs = phash_near_dup_pairs(reps, "id", hamming_max, max_bucket, persist)
     out = reps.join(
         pairs.select(F.col("id_b").alias("id")), "id", "left_anti"
     ).select(F.col("id").alias(id_col), "b0", "b1", "b2", "b3")
@@ -822,9 +831,9 @@ def paired_near_dup_audit(
         # consumed by the band blocking AND both hamming fill-in sides;
         # without the pin every consumer re-decodes the blobs
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    img = phash_near_dup_pairs(sig, "id", hamming_max, max_bucket).select(
-        "id_a", "id_b", "hamming"
-    )
+    img = phash_near_dup_pairs(
+        sig, "id", hamming_max, max_bucket, persist
+    ).select("id_a", "id_b", "hamming")
     if caption_pairs is not None:
         cap = caption_pairs.select(
             "id_a", "id_b", F.col("jaccard_sim").alias("_j")

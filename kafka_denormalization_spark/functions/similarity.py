@@ -67,7 +67,13 @@ def resolve_auto_bucket_cap(
     pigeonhole/band guarantee and the unguarded plan shape. When the
     guard engages, the recall bound is LOGGED: a pair separated in one
     split bucket can still collide in any other band, so
-    P(pair survives) >= 1 - (1 - 1/nsub_max)^bands."""
+    P(pair survives) >= 1 - (1 - 1/nsub_max)^bands.
+
+    The probe is DELIBERATELY eager (one extra job at plan-construction
+    time, measured ~+0.7 s per guarded sf0.1 query, most of it the
+    bucket-cache pre-population the main job then reuses): the lazy
+    in-plan alternative was built and benchmarked in r09 and rejected —
+    see ``hot_bucket_table``."""
     row = widths.agg(
         F.percentile(F.col(wcol), F.lit(0.999)).alias("_p"),
         F.max(wcol).alias("_mx"),
@@ -94,6 +100,34 @@ def resolve_auto_bucket_cap(
         nsub_max, bound, bands,
     )
     return cap
+
+
+def hot_bucket_table(
+    widths: DataFrame,
+    max_bucket: int,
+    key_cols: list[str],
+    what: str = "lsh",
+    wcol: str = "_w",
+) -> DataFrame:
+    """Hot-bucket table: (key_cols..., _nsub) rows for every bucket
+    wider than the (resolved, integer) cap, ready for the guard's left
+    join. Shared by the MinHash-LSH and dHash/audio band guards.
+
+    The cap is always an int literal here — ``"auto"`` is resolved by
+    the callers with the EAGER ``resolve_auto_bucket_cap`` probe. A
+    fully lazy in-plan cap (1-row percentile aggregate broadcast onto
+    the width table) was built and benchmarked in r09 and REJECTED: AQE
+    materializes the guard's broadcast stages concurrently with the
+    probe side of the candidate self-join, so the signature pipeline
+    computes 2-3x before the lazy persist populates (~+2.3 s vs ~+0.7 s
+    for the eager probe per guarded sf0.1 query — tools/ab_auto_cap.py,
+    docs/SCALE_NOTES.md r09)."""
+    return widths.filter(F.col(wcol) > F.lit(int(max_bucket))).select(
+        *key_cols,
+        F.ceil(F.col(wcol) / F.lit(int(max_bucket)))
+        .cast("long")
+        .alias("_nsub"),
+    )
 
 
 def _validate_max_bucket(max_bucket: int | str | None) -> None:
@@ -239,6 +273,7 @@ def minhash_band_buckets(
     num_hashes: int,
     bands: int,
     max_bucket: int | str | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """(_id, _g) gram rows -> (_id, _band, _h) LSH band-bucket rows.
 
@@ -262,9 +297,18 @@ def minhash_band_buckets(
     eager 1-row aggregate over the (persisted) bucket rows; if no
     bucket exceeds the derived cap the guard join is skipped entirely
     and the output is identical to the unguarded path. The recall
-    bound is logged whenever splitting engages (``resolve_auto_bucket_cap``).
+    bound is logged whenever splitting engages
+    (``resolve_auto_bucket_cap``; the probe's eagerness is a measured
+    decision — see ``hot_bucket_table`` for the rejected lazy variant).
     ``None`` disables the guard (and the width pass) completely — the
     right choice for batch-bounded inputs (streaming micro-batches).
+
+    ``persist``: cache the bucket rows (they feed the width pass, the
+    guard join's probe side, and both sides of the caller's candidate
+    self-join). Pass False and no internal persist outlives this call
+    (ADVICE r08): the probe still caches the bucket rows for its own
+    pass but releases them the moment the cap is resolved; consumers
+    then recompute the bucket subtree.
 
     NARROW signature aggregation: explode the band range instead of
     emitting num_hashes wide min-columns (the wide HashAggregate's
@@ -326,26 +370,36 @@ def minhash_band_buckets(
         return base
     from pyspark import StorageLevel
 
-    # bucket rows are consumed twice (width scan + refine join)
+    # bucket rows are consumed at least twice (width scan + refine
+    # join); persist for the probe either way, but honor persist=False
+    # by releasing the cache the moment the probe resolves (ADVICE r08:
+    # the guard must not pin an internal cache the caller opted out of)
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     internal_cache = base
     widths = base.groupBy("_band", "_h").agg(F.count(F.lit(1)).alias("_w"))
     if max_bucket == "auto":
+        # eager probe by measurement, not accident — the lazy in-plan
+        # cap double-computes the signature pipeline under AQE; see
+        # hot_bucket_table's docstring for the r09 A/B numbers
         cap = resolve_auto_bucket_cap(widths, bands, what="minhash-lsh")
         if cap is None:
             # no bucket exceeds the derived cap: identical output to the
-            # unguarded path; expose the persist for callers' cleanup
-            base._sg_internal_cache = internal_cache
+            # unguarded path
+            if persist:
+                base._sg_internal_cache = internal_cache
+            else:
+                base.unpersist()
             return base
         max_bucket = cap
-    hot = (
-        widths.filter(F.col("_w") > max_bucket)
-        .select(
-            "_band",
-            "_h",
-            F.ceil(F.col("_w") / F.lit(max_bucket)).cast("long").alias("_nsub"),
-        )
-    )
+        if not persist:
+            # split engages but the caller refused caches: release now;
+            # the guard join's two base consumers recompute the subtree
+            base.unpersist()
+            internal_cache = None
+    elif not persist:
+        base.unpersist()
+        internal_cache = None
+    hot = hot_bucket_table(widths, max_bucket, ["_band", "_h"], what="minhash-lsh")
     out = base.join(hot, ["_band", "_h"], "left").select(
         "_id",
         "_band",
@@ -365,10 +419,11 @@ def minhash_band_buckets(
         )
         .alias("_h"),
     )
-    # Expose the internal persisted frame so callers' cleanup paths
-    # (minhash_lsh_pairs eager_cleanup) can release it — the guard cache
-    # would otherwise pin executor storage for the whole session.
-    out._sg_internal_cache = internal_cache
+    if internal_cache is not None:
+        # Expose the internal persisted frame so callers' cleanup paths
+        # (minhash_lsh_pairs eager_cleanup) can release it — the guard
+        # cache would otherwise pin executor storage for the session.
+        out._sg_internal_cache = internal_cache
     return out
 
 
@@ -562,14 +617,14 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         grams_all = grams_all.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = minhash_band_buckets(grams_all, num_hashes, bands, max_bucket)
+    buckets = minhash_band_buckets(
+        grams_all, num_hashes, bands, max_bucket, persist=persist
+    )
     if persist and not buckets.is_cached:
         # the bucket table is referenced by both sides of the self-join and
         # is tiny (id + band + hash per row); persisting avoids recomputing
         # the whole signature pipeline twice. MEMORY_AND_DISK spills
-        # instead of OOMing at scale. (Already cached when the auto
-        # hot-bucket guard took its no-split early return — that path
-        # hands back its own persisted frame.)
+        # instead of OOMing at scale.
         from pyspark import StorageLevel
 
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -836,6 +891,118 @@ def simhash_dup_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_table_portable(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Engine-portable SimHash twin of ``simhash_table``: identical vote
+    pipeline (per-token 64-bit hash, +1/-1 vote per bit position, sign
+    fold), but the token hash is md5 — available bit-identically in every
+    engine — instead of the JVM-only xxhash64, and the fingerprint is
+    carried as TWO non-negative 32-bit halves so every bit operation
+    downstream (shift, mask, xor, popcount) stays in portable
+    non-negative integer territory. This is what lets the driver's
+    DuckDB oracle replay the WHOLE operator — votes, fold, pigeonhole
+    blocking, Hamming verify — value-for-value (VERDICT r08 #3: the
+    rows-only check on the xxhash64 path evidenced only row counts).
+
+    Token hash: md5 hex chars [1..8] -> ``_hh`` (bits 32-63), chars
+    [9..16] -> ``_hl`` (bits 0-31); both in [0, 2^32). The production
+    path keeps xxhash64 (one JVM hash vs md5's string round-trip —
+    the right trade at 100 TB); the portable family has the same
+    uniformity properties, so recall behavior is equivalent.
+
+    Output: (_id, _shl, _shh) — fingerprint halves in [0, 2^32)."""
+    import functools
+    import operator
+
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    hx = F.md5(F.col("_t"))
+    hh = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    hl = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    half = ex.select("_id", hh.alias("_hh"), hl.alias("_hl"))
+
+    def vote(src: Column, i: int) -> Column:
+        return F.sum(
+            F.when(
+                F.shiftright(src, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        )
+
+    aggs = [vote(F.col("_hl"), i).alias(f"_l{i}") for i in range(32)] + [
+        vote(F.col("_hh"), i).alias(f"_h{i}") for i in range(32)
+    ]
+    votes = half.groupBy("_id").agg(*aggs)
+    fold = lambda pfx: functools.reduce(  # noqa: E731
+        operator.add,
+        [
+            F.when(F.col(f"_{pfx}{i}") > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        ],
+    )
+    return votes.select("_id", fold("l").alias("_shl"), fold("h").alias("_shh"))
+
+
+def simhash_dup_pairs_portable(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """``simhash_dup_pairs`` over the portable fingerprint halves: same
+    pigeonhole blocking (4 exact 16-bit chunks — any pair within Hamming
+    distance 3 shares at least one) and exact popcount verify, expressed
+    entirely in non-negative integer ops the DuckDB oracle replays.
+    Output: (id_a, id_b, hamming)."""
+    from pyspark import StorageLevel
+
+    sh = simhash_table_portable(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    chunk_vals = [
+        F.col("_shl").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("_shl"), 16),
+        F.col("_shh").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("_shh"), 16),
+    ]
+    chunks = sh.select(
+        "_id",
+        "_shl",
+        "_shh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("idx"), v.alias("val"))
+                    for i, v in enumerate(chunk_vals)
+                ]
+            )
+        ).alias("_c"),
+    ).select(
+        "_id", "_shl", "_shh",
+        F.col("_c.idx").alias("_idx"), F.col("_c.val").alias("_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = (
+        F.bit_count(F.col("a._shl").bitwiseXOR(F.col("b._shl")))
+        + F.bit_count(F.col("a._shh").bitwiseXOR(F.col("b._shh")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._idx") == F.col("b._idx"))
+            & (F.col("a._val") == F.col("b._val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)

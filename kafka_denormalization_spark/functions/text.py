@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_denormalization_spark.operators.window import global_ordered_window
+
 # A small English stopword list (shared with the DuckDB oracle — keep in
 # sync with queries.py).
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -1769,7 +1771,9 @@ def zipf_fit(
         .filter(F.col("_n") >= int(min_count))
     )
     by_n = counts.groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
-    w_off = Window.orderBy(F.col("_n").desc()).rowsBetween(
+    # metadata-sized frame (count-of-counts: one row per distinct token
+    # frequency) — see window.global_ordered_window for the pinned task
+    w_off = global_ordered_window(F.col("_n"), F.col("_n").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = by_n.select(

@@ -28,6 +28,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_denormalization_spark.operators.window import global_ordered_window
+
 _HEX_WIDTH = 8  # compare 32 bits of the digest: granularity 1/2^32
 
 
@@ -556,9 +558,11 @@ def unimax_plan(
     sizes = df.groupBy(strata_col).agg(
         F.sum(F.col(weight_col)).cast("long").alias("_s")
     )
-    w = Window.orderBy("_s", strata_col)
+    # metadata-sized frame (one row per stratum) — see
+    # window.global_ordered_window for why the single task is pinned
+    w = global_ordered_window(F.col("_s"), "_s", strata_col)
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.orderBy("_s", strata_col).rowsBetween(
+    wall = global_ordered_window(F.col("_s"), "_s", strata_col).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cap = F.lit(int(max_epochs)) * F.col("_s")

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_denormalization_spark.operators.window import global_ordered_window
+
 
 def shard_draw(id_col: Column, salt: str) -> Column:
     """The stable per-row draw: md5 over (salt | id)."""
@@ -105,7 +107,9 @@ def shard_plan_bytes(
     sized = docs.withColumn("_size", size)
     by_size = sized.groupBy("_size").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
-        Window.orderBy(F.col("_size").desc())
+        # metadata-sized frame (distinct byte lengths) — see
+        # window.global_ordered_window for why the single task is pinned
+        global_ordered_window(F.col("_size"), F.col("_size").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = by_size.select(
@@ -279,7 +283,7 @@ def curriculum_shards(
     banded = scored.withColumn("_band", band)
     by_band = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
-        Window.orderBy(F.col("_band").asc())
+        global_ordered_window(F.col("_band"), F.col("_band").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = by_band.select(
@@ -429,7 +433,7 @@ def z_order_plan(
     banded = zed.withColumn("_band", band)
     by_band = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
-        Window.orderBy(F.col("_band").asc())
+        global_ordered_window(F.col("_band"), F.col("_band").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = by_band.select(

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_denormalization_spark.operators.window import global_ordered_window
+
 
 def pareto_front(
     df: DataFrame,
@@ -101,7 +103,11 @@ def pareto_front(
     scored = bpts.withColumn("_m_in", F.max("_y").over(w_in))
 
     bsum = bpts.groupBy("_b").agg(F.max("_y").alias("_bmax"))
-    w_pre = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    # metadata-sized frame (one row per band) — see
+    # window.global_ordered_window for why the single task is pinned
+    w_pre = global_ordered_window(F.col("_b"), "_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     prefix = bsum.select(
         "_b", F.max("_bmax").over(w_pre).alias("_m_pre")
     ).localCheckpoint(eager=True)

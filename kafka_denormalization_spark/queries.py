@@ -2461,10 +2461,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (pigeonhole-bucketed). Engine-specific hash —
-    rows-only driver check; recall covered by pytest."""
+    """SimHash near-dup pairs (pigeonhole-bucketed), portable-hash family
+    (functions/similarity.py simhash_dup_pairs_portable): md5 token hash
+    split into two 32-bit fingerprint halves so the DuckDB oracle replays
+    the ENTIRE operator — per-bit votes, sign fold, 16-bit-chunk
+    pigeonhole blocking, exact popcount verify — value-for-value
+    (hash-checked since r09; was rows-only on the JVM-only xxhash64
+    family, which remains the production hot path and keeps its pytest
+    recall coverage)."""
     docs = table(spark, sf_dir, "documents")
-    return sim_fns.simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return sim_fns.simhash_dup_pairs_portable(docs, "doc_id", "text", max_hamming=3)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3700,8 +3706,10 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode pipeline over deterministic fake image blobs
-    (codec stubbed — Spark plumbing real). Rows-only driver check; exact
-    decode values covered by pytest."""
+    (real-codec branch import-gated — Spark plumbing real). Hash-checked
+    since r09: the FAKB codec is integer-replayable, so the oracle
+    regenerates pixel means from (doc_id, n_chars) arithmetically
+    (VERDICT r08 #3; exact decode values also covered by pytest)."""
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
@@ -3955,6 +3963,64 @@ def q_denorm_on_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order.o_totalprice").alias("o_totalprice"),
         F.col("order.o_orderdate").alias("o_orderdate"),
     )
+
+
+def _simhash_oracle_sql() -> str:
+    """Full replay of functions/similarity.py simhash_dup_pairs_portable:
+    md5 token hash split into two 32-bit halves, 64 per-bit vote sums,
+    sign-fold into non-negative fingerprint halves, 16-bit-chunk
+    pigeonhole join, exact popcount verify. Every op is non-negative
+    integer arithmetic, so Spark and DuckDB agree bit-for-bit."""
+    votes = ",\n             ".join(
+        [
+            f"SUM(CASE WHEN (hl >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS l{i}"
+            for i in range(32)
+        ]
+        + [
+            f"SUM(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS h{i}"
+            for i in range(32)
+        ]
+    )
+    shl = " + ".join(
+        f"(CASE WHEN l{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    shh = " + ".join(
+        f"(CASE WHEN h{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH st AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hh,
+             CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS hl
+      FROM st
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM sh GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id,
+             CAST({shl} AS BIGINT) AS shl,
+             CAST({shh} AS BIGINT) AS shh
+      FROM votes
+    ), chunks AS (
+      SELECT doc_id, shl, shh, r.i AS idx,
+             CASE r.i WHEN 0 THEN shl & 65535 WHEN 1 THEN shl >> 16
+                      WHEN 2 THEN shh & 65535 ELSE shh >> 16 END AS val
+      FROM fp, range(0, 4) r(i)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.shl, b.shl))
+                + bit_count(xor(a.shh, b.shh)) AS BIGINT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.shl, b.shl)) + bit_count(xor(a.shh, b.shh)) <= 3
+    """
+
+
+_SIMHASH_ORACLE_SQL = _simhash_oracle_sql()
 
 
 _ON_KEY_ORACLE_SQL = """
@@ -4589,48 +4655,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- r08 head ---
-    # Selection rule (VERDICT r07 next-round #1 + the standing
-    # changed-code bias):
-    # (a) the 26 names whose freshest DRIVER-side check was r04 (the
-    #     round-6/7 verdicts' outstanding evidence-hygiene debt) LEAD;
-    # (b) the 4 names never driver-checked (dropped from the r07 head
-    #     to fit 50);
-    # (c) the 7 queries added THIS round (substring_dedup,
-    #     paired_dedup, conv_* — conv_turn_near_dedup and conv_stats
-    #     sit in the (d) block's last slots, displacing two names whose
-    #     code-path change is inert by default: kmeans_clusters /
-    #     span_dedup only changed behind the checkpoint_dir knob and
-    #     the shared-half refactor, both union-green);
-    # (d) 15 names whose code paths changed this round: pareto_front
-    #     (NULL-criteria fix), z_order_layout (DECIMAL overflow fix),
-    #     semantic_contamination (empty-eval guard), audio_* (short-
-    #     blob gate), the LSH/phash family (auto hot-bucket cap
-    #     default), and the iterative ops threaded through the
-    #     reliable-checkpoint knob.
+    # --- r09 head (VERDICT r08 next-round #2, exactly) ---
+    # Selection rule: the 50 stalest names by freshest-driver-check
+    # round, derived mechanically from the CORRECTNESS_r0*.json union:
+    # (a) the 2 names NEVER driver-checked (added late in r08, absent
+    #     from that round's head — the ADVICE r08 comment-drift item);
+    # (b) the 48 names whose freshest driver check is r05 (every other
+    #     registry name was driver-checked in r06-r08).
     # After this head lands, no registry name's freshest driver check
-    # is older than r05.
-    # (a) r04-stale
-    "cosine_dedup", "doc_chunks", "embedding_centroid", "funnel_counts",
-    "fuzzy_name_pairs", "grouping_sets", "lang_id",
-    "local_supplier_volume", "multimodal_metadata", "near_dup_clusters",
-    "pivot_event_counts", "profile_orders", "quality_checks",
-    "quality_filter", "range_join", "rank_distribution",
-    "rollup_timeseries", "scd2_as_of", "sequence_packing",
-    "session_window", "set_ops", "shipping_priority", "stats_agg",
-    "stratified_sample", "text_stats", "two_hop_denorm",
-    # (b) never driver-checked
-    "z_order_stats", "embedding_covariance", "audio_fingerprint",
-    "z_order_prune",
-    # (c) new this round
-    "substring_dedup", "paired_dedup", "conv_turn_dedup",
-    "conv_pii_scrub", "conv_pair_contamination",
-    # (d) changed code paths this round
-    "pareto_front", "z_order_layout", "semantic_contamination",
-    "audio_dedup", "audio_stats", "minhash_lsh_dedup",
-    "near_dedup_docs", "image_phash_dedup", "copurchase_pagerank",
-    "embedding_pca", "embedding_debias", "conv_turn_near_dedup",
-    "semantic_dedup", "v4_funnel", "conv_stats",
+    # is older than r06.
+    # (a) never driver-checked
+    "conv_dedup", "paired_retention",
+    # (b) r05-stale, alphabetical
+    "ann_int8_topk", "big_orders", "bm25_batch", "bm25_search",
+    "bpe_merges", "bpe_token_counts", "cluster_dedup_best",
+    "containment_dedup", "copurchase_degree", "corpus_pipeline_v2",
+    "corpus_pipeline_v3", "corpus_report", "corpus_to_shards",
+    "customer_distribution", "disjunctive_revenue", "dsir_sample",
+    "dsir_weights", "epoch_mixture", "exists_late_ship",
+    "forecast_revenue", "gram_novelty", "idle_rich_customers",
+    "incremental_dedup", "incremental_near_dedup", "kmeans_clusters",
+    "late_shipment_priority", "leakage_safe_split", "lm_perplexity",
+    "min_cost_per_part", "moving_average", "nation_year_revenue",
+    "oov_rate", "packing_stats", "percentile_profile", "pii_scrub",
+    "promo_revenue", "quantize_embeddings", "returned_items",
+    "rolling_zscore", "scd2_intervals", "shard_plan", "shard_stats",
+    "small_qty_revenue", "span_dedup", "temperature_sample",
+    "top_supplier", "user_journeys", "volume_shipping",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -4762,7 +4813,12 @@ _SPAN_CTES_SQL = _span_ctes_sql()
 # paired_dedup and paired_retention oracles (pixel/dHash replay +
 # brute-force all-pairs Jaccard + the flagged pair union)
 _PAIRED_CTES_SQL = f"""pdn AS (
-      SELECT CAST({PHASH_GROUPS} * ceil(count(*) / 500.0) AS BIGINT) AS pg
+      -- greatest(1, ...) mirrors the Spark side's max(1, ceil(n/500))
+      -- clamp (queries.py q_paired_dedup): on an empty documents table
+      -- the unclamped count would make pg = 0 and the % pg below divide
+      -- by zero, where Spark returns empty (ADVICE r08)
+      SELECT CAST({PHASH_GROUPS} * greatest(1, ceil(count(*) / 500.0))
+                  AS BIGINT) AS pg
       FROM documents
     ),
     pd AS (
@@ -7810,6 +7866,21 @@ ORACLE_SQL: dict[str, str] = {
            'unknown' AS format
     FROM documents
     """,
+    # replay of the FAKB codec (functions/multimodal.py make_fake_image /
+    # _decode_fake): pixel i = (doc_id + i) % 256 over a (n_chars%32+1) x 4
+    # grid; the mean is an exact integer sum + one IEEE division on both
+    # engines (hash-checked since r09 — VERDICT r08 #3; was rows-only)
+    "multimodal_decode": """
+    SELECT doc_id AS id,
+           CAST(n_chars % 32 + 1 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           list_sum(list_transform(range(0, 4 * (n_chars % 32 + 1)),
+                                   i -> (doc_id + i) % 256))
+             / (4.0 * (n_chars % 32 + 1)) AS mean_pixel,
+           'fake' AS decoder
+    FROM documents
+    """,
+    "simhash_pairs": _SIMHASH_ORACLE_SQL,
     "agg_pricing_summary": """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
