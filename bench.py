@@ -195,6 +195,14 @@ BENCH_QUERIES = [
     "paired_retention",
     "conv_pii_scrub",
     "conv_pair_contamination",
+    # round-11 operators (this session): conversation near-dedup +
+    # response-side decontamination, preference-pair/RLHF family
+    "conv_near_dedup",
+    "conv_response_contamination",
+    "pref_pairs",
+    "pref_pair_dedup",
+    "pref_length_bias",
+    "lang_id_v2",
 ]
 
 

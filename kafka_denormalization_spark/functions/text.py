@@ -108,6 +108,72 @@ def lang_id(text: Column | str) -> Column:
     return F.greatest(*candidates).getField("l")
 
 
+# Script ranges for the non-whitespace-script fallbacks (BMP-only, so
+# char indexing/length agree across engines): name -> (lo, hi, lang).
+# Kana is checked FIRST — Japanese text mixes Han and Kana, and any
+# meaningful Kana presence marks it Japanese, not Chinese (the standard
+# CJK disambiguation rule).
+SCRIPT_RANGES: list[tuple[str, int, int, str]] = [
+    ("kana", 0x3040, 0x30FF, "ja"),
+    ("hangul", 0xAC00, 0xD7AF, "ko"),
+    ("han", 0x4E00, 0x9FFF, "zh"),
+    ("cyrillic", 0x0400, 0x04FF, "ru"),
+]
+
+
+def script_char_count(text: Column | str, lo: int, hi: int) -> Column:
+    """Count of characters in the [lo, hi] code-point range — length
+    minus the length with the class removed, a pure expression the
+    DuckDB oracle replays with the same literal-char class (+ 'g')."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(t) - F.length(
+        F.regexp_replace(t, f"[{chr(lo)}-{chr(hi)}]", "")
+    )
+
+
+def tokens_v2(text: Column | str) -> Column:
+    """Script-aware tokenization: CJK characters (Han, Kana, Hangul) are
+    isolated into single-character tokens — the character-level fallback
+    for scripts that do not delimit words with whitespace (VERDICT r08
+    #8: plain ``tokens`` treats an unsegmented Chinese sentence as ONE
+    token, collapsing token counts, n-gram dedup, and quality signals on
+    CJK corpora) — while whitespace-delimited text splits exactly like
+    ``tokens``. Single-char CJK tokens make word-n-gram machinery
+    degrade to character n-grams on those scripts, the standard
+    no-segmenter baseline.
+
+    Pure codegen: one regexp_replace inserting spaces around each CJK
+    char, then the usual whitespace split. On pure-Latin text the output
+    is identical to ``tokens``."""
+    t = F.col(text) if isinstance(text, str) else text
+    cjk = "".join(
+        f"{chr(lo)}-{chr(hi)}"
+        for name, lo, hi, _lang in SCRIPT_RANGES
+        if name in ("kana", "hangul", "han")
+    )
+    spaced = F.regexp_replace(t, f"([{cjk}])", " $1 ")
+    return F.split(F.trim(spaced), r"\s+")
+
+
+def lang_id_v2(text: Column | str) -> Column:
+    """Script-aware language ID (VERDICT r08 #8): character-class census
+    first — a text whose Kana / Hangul / Han / Cyrillic character count
+    reaches 10% of its length is classified by script (Kana before Han:
+    Japanese mixes both scripts, so Kana presence dominates) — and only
+    Latin-script text falls through to the stopword-profile argmax of
+    ``lang_id``. All integer comparisons (10 * count >= length), no
+    floats, so the DuckDB oracle matches bit-for-bit."""
+    t = F.col(text) if isinstance(text, str) else text
+    ln = F.length(t)
+    out = lang_id(t)
+    for _name, lo, hi, lang in reversed(SCRIPT_RANGES):
+        out = F.when(
+            (ln > 0) & (script_char_count(t, lo, hi) * 10 >= ln),
+            F.lit(lang),
+        ).otherwise(out)
+    return out
+
+
 def ngrams(text: Column | str, n: int = 3) -> Column:
     """Word n-grams (space-joined)."""
     toks = tokens(text)

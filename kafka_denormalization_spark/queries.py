@@ -283,6 +283,60 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", text_fns.lang_id("text").alias("lang_pred"))
 
 
+# Planted-script alphabets for lang_id_v2 (the testdata corpus is
+# Latin-script throughout — its zh/ja rows carry Latin tokens — so the
+# script fallback needs deterministic planted text; BMP literals keep
+# char indexing/length identical across engines). The "ja" alphabet
+# interleaves Han and Katakana: drawing from it yields mixed-script text
+# whose Kana share is far above the 10% gate, proving the Kana-before-
+# Han precedence on exactly the case that breaks a naive Han-first rule.
+LANG_V2_ALPHABETS: dict[str, str] = {
+    "zh": "".join(chr(0x4E00 + 13 * i) for i in range(20)),
+    "ja": "".join(
+        chr(0x4E00 + 29 * i) + chr(0x30A2 + i) for i in range(10)
+    ),
+    "ko": "".join(chr(0xAC00 + 7 * i) for i in range(20)),
+    "ru": "".join(chr(0x0410 + i) for i in range(20)),
+}
+LANG_V2_PLANT_SLOTS = {2: "zh", 4: "ja", 6: "ko", 8: "ru"}
+
+
+def q_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID (functions/text.py lang_id_v2 — VERDICT
+    r08 #8): character-class census first (Kana/Hangul/Han/Cyrillic at
+    the integer 10%-of-length gate, Kana before Han for mixed-script
+    Japanese), stopword argmax only for Latin text. Fixture: every
+    doc_id % 9 in {2,4,6,8} gets 30 deterministic characters drawn from
+    the matching planted alphabet (index (doc_id*7 + i*3) % 20 — the
+    conv-fixture plant convention); other docs keep their Latin text and
+    must reproduce q_lang_id's prediction exactly."""
+    docs = table(spark, sf_dir, "documents")
+
+    def plant(alpha: str) -> F.Column:
+        chars = F.array(*[F.lit(c) for c in alpha])
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.element_at(
+                    chars,
+                    (F.pmod(F.col("doc_id") * 7 + i * 3, F.lit(20)) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+
+    text = F.col("text")
+    for slot, lang in LANG_V2_PLANT_SLOTS.items():
+        text = F.when(
+            F.col("doc_id") % 9 == slot, plant(LANG_V2_ALPHABETS[lang])
+        ).otherwise(text)
+    return docs.select(
+        "doc_id", text_fns.lang_id_v2(text).alias("lang_pred")
+    )
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (sliding-window minima of n-gram hashes),
     exploded to (doc_id, fp) pairs for a stable flat oracle shape."""
@@ -346,6 +400,39 @@ def _lang_id_sql() -> str:
     # DuckDB's greatest() doesn't accept STRUCTs; list max does and has the
     # same field-wise comparison (= Spark's greatest over structs)
     return f"(list_aggregate([{', '.join(cands)}], 'max')).l"
+
+
+def _lang_id_v2_sql() -> str:
+    """Replay of q_lang_id_v2: the planted-script fixture (per-slot
+    alphabet draws) in a CTE, then the script census (literal char-class
+    counts at the integer 10% gate, Kana before Han) with the stopword
+    argmax as the Latin fallback."""
+    plants = []
+    for slot, lang in LANG_V2_PLANT_SLOTS.items():
+        arr = ", ".join(f"'{c}'" for c in LANG_V2_ALPHABETS[lang])
+        plants.append(
+            f"WHEN {slot} THEN array_to_string(list_transform(range(0, 30),"
+            f" i -> ([{arr}])[CAST((doc_id * 7 + i * 3) % 20 + 1 AS"
+            f" INTEGER)]), '')"
+        )
+    case_text = "CASE doc_id % 9 " + " ".join(plants) + " ELSE text END"
+    script_cases = []
+    for _name, lo, hi, lang in text_fns.SCRIPT_RANGES:
+        cls = f"[{chr(lo)}-{chr(hi)}]"
+        script_cases.append(
+            f"WHEN length(text) > 0 AND 10 * (length(text) -"
+            f" length(regexp_replace(text, '{cls}', '', 'g')))"
+            f" >= length(text) THEN '{lang}'"
+        )
+    return f"""
+    WITH lv2 AS (
+      SELECT doc_id, {case_text} AS text FROM documents
+    )
+    SELECT doc_id,
+           CASE {" ".join(script_cases)}
+                ELSE {_lang_id_sql()} END AS lang_pred
+    FROM lv2
+    """
 
 
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,6 +1363,172 @@ def q_conv_turn_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id_b") % 4096).cast("long").alias("turn_b"),
         F.round("jaccard_sim", 9).alias("jaccard_r"),
     )
+
+
+def q_conv_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-LEVEL NEAR-dedup pairs (the fuzzy complement to
+    conv_dedup's exact transcript identity — reworded conversations,
+    VERDICT r08 #5): transcripts are reassembled in turn order (one
+    collect_list + sort_array aggregation, transcript text shuffles
+    once) and fed through MinHash-LSH at 64 hashes x 32 bands + exact
+    3-gram Jaccard >= 0.5 (recall ~1 at the threshold — the
+    minhash_lsh_dedup adjudication). Oracle: brute-force all-pairs
+    transcript Jaccard over the same reassembly."""
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    turns = _conversation_turns(spark, sf_dir)
+    transcripts = turns.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx").alias("t"),
+                            F.col("content").alias("c"),
+                        )
+                    )
+                ),
+                lambda st: st.getField("c"),
+            ),
+        ).alias("transcript")
+    )
+    pairs = minhash_lsh_pairs(
+        transcripts, "conv_id", "transcript", n=3, num_hashes=64,
+        bands=32, threshold=0.5, eager_cleanup=True,
+    )
+    return pairs.select(
+        F.col("id_a").alias("conv_a"),
+        F.col("id_b").alias("conv_b"),
+        F.round("jaccard_sim", 9).alias("jaccard_r"),
+    )
+
+
+def q_conv_response_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESPONSE-side decontamination of SFT pairs (functions/
+    conversations.py pair_ngram_contamination side='response'): a pair
+    is contaminated iff its assistant RESPONSE shares an 8-token gram
+    with an eval REFERENCE ANSWER — the worse leak than the
+    instruction-side scan (VERDICT r08 #5: the model trains on the
+    exact target string; a paraphrased question hides it from
+    conv_pair_contamination). Answer fixture: every doc_id % 20 == 5
+    document contributes its LAST 8 tokens — the suffix convention,
+    disjoint from the prompt fixture's % 20 == 0 prefixes."""
+    from kafka_denormalization_spark.functions.conversations import (
+        instruction_response_pairs,
+        pair_ngram_contamination,
+    )
+    from kafka_denormalization_spark.functions.text import tokens as _toks
+
+    turns = _conversation_turns(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    t = _toks(F.col("text"))
+    answers = docs.filter(F.col("doc_id") % 20 == 5).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(
+            F.size(t) >= CONV_PROMPT_TOKENS,
+            F.concat_ws(
+                " ",
+                F.slice(
+                    t,
+                    F.size(t) - F.lit(CONV_PROMPT_TOKENS - 1),
+                    F.lit(CONV_PROMPT_TOKENS),
+                ),
+            ),
+        ).alias("answer"),
+    ).filter(F.col("answer").isNotNull())
+    pairs = instruction_response_pairs(turns)
+    return pair_ngram_contamination(
+        pairs, answers, "eval_id", "answer", n=CONV_PROMPT_TOKENS,
+        side="response",
+    ).select("conv_id", "turn_idx", "n_eval_hits", "contaminated")
+
+
+PREF_CLONE_OFFSET = 2_000_000
+
+
+def _pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled preference pairs over the conversation fixture: SFT
+    (instruction, response) pairs grouped by shared instruction text —
+    the fixture's planted boilerplate chunks repeat as user turns
+    across documents with document-specific assistant turns following,
+    giving organic multi-response instruction groups.
+
+    Fixture note: the organic corpus carries no BOTH-SIDES near-dup
+    preference pairs (distinct instructions with matching chosen AND
+    rejected), so every SFT pair is cloned under conv_id + 2*10^6 with
+    a reworded instruction (' (alt)' suffix — a different assembly
+    group) and identical responses: each clone pair is a planted
+    both-sides duplicate of its original at Jaccard 1, deterministic
+    positives the pref_pair_dedup oracle replays (the conv_dedup clone
+    convention)."""
+    from kafka_denormalization_spark.functions.conversations import (
+        instruction_response_pairs,
+    )
+    from kafka_denormalization_spark.functions.preference import (
+        preference_pairs,
+    )
+
+    turns = _conversation_turns(spark, sf_dir)
+    sft = instruction_response_pairs(turns)
+    clones = sft.select(
+        (F.col("conv_id") + F.lit(PREF_CLONE_OFFSET)).alias("conv_id"),
+        "turn_idx",
+        F.concat(F.col("instruction"), F.lit(" (alt)")).alias("instruction"),
+        "response",
+    )
+    return preference_pairs(sft.unionByName(clones))
+
+
+def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (functions/preference.py
+    preference_pairs — the RLHF/DPO data family, VERDICT r08 #6):
+    one (chosen, rejected) pair per instruction carried by >= 2
+    distinct responses, picked by the deterministic
+    (length, md5, conv, turn) total order. Oracle: arg_max/arg_min
+    over the same struct order."""
+    return _pref_pairs(spark, sf_dir)
+
+
+def q_pref_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level near-dedup over assembled preference pairs
+    (functions/preference.py preference_pair_dedup): a pair is dropped
+    iff BOTH its chosen and rejected sides are 3-gram-Jaccard >= 0.5
+    near-dups of a smaller-id pair's sides — one near-dup side alone
+    is a genuinely new comparison and survives. Oracle: brute-force
+    both-sides Jaccard."""
+    from kafka_denormalization_spark.functions.preference import (
+        preference_pair_dedup,
+    )
+
+    return preference_pair_dedup(_pref_pairs(spark, sf_dir))
+
+
+def q_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit per language (functions/preference.py
+    preference_length_bias — the reward-hacking signal: chosen
+    systematically longer than rejected teaches the reward model
+    length, not quality): exact char sums per side + one-division
+    ratios on the 9-decimal grid, grouped by the chosen conversation's
+    document language."""
+    from kafka_denormalization_spark.functions.preference import (
+        PAIR_ID_STRIDE,
+        preference_length_bias,
+    )
+
+    prefs = _pref_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    # % PREF_CLONE_OFFSET folds planted clone conversations back onto
+    # their source document so the audit covers every pair
+    groups = prefs.select(
+        "pair_id",
+        F.expr(
+            f"pair_id DIV {PAIR_ID_STRIDE} % {PREF_CLONE_OFFSET}"
+        ).alias("doc_id"),
+    ).join(docs.select("doc_id", "lang"), ["doc_id"]).select("pair_id", "lang")
+    return preference_length_bias(prefs, groups, "lang")
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4520,6 +4773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "signal_correlations": q_signal_correlations,
     "z_order_prune": q_z_order_prune,
     "lang_id": q_lang_id,
+    "lang_id_v2": q_lang_id_v2,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
     "canonical_dedup": q_canonical_dedup,
@@ -4568,6 +4822,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_near_dedup": q_conv_turn_near_dedup,
     "conv_stats": q_conv_stats,
     "conv_dedup": q_conv_dedup,
+    # round-9 additions: conversation near-dedup + response-side
+    # decontamination (VERDICT r08 #5) and the preference-pair/RLHF
+    # family (VERDICT r08 #6)
+    "conv_near_dedup": q_conv_near_dedup,
+    "conv_response_contamination": q_conv_response_contamination,
+    "pref_pairs": q_pref_pairs,
+    "pref_pair_dedup": q_pref_pair_dedup,
+    "pref_length_bias": q_pref_length_bias,
     "paired_retention": q_paired_retention,
     "conv_pii_scrub": q_conv_pii_scrub,
     "conv_pair_contamination": q_conv_pair_contamination,
@@ -4916,6 +5178,50 @@ _CONV_TURNS_SQL = f"""cvt AS (
                     || CAST(1000 + conv_id % 9000 AS VARCHAR)
                ELSE content END AS content
       FROM cturns0
+    )"""
+
+
+# preference-pair CTE chain (functions/preference.py preference_pairs
+# over the conversation fixture's SFT pairs + the ' (alt)' clone plant —
+# queries.py _pref_pairs): composes after _CONV_TURNS_SQL in one WITH.
+# arg_max/arg_min over the same (length, md5, conv, turn) struct order
+# as Spark's max_by/min_by — lexicographic on both engines, total
+# because (conv, turn) is unique.
+_PREF_CTES_SQL = """prsft0 AS (
+      SELECT u.conv_id, u.turn_idx, u.content AS instruction,
+             a.content AS response
+      FROM cturns u JOIN cturns a
+        ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+      WHERE u.role = 'user' AND a.role = 'assistant'
+    ),
+    prsft AS (
+      SELECT conv_id, turn_idx, instruction, response FROM prsft0
+      UNION ALL
+      SELECT conv_id + 2000000, turn_idx, instruction || ' (alt)', response
+      FROM prsft0
+    ),
+    prr AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY instruction
+               ORDER BY length(response) DESC, md5(response) DESC,
+                        conv_id DESC, turn_idx DESC) AS rb,
+             row_number() OVER (PARTITION BY instruction
+               ORDER BY length(response) ASC, md5(response) ASC,
+                        conv_id ASC, turn_idx ASC) AS rw,
+             CAST(count(*) OVER (PARTITION BY instruction) AS BIGINT)
+               AS n_candidates
+      FROM prsft
+    ),
+    prefs AS (
+      SELECT b.conv_id * 4096 + b.turn_idx AS pair_id,
+             b.instruction, b.n_candidates,
+             b.conv_id AS chosen_conv, b.turn_idx AS chosen_turn,
+             b.response AS chosen,
+             w.conv_id AS rejected_conv, w.turn_idx AS rejected_turn,
+             w.response AS rejected
+      FROM (SELECT * FROM prr WHERE rb = 1) b
+      JOIN (SELECT * FROM prr WHERE rw = 1) w USING (instruction)
+      WHERE b.response <> w.response
     )"""
 
 
@@ -5808,6 +6114,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": f"""
     SELECT doc_id, lang, {_lang_id_sql()} AS lang_pred FROM documents
     """,
+    "lang_id_v2": _lang_id_v2_sql(),
     "text_clean": f"""
     SELECT doc_id,
            trim(regexp_replace(lower(regexp_replace(text, 'https?://\\S+', ' ', 'g')),
@@ -6636,6 +6943,154 @@ ORACLE_SQL: dict[str, str] = {
            coalesce(h.n_eval_hits, 0) AS n_eval_hits,
            coalesce(h.n_eval_hits, 0) > 0 AS contaminated
     FROM cpairs p LEFT JOIN chits h USING (conv_id, turn_idx)
+    """,
+    # conversation-level near-dedup: transcripts reassembled in turn
+    # order, brute-force all-pairs 3-gram Jaccard (LSH at 64x32 has
+    # recall ~1 at the 0.5 threshold — the minhash_lsh_dedup
+    # adjudication)
+    "conv_near_dedup": f"""
+    WITH {_CONV_TURNS_SQL},
+    ctr AS (
+      SELECT conv_id,
+             array_to_string(list(content ORDER BY turn_idx), ' ')
+               AS transcript
+      FROM cturns GROUP BY conv_id
+    ),
+    csh AS (
+      SELECT conv_id,
+             list_distinct(list_transform(
+               range(0, greatest(CAST(len(t) AS BIGINT) - 2, 0)),
+               i -> array_to_string((t)[i+1:i+3], ' '))) AS sh
+      FROM (SELECT conv_id,
+                   string_split_regex(trim(transcript), '\\s+') AS t
+            FROM ctr)
+    ),
+    cnp AS (
+      SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                              AS DOUBLE)
+                  ELSE 0.0 END AS j
+      FROM csh a JOIN csh b ON a.conv_id < b.conv_id
+    )
+    SELECT conv_a, conv_b, round(j, 9) AS jaccard_r
+    FROM cnp WHERE j >= 0.5
+    """,
+    # response-side decontamination: assistant responses vs the LAST-8-
+    # token reference answers of every doc_id % 20 == 5 document
+    "conv_response_contamination": f"""
+    WITH {_CONV_TURNS_SQL},
+    crpairs AS (
+      SELECT u.conv_id, u.turn_idx, a.content AS response
+      FROM cturns u JOIN cturns a
+        ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+      WHERE u.role = 'user' AND a.role = 'assistant'
+    ),
+    cransw AS (
+      SELECT doc_id AS eval_id,
+             array_to_string(
+               list_slice({_TOKS_SQL}, len({_TOKS_SQL}) - 7,
+                          len({_TOKS_SQL})), ' ') AS answer
+      FROM documents
+      WHERE doc_id % 20 = 5 AND len({_TOKS_SQL}) >= 8
+    ),
+    crag AS (
+      SELECT DISTINCT eval_id, g FROM (
+        SELECT eval_id,
+               unnest(list_transform(
+                 range(0, greatest(len(string_split_regex(trim(answer),
+                                                          '\\s+')) - 7, 0)),
+                 i -> array_to_string(
+                        (string_split_regex(trim(answer),
+                                            '\\s+'))[i+1:i+8], ' ')
+               )) AS g
+        FROM cransw
+      )
+    ),
+    crrg AS (
+      SELECT conv_id, turn_idx,
+             unnest(list_transform(
+               range(0, greatest(len(string_split_regex(trim(response),
+                                                        '\\s+')) - 7, 0)),
+               i -> array_to_string(
+                      (string_split_regex(trim(response),
+                                          '\\s+'))[i+1:i+8], ' ')
+             )) AS g
+      FROM crpairs
+    ),
+    crhits AS (
+      SELECT conv_id, turn_idx,
+             CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hits
+      FROM crrg JOIN crag USING (g)
+      GROUP BY conv_id, turn_idx
+    )
+    SELECT p.conv_id, p.turn_idx,
+           coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+    FROM crpairs p LEFT JOIN crhits h USING (conv_id, turn_idx)
+    """,
+    "pref_pairs": f"""
+    WITH {_CONV_TURNS_SQL},
+    {_PREF_CTES_SQL}
+    SELECT pair_id, instruction, n_candidates,
+           chosen_conv, chosen_turn, chosen,
+           rejected_conv, rejected_turn, rejected
+    FROM prefs
+    """,
+    # pair-level near-dedup: brute-force BOTH-SIDES 3-gram Jaccard over
+    # the assembled pairs; smaller pair_id survives
+    "pref_pair_dedup": f"""
+    WITH {_CONV_TURNS_SQL},
+    {_PREF_CTES_SQL},
+    pdsh AS (
+      SELECT pair_id,
+             list_distinct(list_transform(
+               range(0, greatest(CAST(len(tc) AS BIGINT) - 2, 0)),
+               i -> array_to_string((tc)[i+1:i+3], ' '))) AS shc,
+             list_distinct(list_transform(
+               range(0, greatest(CAST(len(tr) AS BIGINT) - 2, 0)),
+               i -> array_to_string((tr)[i+1:i+3], ' '))) AS shr
+      FROM (SELECT pair_id,
+                   string_split_regex(trim(chosen), '\\s+') AS tc,
+                   string_split_regex(trim(rejected), '\\s+') AS tr
+            FROM prefs)
+    ),
+    pdom AS (
+      SELECT DISTINCT b.pair_id
+      FROM pdsh a JOIN pdsh b ON a.pair_id < b.pair_id
+      WHERE (CASE WHEN len(list_distinct(list_concat(a.shc, b.shc))) > 0
+                  THEN CAST(len(list_intersect(a.shc, b.shc)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.shc, b.shc)))
+                              AS DOUBLE)
+                  ELSE 0.0 END) >= 0.5
+        AND (CASE WHEN len(list_distinct(list_concat(a.shr, b.shr))) > 0
+                  THEN CAST(len(list_intersect(a.shr, b.shr)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.shr, b.shr)))
+                              AS DOUBLE)
+                  ELSE 0.0 END) >= 0.5
+    )
+    SELECT p.pair_id, p.instruction, p.n_candidates,
+           p.chosen_conv, p.chosen_turn, p.chosen,
+           p.rejected_conv, p.rejected_turn, p.rejected
+    FROM prefs p LEFT JOIN pdom d USING (pair_id)
+    WHERE d.pair_id IS NULL
+    """,
+    "pref_length_bias": f"""
+    WITH {_CONV_TURNS_SQL},
+    {_PREF_CTES_SQL}
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(length(chosen)) AS BIGINT) AS chosen_chars,
+           CAST(sum(length(rejected)) AS BIGINT) AS rejected_chars,
+           round(CAST(sum(length(chosen)) AS DOUBLE)
+                 / CAST(sum(length(rejected)) AS DOUBLE), 9) AS len_ratio,
+           round(CAST(sum(CASE WHEN length(chosen) > length(rejected)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 9) AS frac_chosen_longer
+    FROM prefs p
+    JOIN documents d ON p.pair_id // 4096 % 2000000 = d.doc_id
+    GROUP BY d.lang
     """,
     # rolling-window ExactSubstr replay: every 16-token window start,
     # first occurrence by (doc_id, start), token kept iff covered by a

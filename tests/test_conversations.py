@@ -140,3 +140,52 @@ def test_pair_ngram_contamination_flags_overlap(spark):
     assert not out[2]["contaminated"] and out[2]["n_eval_hits"] == 0
     assert not out[3]["contaminated"]
     assert len(out) == 3  # zero-hit pairs included
+
+
+def test_pair_ngram_contamination_response_side(spark):
+    """side='response' scans the ANSWER text: a memorized benchmark
+    answer in an assistant turn is flagged even when the instruction is
+    paraphrased past the instruction-side scan (VERDICT r08 #5)."""
+    answer = "the capital of france is paris because of the seine river"
+    conv = _nested(
+        spark,
+        [
+            # paraphrased question, verbatim answer -> response-side hit
+            (1, [("user", "name the french capital city please and also"
+                          " explain"),
+                 ("assistant", "well the capital of france is paris"
+                               " because of the seine river history")]),
+            # clean response
+            (2, [("user", "summarize the history of rome in two sentences"
+                          " please thanks"),
+                 ("assistant", "rome was founded long ago and it grew"
+                               " into an empire")]),
+        ],
+    )
+    answers = spark.createDataFrame(
+        [(100, answer)], "eval_id long, answer string"
+    )
+    pairs = C.instruction_response_pairs(C.conversation_turns(conv))
+    resp = {
+        r["conv_id"]: r
+        for r in C.pair_ngram_contamination(
+            pairs, answers, prompt_col="answer", n=8, side="response"
+        ).collect()
+    }
+    assert resp[1]["contaminated"] and resp[1]["n_eval_hits"] == 1
+    assert not resp[2]["contaminated"]
+    # the instruction-side scan misses the same leak (paraphrased question)
+    instr = {
+        r["conv_id"]: r["contaminated"]
+        for r in C.pair_ngram_contamination(
+            pairs, answers, prompt_col="answer", n=8, side="instruction"
+        ).collect()
+    }
+    assert not instr[1] and not instr[2]
+
+
+def test_pair_ngram_contamination_rejects_bad_side():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="side"):
+        C.pair_ngram_contamination(None, None, side="both")

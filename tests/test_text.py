@@ -1016,3 +1016,63 @@ def test_signal_correlations_validation(spark):
 
     with _pytest.raises(ValueError):
         signal_correlations(None, ["only_one"])
+
+
+def test_tokens_v2_cjk_char_fallback(spark):
+    """Script-aware tokenizer: CJK chars isolate to single-char tokens
+    (the no-segmenter character baseline), Latin splits unchanged, mixed
+    text interleaves both (VERDICT r08 #8)."""
+    from pyspark.sql import functions as F
+
+    han = chr(0x4E16) + chr(0x754C)          # two Han chars
+    kana = chr(0x30AB) + chr(0x30BF)         # two Katakana chars
+    hangul = chr(0xD55C) + chr(0xAD6D)       # two Hangul syllables
+    rows = [
+        (1, f"hello {han} world"),
+        (2, han + han),                       # unsegmented, no whitespace
+        (3, kana + " " + hangul),
+        (4, "plain latin text only"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["t"]
+        for r in df.select("id", T.tokens_v2("text").alias("t")).collect()
+    }
+    assert out[1] == ["hello", han[0], han[1], "world"]
+    assert out[2] == [han[0], han[1], han[0], han[1]]
+    assert out[3] == [kana[0], kana[1], hangul[0], hangul[1]]
+    # Latin text: identical to the v1 whitespace tokenizer
+    v1 = df.filter("id = 4").select(T.tokens("text").alias("t")).collect()[0]["t"]
+    assert out[4] == v1 == ["plain", "latin", "text", "only"]
+    assert out[5] == [""]  # empty-doc convention matches tokens()
+
+
+def test_lang_id_v2_script_census(spark):
+    from pyspark.sql import functions as F
+
+    han30 = chr(0x4E00) * 30
+    kana_mix = chr(0x4E00) * 20 + chr(0x30A2) * 10   # Japanese: Han+Kana
+    hangul30 = chr(0xAC00) * 30
+    cyr30 = chr(0x0410) * 30
+    latin_en = "the cat is on the mat and the dog is in the house"
+    # sparse CJK under the 10% gate, with English stopwords so the
+    # fallback argmax has signal (a stopword-free text ties at 0 hits
+    # and the deterministic tie-break picks the highest lang code)
+    sparse = "the cat and the dog met one " + chr(0x4E00) + " in the house"
+    rows = [
+        (1, han30), (2, kana_mix), (3, hangul30), (4, cyr30),
+        (5, latin_en), (6, sparse),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["p"]
+        for r in df.select("id", T.lang_id_v2("text").alias("p")).collect()
+    }
+    assert out[1] == "zh"
+    assert out[2] == "ja"      # Kana presence beats the Han majority
+    assert out[3] == "ko"
+    assert out[4] == "ru"
+    assert out[5] == "en"      # Latin falls through to the stopword argmax
+    # one CJK char in 40+ chars is under the 10% gate -> Latin fallback
+    assert out[6] == "en"

@@ -723,6 +723,88 @@ def _conv_pair_contamination(docs):
     return pair_ngram_contamination(pairs, prompts, "eval_id", "prompt", n=8)
 
 
+def _conv_near_dedup(docs):
+    """Transcript reassembly + LSH pair generation; text is SALTED by
+    the harness (pair-emitting op): same-text replicas would be mutual
+    perfect duplicates with quadratic true-result growth."""
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    turns = _conv_turns_from(docs)
+    transcripts = turns.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx").alias("t"),
+                            F.col("content").alias("c"),
+                        )
+                    )
+                ),
+                lambda st: st.getField("c"),
+            ),
+        ).alias("transcript")
+    )
+    return minhash_lsh_pairs(
+        transcripts, "conv_id", "transcript", n=3, num_hashes=64,
+        bands=32, threshold=0.5, eager_cleanup=True,
+    )
+
+
+def _conv_response_contamination(docs):
+    """Response-side twin of _conv_pair_contamination: eval answers
+    pinned to the base slice, response gram explode scales."""
+    from kafka_denormalization_spark.functions.conversations import (
+        instruction_response_pairs,
+        pair_ngram_contamination,
+    )
+    from kafka_denormalization_spark.functions.text import tokens as _toks
+
+    spark = docs.sparkSession
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = _toks(F.col("text"))
+    answers = base.filter(F.col("doc_id") % 20 == 5).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(
+            F.size(t) >= 8,
+            F.concat_ws(" ", F.slice(t, F.size(t) - F.lit(7), F.lit(8))),
+        ).alias("answer"),
+    ).filter(F.col("answer").isNotNull())
+    pairs = instruction_response_pairs(_conv_turns_from(docs))
+    return pair_ngram_contamination(
+        pairs, answers, "eval_id", "answer", n=8, side="response"
+    )
+
+
+def _pref_assembled(docs):
+    from kafka_denormalization_spark.functions.conversations import (
+        instruction_response_pairs,
+    )
+    from kafka_denormalization_spark.functions.preference import (
+        preference_pairs,
+    )
+
+    sft = instruction_response_pairs(_conv_turns_from(docs))
+    clones = sft.select(
+        (F.col("conv_id") + F.lit(2_000_000_000)).alias("conv_id"),
+        "turn_idx",
+        F.concat(F.col("instruction"), F.lit(" (alt)")).alias("instruction"),
+        "response",
+    )
+    return preference_pairs(sft.unionByName(clones))
+
+
+def _pref_pair_dedup(docs):
+    from kafka_denormalization_spark.functions.preference import (
+        preference_pair_dedup,
+    )
+
+    return preference_pair_dedup(_pref_assembled(docs))
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -795,6 +877,14 @@ OPS = {
     # salted captions (see builder): organic pair mass scales linearly
     "paired_dedup": ("documents", "doc_id", _paired_dedup, True),
     "conv_turn_dedup": ("documents", "doc_id", _conv_turn_dedup, False),
+    # salted: pair-emitting over transcripts (see _conv_near_dedup)
+    "conv_near_dedup": ("documents", "doc_id", _conv_near_dedup, True),
+    "conv_response_contamination": (
+        "documents", "doc_id", _conv_response_contamination, False,
+    ),
+    "pref_pairs": ("documents", "doc_id", _pref_assembled, False),
+    # salted: the both-sides near-dup join is pair-emitting
+    "pref_pair_dedup": ("documents", "doc_id", _pref_pair_dedup, True),
     "conv_pair_contamination": (
         "documents", "doc_id", _conv_pair_contamination, False,
     ),
