@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "pref_pair_dedup",
     "pref_length_bias",
     "lang_id_v2",
+    "fuzzy_contamination",
 ]
 
 

@@ -698,6 +698,121 @@ def minhash_lsh_pairs(
     return verified
 
 
+# eval ids are namespaced away from document ids inside
+# fuzzy_contamination (the verify gram table keys both sides by one _id
+# column, and real pipelines routinely share id spaces)
+FUZZY_EVAL_OFFSET = 1 << 40
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    evals: DataFrame,
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "prompt",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    eager_cleanup: bool = False,
+) -> DataFrame:
+    """NEAR-MATCH eval-set decontamination — the fuzzy lexical tier of
+    the contamination trio: exact n-gram overlap (``contamination_scan``)
+    misses light rewording; embedding similarity
+    (``semantic_contamination``) flags paraphrases but cannot pin a
+    lexical match. This flags every document whose exact n-gram Jaccard
+    against ANY eval text reaches ``threshold`` (0.8 — the near-match
+    decontamination convention), reporting the best-matching eval row.
+
+    Topology (100 TB): the corpus is never pair-joined against the eval
+    set — documents and (id-namespaced) eval texts are MinHash-banded
+    with the shared machinery, candidates come from the doc-bucket ⋈
+    BROADCAST eval-bucket equi-join (eval sets are thousands of rows;
+    per-bucket cost is |docs in bucket| x |evals in bucket|, eval side
+    tiny, so no hot-bucket guard is needed), and the exact-Jaccard
+    verify touches candidate documents only. At 64 hashes x 32 bands
+    the blocking misses a true 0.8-Jaccard match w.p. (1-0.64)^32 ~
+    6e-15, so the brute-force oracle matches exactly.
+
+    Raises on an empty eval set (the semantic_contamination honest-gate
+    convention, ADVICE r07): silently reporting zero contamination on a
+    misconfigured eval path is the worst failure mode a decon step has.
+
+    Output — one row per CONTAMINATED document:
+    (id_col, eval_id_col of the best match by (jaccard desc, eval_id
+    asc), jaccard_r rounded to 9, n_eval_matches).
+    """
+    from pyspark import StorageLevel
+
+    if evals.limit(1).count() == 0:
+        raise ValueError(
+            "fuzzy_contamination: the eval set is empty — refusing to "
+            "report zero contamination from a misconfigured eval path"
+        )
+    doc_grams = word_gram_rows(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shifted = evals.select(
+        (F.col(eval_id_col) + F.lit(FUZZY_EVAL_OFFSET)).alias("_eid"),
+        F.col(eval_text_col).alias("_et"),
+    )
+    eval_grams = word_gram_rows(shifted, "_eid", "_et", n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    doc_buckets = minhash_band_buckets(doc_grams, num_hashes, bands)
+    eval_buckets = minhash_band_buckets(eval_grams, num_hashes, bands)
+    a, b = doc_buckets.alias("a"), eval_buckets.alias("b")
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._h") == F.col("b._h")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand_doc_ids = cand.select(F.col("id_a").alias("_id")).dropDuplicates()
+    verify_grams = (
+        doc_grams.join(F.broadcast(cand_doc_ids), ["_id"], "left_semi")
+        .unionByName(eval_grams)
+        .dropDuplicates(["_id", "_g"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verified = exact_jaccard_pairs(cand, verify_grams).filter(
+        F.col("jaccard_sim") >= threshold
+    )
+    best = verified.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+        # best match = highest jaccard, ties to the SMALLEST eval id
+        # (hence -id_b in the max_by key) — total order, deterministic
+        F.max_by(
+            F.col("id_b"),
+            F.struct(
+                F.col("jaccard_sim").alias("j"),
+                (-F.col("id_b")).alias("nid"),
+            ),
+        ).alias("_beid"),
+        F.max("jaccard_sim").alias("_bj"),
+    )
+    out = best.select(
+        F.col("id_a").alias(id_col),
+        (F.col("_beid") - F.lit(FUZZY_EVAL_OFFSET)).alias(eval_id_col),
+        F.round("_bj", 9).alias("jaccard_r"),
+        "n_eval_matches",
+    )
+    if eager_cleanup:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        for frame in (doc_grams, eval_grams, cand, verify_grams):
+            try:
+                frame.unpersist()
+            except Exception:  # pragma: no cover - defensive
+                pass
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -1531,6 +1531,32 @@ def q_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_length_bias(prefs, groups, "lang")
 
 
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-match eval decontamination (functions/similarity.py
+    fuzzy_contamination — the fuzzy lexical tier between
+    contamination_scan's exact n-gram overlap and
+    semantic_contamination's embedding similarity): a document is
+    contaminated iff its 3-gram Jaccard with ANY eval text reaches 0.8;
+    the best-matching eval row is reported. Eval fixture: every
+    doc_id % 25 == 0 document with >= 5 tokens contributes its text
+    MINUS the last two tokens — a planted near-match the exact scan
+    would call a non-identical miss. Oracle: brute-force doc x eval
+    Jaccard (the eval side is 20 rows at sf0.01)."""
+    docs = table(spark, sf_dir, "documents")
+    t = text_fns.tokens(F.col("text"))
+    evals = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(
+            F.size(t) >= 5,
+            F.concat_ws(" ", F.slice(t, 1, F.size(t) - F.lit(2))),
+        ).alias("prompt"),
+    ).filter(F.col("prompt").isNotNull())
+    return sim_fns.fuzzy_contamination(
+        docs, "doc_id", "text", evals, "eval_id", "prompt",
+        threshold=0.8, eager_cleanup=True,
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights (operators/sampling.py
     dsir_log_weights; Xie et al., NeurIPS 2023): hashed unigram+bigram
@@ -4830,6 +4856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pref_pairs": q_pref_pairs,
     "pref_pair_dedup": q_pref_pair_dedup,
     "pref_length_bias": q_pref_length_bias,
+    "fuzzy_contamination": q_fuzzy_contamination,
     "paired_retention": q_paired_retention,
     "conv_pii_scrub": q_conv_pii_scrub,
     "conv_pair_contamination": q_conv_pair_contamination,
@@ -7075,6 +7102,54 @@ ORACLE_SQL: dict[str, str] = {
            p.rejected_conv, p.rejected_turn, p.rejected
     FROM prefs p LEFT JOIN pdom d USING (pair_id)
     WHERE d.pair_id IS NULL
+    """,
+    # fuzzy near-match decontamination: brute-force doc x eval 3-gram
+    # Jaccard (LSH blocking at 64x32 misses a 0.8-Jaccard match w.p.
+    # ~6e-15 — the minhash_lsh_dedup adjudication); best match per doc
+    # by (jaccard desc, eval_id asc)
+    "fuzzy_contamination": f"""
+    WITH fevals AS (
+      SELECT doc_id AS eval_id,
+             array_to_string(list_slice(w, 1, len(w) - 2), ' ') AS etext
+      FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents)
+      WHERE doc_id % 25 = 0 AND len(w) >= 5
+    ),
+    fdsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(CAST(len(t) AS BIGINT) - 2, 0)),
+               i -> array_to_string((t)[i+1:i+3], ' '))) AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ),
+    fesh AS (
+      SELECT eval_id,
+             list_distinct(list_transform(
+               range(0, greatest(CAST(len(t) AS BIGINT) - 2, 0)),
+               i -> array_to_string((t)[i+1:i+3], ' '))) AS sh
+      FROM (SELECT eval_id,
+                   string_split_regex(trim(etext), '\\s+') AS t
+            FROM fevals)
+    ),
+    fpair AS (
+      SELECT d.doc_id, e.eval_id,
+             CASE WHEN len(list_distinct(list_concat(d.sh, e.sh))) > 0
+                  THEN CAST(len(list_intersect(d.sh, e.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(d.sh, e.sh)))
+                              AS DOUBLE)
+                  ELSE 0.0 END AS j
+      FROM fdsh d CROSS JOIN fesh e
+    ),
+    fflag AS (SELECT * FROM fpair WHERE j >= 0.8),
+    frank AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY j DESC, eval_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_eval_matches
+      FROM fflag
+    )
+    SELECT doc_id, eval_id, round(j, 9) AS jaccard_r, n_eval_matches
+    FROM frank WHERE rn = 1
     """,
     "pref_length_bias": f"""
     WITH {_CONV_TURNS_SQL},

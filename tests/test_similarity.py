@@ -960,3 +960,64 @@ def test_embedding_debias_strips_common_direction(spark):
         and out[i]["resid_norm_r"] == out2[i]["resid_norm_r"]
         for i in out
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_contamination (near-match eval decontamination)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_contamination_flags_near_match(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the old wooden fence nearby every morning")
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                  # near-match of eval 100
+            (2, "совершенно other content about database join strategies"
+                " and shuffle partitioning at scale today"),
+            (3, base + " appended"),
+        ],
+        "doc_id long, text string",
+    )
+    # eval = base minus its last two tokens (the planted-fixture shape)
+    evals = spark.createDataFrame(
+        [(100, " ".join(base.split()[:-2]))], "eval_id long, prompt string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in S.fuzzy_contamination(
+            docs, "doc_id", "text", evals, "eval_id", "prompt", threshold=0.8
+        ).collect()
+    }
+    assert 1 in out and out[1]["eval_id"] == 100
+    assert out[1]["jaccard_r"] > 0.8 and out[1]["n_eval_matches"] == 1
+    assert 2 not in out            # unrelated text untouched
+    assert 3 in out                # reworded-tail variant still caught
+
+
+def test_fuzzy_contamination_id_namespacing(spark):
+    """A document and an eval row sharing the same id value must not
+    cross-talk through the shared verify gram table."""
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "eval_id long, prompt string",
+    )
+    rows = S.fuzzy_contamination(
+        docs, "doc_id", "text", evals, "eval_id", "prompt", threshold=0.8
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 7 and rows[0]["eval_id"] == 7
+    assert 0.8 <= rows[0]["jaccard_r"] < 1.0   # near, not identical
+
+
+def test_fuzzy_contamination_rejects_empty_eval_set(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "eval_id long, prompt string")
+    with _pytest.raises(ValueError, match="eval set is empty"):
+        S.fuzzy_contamination(docs, "doc_id", "text", empty)

@@ -805,6 +805,30 @@ def _pref_pair_dedup(docs):
     return preference_pair_dedup(_pref_assembled(docs))
 
 
+def _fuzzy_contamination(docs):
+    """Eval side pinned to the base slice (the contamination-family
+    convention); only the document side scales."""
+    from kafka_denormalization_spark.functions.similarity import (
+        fuzzy_contamination,
+    )
+    from kafka_denormalization_spark.functions.text import tokens as _toks
+
+    spark = docs.sparkSession
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = _toks(F.col("text"))
+    evals = base.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(
+            F.size(t) >= 5,
+            F.concat_ws(" ", F.slice(t, 1, F.size(t) - F.lit(2))),
+        ).alias("prompt"),
+    ).filter(F.col("prompt").isNotNull())
+    return fuzzy_contamination(
+        docs, "doc_id", "text", evals, "eval_id", "prompt",
+        threshold=0.8, eager_cleanup=True,
+    )
+
+
 OPS = {
     "bm25_batch": ("documents", "doc_id", _bm25_batch, False),
     "dsir_sample": ("documents", "doc_id", _dsir_sample, False),
@@ -885,6 +909,9 @@ OPS = {
     "pref_pairs": ("documents", "doc_id", _pref_assembled, False),
     # salted: the both-sides near-dup join is pair-emitting
     "pref_pair_dedup": ("documents", "doc_id", _pref_pair_dedup, True),
+    # salted: unsalted replicas of the eval-slice docs would all match
+    # the pinned eval set, inflating the flag density N-fold
+    "fuzzy_contamination": ("documents", "doc_id", _fuzzy_contamination, True),
     "conv_pair_contamination": (
         "documents", "doc_id", _conv_pair_contamination, False,
     ),
