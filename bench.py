@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "pref_length_bias",
     "lang_id_v2",
     "fuzzy_contamination",
+    "doc_tokens_v2",
 ]
 
 

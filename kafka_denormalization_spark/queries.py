@@ -301,16 +301,12 @@ LANG_V2_ALPHABETS: dict[str, str] = {
 LANG_V2_PLANT_SLOTS = {2: "zh", 4: "ja", 6: "ko", 8: "ru"}
 
 
-def q_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Script-aware language ID (functions/text.py lang_id_v2 — VERDICT
-    r08 #8): character-class census first (Kana/Hangul/Han/Cyrillic at
-    the integer 10%-of-length gate, Kana before Han for mixed-script
-    Japanese), stopword argmax only for Latin text. Fixture: every
-    doc_id % 9 in {2,4,6,8} gets 30 deterministic characters drawn from
-    the matching planted alphabet (index (doc_id*7 + i*3) % 20 — the
-    conv-fixture plant convention); other docs keep their Latin text and
-    must reproduce q_lang_id's prediction exactly."""
-    docs = table(spark, sf_dir, "documents")
+def _lang_v2_text() -> F.Column:
+    """The planted-script text column over documents: every doc_id % 9
+    in {2,4,6,8} becomes 30 deterministic characters drawn from the
+    matching alphabet (index (doc_id*7 + i*3) % 20 — the conv-fixture
+    plant convention); other rows keep their Latin text. Shared by
+    q_lang_id_v2 and q_doc_tokens_v2."""
 
     def plant(alpha: str) -> F.Column:
         chars = F.array(*[F.lit(c) for c in alpha])
@@ -332,8 +328,37 @@ def q_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         text = F.when(
             F.col("doc_id") % 9 == slot, plant(LANG_V2_ALPHABETS[lang])
         ).otherwise(text)
+    return text
+
+
+def q_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID (functions/text.py lang_id_v2 — VERDICT
+    r08 #8): character-class census first (Kana/Hangul/Han/Cyrillic at
+    the integer 10%-of-length gate, Kana before Han for mixed-script
+    Japanese), stopword argmax only for Latin text, over the
+    planted-script fixture (_lang_v2_text); Latin rows must reproduce
+    q_lang_id's prediction exactly."""
+    docs = table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", text_fns.lang_id_v2(text).alias("lang_pred")
+        "doc_id", text_fns.lang_id_v2(_lang_v2_text()).alias("lang_pred")
+    )
+
+
+def q_doc_tokens_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware vs whitespace token counts over the planted-script
+    fixture (functions/text.py tokens_v2 vs tokens): an unsegmented
+    CJK row is ONE whitespace token but 30 single-char tokens under the
+    v2 fallback — the divergence that collapses token budgets, n-gram
+    dedup, and quality signals on CJK corpora if v1 is used; Latin rows
+    count identically through both. The oracle replays the
+    space-insertion regexp, so tokens_v2 itself is hash-evidenced (it
+    was pytest-only when it landed)."""
+    docs = table(spark, sf_dir, "documents")
+    text = _lang_v2_text()
+    return docs.select(
+        "doc_id",
+        F.size(text_fns.tokens(text)).cast("long").alias("n_tokens_v1"),
+        F.size(text_fns.tokens_v2(text)).cast("long").alias("n_tokens_v2"),
     )
 
 
@@ -402,11 +427,8 @@ def _lang_id_sql() -> str:
     return f"(list_aggregate([{', '.join(cands)}], 'max')).l"
 
 
-def _lang_id_v2_sql() -> str:
-    """Replay of q_lang_id_v2: the planted-script fixture (per-slot
-    alphabet draws) in a CTE, then the script census (literal char-class
-    counts at the integer 10% gate, Kana before Han) with the stopword
-    argmax as the Latin fallback."""
+def _lang_v2_case_text_sql() -> str:
+    """SQL twin of _lang_v2_text: the planted-script text expression."""
     plants = []
     for slot, lang in LANG_V2_PLANT_SLOTS.items():
         arr = ", ".join(f"'{c}'" for c in LANG_V2_ALPHABETS[lang])
@@ -415,7 +437,15 @@ def _lang_id_v2_sql() -> str:
             f" i -> ([{arr}])[CAST((doc_id * 7 + i * 3) % 20 + 1 AS"
             f" INTEGER)]), '')"
         )
-    case_text = "CASE doc_id % 9 " + " ".join(plants) + " ELSE text END"
+    return "CASE doc_id % 9 " + " ".join(plants) + " ELSE text END"
+
+
+def _lang_id_v2_sql() -> str:
+    """Replay of q_lang_id_v2: the planted-script fixture (per-slot
+    alphabet draws) in a CTE, then the script census (literal char-class
+    counts at the integer 10% gate, Kana before Han) with the stopword
+    argmax as the Latin fallback."""
+    case_text = _lang_v2_case_text_sql()
     script_cases = []
     for _name, lo, hi, lang in text_fns.SCRIPT_RANGES:
         cls = f"[{chr(lo)}-{chr(hi)}]"
@@ -431,6 +461,29 @@ def _lang_id_v2_sql() -> str:
     SELECT doc_id,
            CASE {" ".join(script_cases)}
                 ELSE {_lang_id_sql()} END AS lang_pred
+    FROM lv2
+    """
+
+
+def _doc_tokens_v2_sql() -> str:
+    """Replay of q_doc_tokens_v2: the same planted fixture, whitespace
+    split vs the tokens_v2 space-insertion regexp (DuckDB/RE2 uses \\1
+    for the backreference where Spark/Java uses $1; the char class is
+    generated from the same SCRIPT_RANGES source)."""
+    cjk = "".join(
+        f"{chr(lo)}-{chr(hi)}"
+        for name, lo, hi, _lang in text_fns.SCRIPT_RANGES
+        if name in ("kana", "hangul", "han")
+    )
+    return f"""
+    WITH lv2 AS (
+      SELECT doc_id, {_lang_v2_case_text_sql()} AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens_v1,
+           CAST(len(string_split_regex(trim(
+                  regexp_replace(text, '([{cjk}])', ' \\1 ', 'g')),
+                '\\s+')) AS BIGINT) AS n_tokens_v2
     FROM lv2
     """
 
@@ -4800,6 +4853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "z_order_prune": q_z_order_prune,
     "lang_id": q_lang_id,
     "lang_id_v2": q_lang_id_v2,
+    "doc_tokens_v2": q_doc_tokens_v2,
     "text_clean": q_text_clean,
     "vocab_topk": q_vocab_topk,
     "canonical_dedup": q_canonical_dedup,
@@ -6142,6 +6196,7 @@ ORACLE_SQL: dict[str, str] = {
     SELECT doc_id, lang, {_lang_id_sql()} AS lang_pred FROM documents
     """,
     "lang_id_v2": _lang_id_v2_sql(),
+    "doc_tokens_v2": _doc_tokens_v2_sql(),
     "text_clean": f"""
     SELECT doc_id,
            trim(regexp_replace(lower(regexp_replace(text, 'https?://\\S+', ' ', 'g')),
