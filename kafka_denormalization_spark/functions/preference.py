@@ -183,19 +183,22 @@ def preference_length_bias(
 
     Determinism: sums/counts are exact longs; each reported ratio is
     one IEEE division of exact integers, rounded to the 9-decimal grid
-    (the repo-wide float-oracle convention).
+    (the repo-wide float-oracle convention). ``len_ratio`` is NULL when
+    a group's rejected sides are all empty (ADVICE r09: Spark yields
+    NULL for integer-sum/0 while DuckDB yields IEEE Infinity — the
+    guard pins one semantics on both engines).
 
     Output: (group_col, n_pairs, chosen_chars, rejected_chars,
     len_ratio, frac_chosen_longer)."""
     j = prefs.join(groups, ["pair_id"])
+    rej_chars = F.sum(F.length("rejected")).cast("double")
     return j.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(F.length("chosen")).cast("long").alias("chosen_chars"),
         F.sum(F.length("rejected")).cast("long").alias("rejected_chars"),
-        F.round(
-            F.sum(F.length("chosen")).cast("double")
-            / F.sum(F.length("rejected")).cast("double"),
-            9,
+        F.when(
+            rej_chars > 0,
+            F.round(F.sum(F.length("chosen")).cast("double") / rej_chars, 9),
         ).alias("len_ratio"),
         F.round(
             F.sum(

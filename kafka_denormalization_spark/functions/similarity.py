@@ -29,6 +29,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import persist_if_uncached
 
 from kafka_denormalization_spark.functions.text import tokens
 
@@ -122,6 +123,11 @@ def hot_bucket_table(
     computes 2-3x before the lazy persist populates (~+2.3 s vs ~+0.7 s
     for the eager probe per guarded sf0.1 query — tools/ab_auto_cap.py,
     docs/SCALE_NOTES.md r09)."""
+    _LOG.info(
+        "%s hot-bucket guard: building split table for buckets wider "
+        "than %d (keys: %s)",
+        what, int(max_bucket), ",".join(key_cols),
+    )
     return widths.filter(F.col(wcol) > F.lit(int(max_bucket))).select(
         *key_cols,
         F.ceil(F.col(wcol) / F.lit(int(max_bucket)))
@@ -368,13 +374,12 @@ def minhash_band_buckets(
     )
     if max_bucket is None:
         return base
-    from pyspark import StorageLevel
 
     # bucket rows are consumed at least twice (width scan + refine
     # join); persist for the probe either way, but honor persist=False
     # by releasing the cache the moment the probe resolves (ADVICE r08:
     # the guard must not pin an internal cache the caller opted out of)
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = persist_if_uncached(base)
     internal_cache = base
     widths = base.groupBy("_band", "_h").agg(F.count(F.lit(1)).alias("_w"))
     if max_bucket == "auto":
@@ -494,14 +499,9 @@ def incremental_near_dedup(
     ``spark.catalog.clearCache()`` between ingests or hold the result
     eagerly.
     """
-    from pyspark import StorageLevel
 
-    new_grams = word_gram_rows(new_df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    new_buckets = minhash_band_buckets(new_grams, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    new_grams = word_gram_rows(new_df, id_col, text_col, n).transform(persist_if_uncached)
+    new_buckets = minhash_band_buckets(new_grams, num_hashes, bands).transform(persist_if_uncached)
     base_grams = word_gram_rows(base_df, id_col, text_col, n)
     base_buckets = minhash_band_buckets(base_grams, num_hashes, bands)
 
@@ -518,7 +518,7 @@ def incremental_near_dedup(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_if_uncached)
     )
     wa, wb = new_buckets.alias("a"), new_buckets.alias("b")
     within_cand = (
@@ -530,7 +530,7 @@ def incremental_near_dedup(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_if_uncached)
     )
 
     # verify grams: new-batch grams from the cache; base grams re-derived
@@ -542,7 +542,7 @@ def incremental_near_dedup(
     verify_grams = (
         new_grams.unionByName(word_gram_rows(base_cand_docs, id_col, text_col, n))
         .dropDuplicates(["_id", "_g"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_if_uncached)
     )
     thr = F.col("jaccard_sim") >= threshold
     dup_vs_base = (
@@ -614,9 +614,8 @@ def minhash_lsh_pairs(
     """
     grams_all = word_gram_rows(docs, id_col, text_col, n)
     if share_grams and persist:
-        from pyspark import StorageLevel
 
-        grams_all = grams_all.persist(StorageLevel.MEMORY_AND_DISK)
+        grams_all = persist_if_uncached(grams_all)
     buckets = minhash_band_buckets(
         grams_all, num_hashes, bands, max_bucket, persist=persist
     )
@@ -625,9 +624,8 @@ def minhash_lsh_pairs(
         # is tiny (id + band + hash per row); persisting avoids recomputing
         # the whole signature pipeline twice. MEMORY_AND_DISK spills
         # instead of OOMing at scale.
-        from pyspark import StorageLevel
 
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = persist_if_uncached(buckets)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
@@ -665,15 +663,13 @@ def minhash_lsh_pairs(
         gram_src = word_gram_rows(cand_docs, id_col, text_col, n)
     grams = gram_src.dropDuplicates(["_id", "_g"])
     if persist:
-        from pyspark import StorageLevel
 
         # referenced 3x in the verify (two intersection sides + sizes)
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = persist_if_uncached(grams)
     verified = exact_jaccard_pairs(candidates, grams).filter(
         F.col("jaccard_sim") >= threshold
     )
     if eager_cleanup and persist:
-        from pyspark import StorageLevel
 
         # Materialize the (tiny) verified pair set now, then release the
         # session-lifetime caches the pipeline pinned (corpus gram rows,
@@ -683,7 +679,7 @@ def minhash_lsh_pairs(
         # stealing executor storage memory from every later query — at
         # cluster scale that pressure evicts other cached state; on the
         # bench it inflates unrelated queries that run after the family.
-        verified = verified.persist(StorageLevel.MEMORY_AND_DISK)
+        verified = persist_if_uncached(verified)
         verified.count()
         # include the hot-bucket guard's internal cache (present only
         # when max_bucket was set — see minhash_band_buckets)
@@ -739,27 +735,45 @@ def fuzzy_contamination(
     convention, ADVICE r07): silently reporting zero contamination on a
     misconfigured eval path is the worst failure mode a decon step has.
 
+    ID-RANGE CONTRACT (ADVICE r09): the shared verify gram table keys
+    BOTH sides by one ``_id`` column, namespacing eval ids by adding
+    ``FUZZY_EVAL_OFFSET`` (2^40). That is collision-free iff document
+    ids are non-negative and < 2^40 and eval ids are non-negative —
+    a negative or 64-bit-hash doc id space would silently collide with
+    shifted eval ids. The eval side is validated eagerly here (eval
+    sets are thousands of rows — the probe is free); the DOC side is a
+    documented caller contract, not a scan: validating it would cost a
+    full pass over the corpus at 100 TB. Callers with hashed/negative
+    doc ids must re-key (e.g. ``row_number`` or ``pmod`` into
+    [0, 2^40)) before calling.
+
     Output — one row per CONTAMINATED document:
     (id_col, eval_id_col of the best match by (jaccard desc, eval_id
     asc), jaccard_r rounded to 9, n_eval_matches).
     """
-    from pyspark import StorageLevel
 
-    if evals.limit(1).count() == 0:
+    probe = evals.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(eval_id_col).alias("_lo"),
+        F.max(eval_id_col).alias("_hi"),
+    ).collect()[0]
+    if int(probe["_n"]) == 0:
         raise ValueError(
             "fuzzy_contamination: the eval set is empty — refusing to "
             "report zero contamination from a misconfigured eval path"
         )
-    doc_grams = word_gram_rows(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if int(probe["_lo"]) < 0 or int(probe["_hi"]) >= FUZZY_EVAL_OFFSET:
+        raise ValueError(
+            "fuzzy_contamination: eval ids must lie in [0, 2^40) so the "
+            f"+2^40 namespace shift cannot collide with document ids — "
+            f"got range [{probe['_lo']}, {probe['_hi']}]"
+        )
+    doc_grams = word_gram_rows(docs, id_col, text_col, n).transform(persist_if_uncached)
     shifted = evals.select(
         (F.col(eval_id_col) + F.lit(FUZZY_EVAL_OFFSET)).alias("_eid"),
         F.col(eval_text_col).alias("_et"),
     )
-    eval_grams = word_gram_rows(shifted, "_eid", "_et", n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    eval_grams = word_gram_rows(shifted, "_eid", "_et", n).transform(persist_if_uncached)
     doc_buckets = minhash_band_buckets(doc_grams, num_hashes, bands)
     eval_buckets = minhash_band_buckets(eval_grams, num_hashes, bands)
     a, b = doc_buckets.alias("a"), eval_buckets.alias("b")
@@ -771,14 +785,14 @@ def fuzzy_contamination(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_if_uncached)
     )
     cand_doc_ids = cand.select(F.col("id_a").alias("_id")).dropDuplicates()
     verify_grams = (
         doc_grams.join(F.broadcast(cand_doc_ids), ["_id"], "left_semi")
         .unionByName(eval_grams)
         .dropDuplicates(["_id", "_g"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_if_uncached)
     )
     verified = exact_jaccard_pairs(cand, verify_grams).filter(
         F.col("jaccard_sim") >= threshold
@@ -803,13 +817,19 @@ def fuzzy_contamination(
         "n_eval_matches",
     )
     if eager_cleanup:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = persist_if_uncached(out)
         out.count()
         for frame in (doc_grams, eval_grams, cand, verify_grams):
             try:
                 frame.unpersist()
             except Exception:  # pragma: no cover - defensive
                 pass
+    else:
+        # ADVICE r09: lazy callers must be able to release the four
+        # internal persists — expose them via the repo-wide
+        # _sg_internal_caches convention instead of pinning executor
+        # storage for the session
+        out._sg_internal_caches = [doc_grams, eval_grams, cand, verify_grams]
     return out
 
 
@@ -974,9 +994,8 @@ def simhash_dup_pairs(
     bit_count(xor) <= max_hamming. Shuffles (chunk_idx, chunk_value) keys,
     not documents.
     """
-    from pyspark import StorageLevel
 
-    sh = simhash_table(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_if_uncached(simhash_table(docs, id_col, text_col))
     chunks = sh.select(
         "_id",
         "_sh",
@@ -1075,11 +1094,8 @@ def simhash_dup_pairs_portable(
     distance 3 shares at least one) and exact popcount verify, expressed
     entirely in non-negative integer ops the DuckDB oracle replays.
     Output: (id_a, id_b, hamming)."""
-    from pyspark import StorageLevel
 
-    sh = simhash_table_portable(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = simhash_table_portable(docs, id_col, text_col).transform(persist_if_uncached)
     chunk_vals = [
         F.col("_shl").bitwiseAND(F.lit(0xFFFF)),
         F.shiftright(F.col("_shl"), 16),
@@ -1584,9 +1600,8 @@ def containment_pairs(
     """
     grams = word_gram_rows(docs, id_col, text_col, n).distinct()
     if persist:
-        from pyspark import StorageLevel
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = persist_if_uncached(grams)
     df_tab = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     ranked = grams.join(df_tab, "_g").select(
         "_id",
@@ -1600,7 +1615,7 @@ def containment_pairs(
         F.floor(F.lit(1.0 - threshold) * F.col("_sz").cast("double")) + F.lit(1)
     )
     if persist:
-        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        ranked = persist_if_uncached(ranked)
     prefix = ranked.filter(F.col("_r") <= prefix_len).select(
         F.col("_id").alias("id_a"),
         "_g",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import persist_if_uncached
 
 from kafka_denormalization_spark.operators.window import global_ordered_window
 
@@ -988,7 +989,6 @@ def bpe_merges(
 def _bpe_vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
     """The persisted word-frequency table with each word split into
     character symbols — the single corpus pass every BPE round reuses."""
-    from pyspark import StorageLevel
 
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("_w"))
@@ -1002,9 +1002,7 @@ def _bpe_vocab_syms(docs: DataFrame, text_col: str) -> DataFrame:
             lambda i: F.col("_w").substr(i, F.lit(1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return vocab.select("_w", "_f", chars.alias("_syms")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    return vocab.select("_w", "_f", chars.alias("_syms")).transform(persist_if_uncached)
 
 
 def _bpe_best_pair(syms_df: DataFrame, rnd: int) -> DataFrame:
@@ -1263,11 +1261,8 @@ def line_dedup(
     two digest explodes, zero cache pressure.
     """
     if share_digest:
-        from pyspark import StorageLevel
 
-        digest = line_digest_rows(docs, id_col, lines_col).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        digest = line_digest_rows(docs, id_col, lines_col).transform(persist_if_uncached)
         heavy = (
             digest.select("_id", "_h")
             .distinct()

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import persist_if_uncached
 
 # 2^36: exact binary scale for the fixed-point centroid sums (shared
 # convention with queries.py embedding_centroid oracle).
@@ -85,9 +86,8 @@ def kmeans_assign(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     if persist:
-        from pyspark import StorageLevel
 
-        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+        vecs = persist_if_uncached(vecs)
     centroids = (
         vecs.orderBy("_vid")
         .limit(k)
@@ -199,7 +199,6 @@ def semantic_dedup(
 
     Output: (id_col, cluster_id) — the surviving vectors.
     """
-    from pyspark import StorageLevel
 
     from kafka_denormalization_spark.functions.similarity import cosine
 
@@ -208,7 +207,7 @@ def semantic_dedup(
     # anti-join — otherwise each consumer replays the whole Lloyd plan
     with_vec = assigned.join(
         emb.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_if_uncached)
     a = with_vec.select(
         F.col(id_col).alias("_ida"),
         F.col("cluster_id").alias("_c"),

@@ -27,6 +27,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import persist_if_uncached
 
 from kafka_denormalization_spark.operators.window import global_ordered_window
 
@@ -419,9 +420,8 @@ def dsir_log_weights(
         .agg(F.count(F.lit(1)).alias("_c"), F.max("_tgt").alias("_t"))
     )
     if persist:
-        from pyspark import StorageLevel
 
-        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = persist_if_uncached(counts)
     bucket_stats = counts.groupBy("_b").agg(
         F.sum("_c").alias("_raw"),
         F.sum(F.col("_c") * F.col("_t")).alias("_tgt_c"),
