@@ -472,3 +472,95 @@ def test_paired_near_dup_audit_short_caption_jaccard_zero(spark):
     assert len(r) == 1
     assert r[0]["dup_class"] == "image_only"
     assert r[0]["jaccard_r"] == 0.0 and r[0]["hamming"] == 0
+
+
+# -- video family -------------------------------------------------------------
+
+from kafka_denormalization_spark.functions.multimodal import (  # noqa: E402
+    VIDEO_N_FRAMES,
+    VIDEO_W,
+    _decode_video,
+    decode_video_stats,
+    fake_video_pixels,
+    make_video_blob,
+    sample_video_frames,
+    video_fingerprint,
+    video_fp_dedup,
+)
+
+
+def test_video_codec_roundtrip():
+    px = fake_video_pixels(seed=5, gain=2)
+    w, h, fps, fr = _decode_video(make_video_blob(px))
+    assert (w, h, fps) == (8, 8, 10)
+    assert fr.shape == (VIDEO_N_FRAMES, VIDEO_W * 8)
+    assert list(fr.flatten()) == px
+
+
+def test_video_real_codec_honest_gate():
+    with pytest.raises(NotImplementedError):
+        # an mp4 ftyp box header — a real container must gate, not garble
+        _decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+
+
+def test_video_stats_hand_computed(spark):
+    # 1 frame of 64 pixels: 0..63 -> peak 63, total 2016 (64*63/2)
+    blob = make_video_blob(list(range(64)), fps=5)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    r = decode_video_stats(df).collect()[0]
+    assert r["n_frames"] == 1
+    assert (r["width"], r["height"], r["fps"]) == (8, 8, 5)
+    assert r["duration_ms"] == 200  # 1 * 1000 // 5
+    assert r["peak_luma"] == 63
+    assert r["luma_total"] == 64 * 63 // 2
+
+
+def test_video_frame_sample_one_to_many(spark):
+    blob = make_video_blob(fake_video_pixels(seed=3))
+    df = spark.createDataFrame([(7, bytearray(blob))], "id long, blob binary")
+    rows = sample_video_frames(df, every_k=8).collect()
+    # frames 0, 8, ..., 64 -> 9 sampled rows, exact integer luma sums
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(range(0, 65, 8))
+    _, _, _, fr = _decode_video(blob)
+    by_f = {r["frame_idx"]: r for r in rows}
+    for f in range(0, 65, 8):
+        assert by_f[f]["luma_sum"] == int(fr[f].sum())
+        assert by_f[f]["peak_luma"] == int(fr[f].max())
+
+
+def test_video_fingerprint_gain_invariant(spark):
+    rows = [
+        (1, bytearray(make_video_blob(fake_video_pixels(7, gain=1)))),
+        (2, bytearray(make_video_blob(fake_video_pixels(7, gain=3)))),
+        (3, bytearray(make_video_blob(fake_video_pixels(8, gain=1)))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    fp = {r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+          for r in video_fingerprint(df).collect()}
+    assert fp[1] == fp[2]  # brightness re-grade collapses
+    assert fp[1] != fp[3]  # different clip does not
+
+
+def test_video_fingerprint_short_clip_clear_error(spark):
+    short = make_video_blob(fake_video_pixels(3, n_frames=10))
+    df = spark.createDataFrame([(42, bytearray(short))], "id long, blob binary")
+    with pytest.raises(Exception) as ei:
+        video_fingerprint(df).collect()
+    assert "video_fingerprint: blob id=42 has 10 frames" in str(ei.value)
+    # the any-length stats path still accepts the same blob
+    r = decode_video_stats(df).collect()[0]
+    assert r["n_frames"] == 10
+
+
+def test_video_fp_dedup_keeps_min_id_per_family(spark):
+    rows = [
+        (10, bytearray(make_video_blob(fake_video_pixels(1, gain=1)))),
+        (11, bytearray(make_video_blob(fake_video_pixels(1, gain=2)))),
+        (12, bytearray(make_video_blob(fake_video_pixels(1, gain=3)))),
+        (20, bytearray(make_video_blob(fake_video_pixels(2, gain=1)))),
+        (21, bytearray(make_video_blob(fake_video_pixels(2, gain=2)))),
+        (30, bytearray(make_video_blob(fake_video_pixels(3, gain=1)))),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    kept = sorted(r["id"] for r in video_fp_dedup(df).collect())
+    assert kept == [10, 20, 30]

@@ -603,6 +603,32 @@ def _audio_dedup(docs):
     return audio_fp_dedup(blobs, "id", hamming_max=3)
 
 
+def _video_dedup(docs):
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_video_pixels,
+        make_video_blob,
+        video_fp_dedup,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_video_blob(
+                        fake_video_pixels(int(d) % 89, 1 + int(d) % 3)
+                    ),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.select("doc_id").mapInPandas(encode, "id long, blob binary")
+    return video_fp_dedup(blobs, "id", hamming_max=3)
+
+
 def _embedding_debias(emb):
     from kafka_denormalization_spark.functions.similarity import (
         embedding_debias,
@@ -887,6 +913,9 @@ OPS = {
     # id shift) — the realistic "more copies at scale" shape; pair
     # volume grows with family width under the banded join
     "audio_dedup": ("documents", "doc_id", _audio_dedup, False),
+    # same convention: id%89 seed families survive the shift, family
+    # width grows with N under the banded Hamming join
+    "video_dedup": ("documents", "doc_id", _video_dedup, False),
     "embedding_debias": ("embeddings", "vec_id", _embedding_debias, False),
     "dedup_mixture_shift": ("documents", "doc_id", _dedup_mixture_shift, True),
     "contamination_scrub": ("documents", "doc_id", _contamination_scrub, False),
