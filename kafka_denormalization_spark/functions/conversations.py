@@ -180,6 +180,87 @@ def instruction_response_pairs(turns: DataFrame) -> DataFrame:
     )
 
 
+def _token_gram_rows(
+    df: DataFrame, text_col: str, keep: list[str], n: int
+) -> DataFrame:
+    """One row per whitespace-token n-gram of ``text_col`` (texts with
+    fewer than n tokens contribute nothing) — shared by the batch
+    decontamination scan and the frozen-gram freeze/apply pair below."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(*keep, F.explode(grams).alias("_g"))
+
+
+def freeze_eval_grams(
+    evals: DataFrame,
+    path: str,
+    eval_id_col: str = "eval_id",
+    text_col: str = "answer",
+    n: int = 8,
+) -> None:
+    """FREEZE step of the decontamination freeze/apply pattern (the
+    lm_model convention — eval sets are corpus-external and never grow
+    with the stream, so a streaming pipeline gates against a
+    parquet-frozen gram table instead of re-gramming the eval set per
+    micro-batch): distinct (gram, eval_id) rows of every ``n``-token
+    gram of ``text_col``, written to ``path``. Raises on an empty eval
+    set (the fuzzy_contamination honest-gate convention — a silently
+    empty frozen gate reports zero contamination forever)."""
+    grams = (
+        _token_gram_rows(evals, text_col, [eval_id_col], n)
+        .dropDuplicates()
+        .select(F.col(eval_id_col).alias("_eid"), "_g")
+    )
+    grams.write.mode("overwrite").parquet(path)
+    frozen = evals.sparkSession.read.parquet(path)
+    if frozen.limit(1).count() == 0:
+        raise ValueError(
+            "freeze_eval_grams: the frozen gram table is empty — every "
+            f"eval text has fewer than n={n} tokens (or the eval set is "
+            "empty); refusing to freeze a gate that can never fire"
+        )
+
+
+def pair_decontaminate_frozen(
+    pairs: DataFrame,
+    frozen_grams: DataFrame,
+    side: str = "response",
+    n: int = 8,
+) -> DataFrame:
+    """APPLY step: ``pair_ngram_contamination`` semantics against a
+    pre-frozen (_eid, _g) gram table (``freeze_eval_grams``) — the
+    per-batch gate a streaming pipeline runs. Identical output schema:
+    (conv_id, turn_idx, instruction, response, n_eval_hits,
+    contaminated), zero-hit pairs included."""
+    if side not in ("instruction", "response"):
+        raise ValueError(f"side must be instruction or response, got {side!r}")
+    igrams = _token_gram_rows(pairs, side, ["conv_id", "turn_idx"], n)
+    hits = (
+        igrams.join(F.broadcast(frozen_grams), "_g")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.countDistinct("_eid").alias("n_eval_hits"))
+    )
+    return (
+        pairs.join(hits, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "instruction",
+            "response",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_eval_hits"),
+        )
+        .withColumn("contaminated", F.col("n_eval_hits") > 0)
+    )
+
+
 def pair_ngram_contamination(
     pairs: DataFrame,
     prompts: DataFrame,
@@ -216,23 +297,12 @@ def pair_ngram_contamination(
     if side not in ("instruction", "response"):
         raise ValueError(f"side must be instruction or response, got {side!r}")
 
-    def gram_rows(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
-        toks = tokens(F.col(text_col))
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-        grams = F.when(F.size(toks) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        )
-        return df.select(*keep, F.explode(grams).alias("_g"))
-
     pgrams = (
-        gram_rows(prompts, prompt_col, [prompt_id_col])
+        _token_gram_rows(prompts, prompt_col, [prompt_id_col], n)
         .dropDuplicates()
         .select(F.col(prompt_id_col).alias("_eid"), "_g")
     )
-    igrams = gram_rows(pairs, side, ["conv_id", "turn_idx"])
+    igrams = _token_gram_rows(pairs, side, ["conv_id", "turn_idx"], n)
     hits = (
         igrams.join(F.broadcast(pgrams), "_g")
         .groupBy("conv_id", "turn_idx")

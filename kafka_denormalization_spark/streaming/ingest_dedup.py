@@ -188,7 +188,21 @@ class IngestNearDedup:
             F.broadcast(prune.filter(F.col("part") >= 0)), on="part", how="left_semi"
         )
 
-    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+    def match_pairs(self, batch_df: DataFrame):
+        """The MATCH half of ``process_batch``, exposed for composers
+        that need the verified near-dup PAIR tables rather than the
+        single-side drop decision (IngestPrefPairDedup's both-sides
+        rule intersects two of these): returns
+
+        - ``cross``:  (id_a = surviving STATE id, id_b = batch id)
+        - ``within``: (id_a < id_b, both batch ids)
+        - ``gd``:     the batch's (_id, _gd) gram digests
+        - ``buckets``: the batch's partition-tagged LSH band rows
+
+        both pair tables exact-Jaccard-verified at ``threshold``. State
+        is NOT written — call ``commit`` with the surviving rows (the
+        set-semantics idempotency story is unchanged: match is a pure
+        read, commit is the only append)."""
         from kafka_denormalization_spark.functions.similarity import (
             exact_jaccard_pairs,
             minhash_band_buckets,
@@ -236,6 +250,10 @@ class IngestNearDedup:
         cross_cand = cross_cand.localCheckpoint(eager=True)
         within_cand = within_cand.localCheckpoint(eager=True)
 
+        # NOTE on pair orientation: cross_cand's id_a is the BATCH id
+        # and id_b the STATE id (a=new, b=base); match_pairs returns it
+        # re-oriented (id_a=state, id_b=batch) so composers read both
+        # tables as "id_b is the candidate batch casualty".
         cand_ids = cross_cand.select(F.col("id_b").alias("_id")).dropDuplicates()
         state_gd = self._read_state(
             self._grams_dir,
@@ -248,23 +266,24 @@ class IngestNearDedup:
             .withColumnRenamed("_gd", "_g")
         )
         thr = F.col("jaccard_sim") >= self.threshold
-        dup_vs_base = (
+        cross = (
             exact_jaccard_pairs(cross_cand, verify)
             .filter(thr)
-            .select(F.col("id_a").alias(id_col))
+            .select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
             .dropDuplicates()
         )
-        dup_within = (
+        within = (
             exact_jaccard_pairs(within_cand, verify)
             .filter(thr)
-            .select(F.col("id_b").alias(id_col))
+            .select("id_a", "id_b")
             .dropDuplicates()
         )
-        dropped = dup_vs_base.unionByName(dup_within).dropDuplicates()
-        survivors = batch_df.join(dropped, [id_col], "left_anti").localCheckpoint(
-            eager=True
-        )
-        surv_ids = survivors.select(F.col(id_col).alias("_id"))
+        return cross, within, gd, buckets
+
+    def commit(self, survivors: DataFrame, gd: DataFrame, buckets: DataFrame) -> None:
+        """Append the surviving rows' LSH bands + gram digests to state
+        (the WRITE half of ``process_batch``)."""
+        surv_ids = survivors.select(F.col(self.id_col).alias("_id"))
         (
             buckets.join(surv_ids, "_id", "left_semi")
             .select("_id", "_band", "_h", "part")
@@ -279,6 +298,17 @@ class IngestNearDedup:
             .partitionBy("part")
             .parquet(self._grams_dir)
         )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        id_col = self.id_col
+        cross, within, gd, buckets = self.match_pairs(batch_df)
+        dup_vs_base = cross.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        dup_within = within.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        dropped = dup_vs_base.unionByName(dup_within).dropDuplicates()
+        survivors = batch_df.join(dropped, [id_col], "left_anti").localCheckpoint(
+            eager=True
+        )
+        self.commit(survivors, gd, buckets)
         return survivors
 
     def foreach_batch(self, sink):

@@ -613,3 +613,243 @@ def test_semantic_decontamination_doc_filter_e2e(spark, tmp_path):
     assert sorted(got) == sorted(ref)
     for d in got:
         assert got[d]["shard_id"] == ref[d]["shard_id"]
+
+
+# -- conversation/preference streaming twin (VERDICT r09 #5) -------------------
+
+
+def _conv(conv_id, *turns):
+    return (conv_id, [{"role": r, "content": c} for r, c in turns])
+
+
+_CONV_SCHEMA = (
+    "conv_id long, "
+    "turns array<struct<role: string, content: string>>"
+)
+
+_CANNED = (
+    "i am sorry but i cannot help with that particular request "
+    "please consult the documentation for details today"
+)
+# reworded canned response: same leading 18 tokens, new tail ->
+# 3-gram jaccard well above the 0.5 threshold
+_CANNED_REWORDED = " ".join(_CANNED.split()[:18]) + " friend okay"
+_EVAL_ANSWER = "the capital of france is paris not london"
+
+
+def _conv_batches():
+    return [
+        # batch 1: two clean conversations; conv 1 carries the canned
+        # assistant response every later rewording must dedup against
+        [
+            _conv(
+                1,
+                ("user", "please explain how rainbows form in the sky"),
+                ("assistant", _CANNED),
+            ),
+            _conv(
+                2,
+                ("user", "write a haiku about distributed shuffle joins"),
+                ("assistant", "partitions in flight silent exchange of"
+                              " the keys reducers await"),
+            ),
+        ],
+        # batch 2: conv 3's assistant turn REWORDS conv 1's canned
+        # response (turn near-dup -> pair killed); conv 4's response
+        # embeds a frozen eval ANSWER 8-gram (decon gate -> pair
+        # killed); conv 5 is clean
+        [
+            _conv(
+                3,
+                ("user", "completely different novel question about gardens"),
+                ("assistant", _CANNED_REWORDED),
+            ),
+            _conv(
+                4,
+                ("user", "what is the capital city of france then"),
+                ("assistant", "well " + _EVAL_ANSWER + " as everyone knows"),
+            ),
+            _conv(
+                5,
+                ("user", "how do i tune shuffle partitions in spark"),
+                ("assistant", "start from cores times two then watch the"
+                              " spill metrics and adjust upward slowly"),
+            ),
+        ],
+    ]
+
+
+def test_conv_curation_matches_batch_chain_with_restart(spark, tmp_path):
+    """Streamed curated pairs == the batch chain (turn unnest -> turn
+    near-dedup with smaller-key retention -> pair assembly ->
+    response-side decontamination) over the concatenated corpus; a
+    RESTARTED instance (fresh object, same state_dir) still remembers
+    batch-1 turns (the ingest_dedup twin standard)."""
+    from kafka_denormalization_spark.functions.conversations import (
+        conversation_turns,
+        freeze_eval_grams,
+        instruction_response_pairs,
+        pair_ngram_contamination,
+    )
+    from kafka_denormalization_spark.streaming.ingest_conversations import (
+        TURN_KEY_STRIDE,
+        IngestConvCuration,
+    )
+
+    evals = spark.createDataFrame(
+        [(100, _EVAL_ANSWER)], "eval_id long, answer string"
+    )
+    frozen = str(tmp_path / "frozen_eval_grams")
+    freeze_eval_grams(evals, frozen, text_col="answer", n=8)
+
+    batches = _conv_batches()
+    state = str(tmp_path / "conv_state")
+    cur = IngestConvCuration(spark, state, frozen_grams_path=frozen)
+    shipped = []
+    # batch 1 through the first instance, batch 2 through a RESTARTED
+    # one — the near-dedup memory must live in the durable state dir
+    shipped.extend(
+        r.asDict()
+        for r in cur.process_batch(
+            spark.createDataFrame(batches[0], _CONV_SCHEMA)
+        ).collect()
+    )
+    cur2 = IngestConvCuration(spark, state, frozen_grams_path=frozen)
+    shipped.extend(
+        r.asDict()
+        for r in cur2.process_batch(
+            spark.createDataFrame(batches[1], _CONV_SCHEMA)
+        ).collect()
+    )
+    got = {(r["conv_id"], r["turn_idx"]) for r in shipped}
+    # conv 3's pair dies to turn near-dedup, conv 4's to the frozen
+    # response-side gate
+    assert got == {(1, 0), (2, 0), (5, 0)}
+
+    # --- batch reference: same chain over the union ----------------------
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    union = spark.createDataFrame(
+        [c for b in batches for c in b], _CONV_SCHEMA
+    )
+    turns = conversation_turns(union).withColumn(
+        "_turn_key",
+        F.col("conv_id") * TURN_KEY_STRIDE + F.col("turn_idx"),
+    )
+    dup_pairs = minhash_lsh_pairs(
+        turns, "_turn_key", "content", threshold=0.5, eager_cleanup=True
+    )
+    dropped = dup_pairs.select(
+        F.greatest("id_a", "id_b").alias("_turn_key")
+    ).dropDuplicates()
+    surv = turns.join(dropped, "_turn_key", "left_anti").drop("_turn_key")
+    ref_pairs = pair_ngram_contamination(
+        instruction_response_pairs(surv), evals,
+        prompt_col="answer", side="response",
+    ).filter(~F.col("contaminated"))
+    ref = {(r["conv_id"], r["turn_idx"]) for r in ref_pairs.collect()}
+    assert got == ref
+
+    # responses shipped are the verbatim surviving assistant turns
+    by_conv = {r["conv_id"]: r for r in shipped}
+    assert by_conv[1]["response"] == _CANNED
+    assert by_conv[1]["instruction"].startswith("please explain")
+
+
+def test_conv_curation_restart_memory_and_gate_off(spark, tmp_path):
+    """A near-dup of a batch-1 canned turn arriving AFTER a restart is
+    dropped (durable memory); with no frozen gate configured the twin
+    is turn-dedup only and the eval-answer pair ships."""
+    from kafka_denormalization_spark.streaming.ingest_conversations import (
+        IngestConvCuration,
+    )
+
+    batches = _conv_batches()
+    state = str(tmp_path / "state2")
+    cur = IngestConvCuration(spark, state)  # no frozen gate
+    out1 = cur.process_batch(
+        spark.createDataFrame(batches[0], _CONV_SCHEMA)
+    ).collect()
+    assert {r["conv_id"] for r in out1} == {1, 2}
+    cur2 = IngestConvCuration(spark, state)
+    out2 = cur2.process_batch(
+        spark.createDataFrame(batches[1], _CONV_SCHEMA)
+    ).collect()
+    # conv 3 still dies (restart memory); conv 4 SHIPS (gate off)
+    assert {r["conv_id"] for r in out2} == {4, 5}
+
+
+def test_freeze_eval_grams_empty_gate_raises(spark, tmp_path):
+    """Honest gate: freezing an eval set whose every answer is shorter
+    than n tokens would silently disable decontamination forever."""
+    from kafka_denormalization_spark.functions.conversations import (
+        freeze_eval_grams,
+    )
+
+    short = spark.createDataFrame(
+        [(1, "too short")], "eval_id long, answer string"
+    )
+    with pytest.raises(ValueError, match="refusing to freeze"):
+        freeze_eval_grams(short, str(tmp_path / "f"), text_col="answer", n=8)
+
+
+def test_pref_pair_dedup_streaming_matches_batch_with_restart(spark, tmp_path):
+    """IngestPrefPairDedup: streamed survivors == the batch both-sides
+    operator (functions/preference.py preference_pair_dedup) over the
+    union; a single matching side SHIPS; a RESTARTED instance still
+    remembers batch-1 pairs."""
+    from kafka_denormalization_spark.functions.preference import (
+        preference_pair_dedup,
+    )
+    from kafka_denormalization_spark.streaming.ingest_conversations import (
+        IngestPrefPairDedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "completely different response about database join strategies here"
+    rej = "a brief unhelpful reply that dodges the question entirely"
+    schema = "pair_id long, chosen string, rejected string"
+    batches = [
+        # batch 1: the original pair + an unrelated pair
+        [
+            (1, base + " extra tail words", rej),
+            (2, alt, "another terse reply that refuses to engage at all"),
+        ],
+        # batch 2: pair 10 both-sides near-dups pair 1 (dropped);
+        # pair 11 chosen-only match (ships); pair 12 within-batch
+        # both-sides near-dup of pair 11 (dropped, min pair_id wins)
+        [
+            (10, base + " extra tail words padded", rej + " sadly"),
+            (11, base + " extra tail words also", alt + " with numbers"),
+            (12, base + " extra tail words also yes", alt + " with numbers too"),
+        ],
+    ]
+    state = str(tmp_path / "pref_state")
+    dd = IngestPrefPairDedup(spark, state, threshold=0.5)
+    out1 = sorted(
+        r["pair_id"]
+        for r in dd.process_batch(
+            spark.createDataFrame(batches[0], schema)
+        ).collect()
+    )
+    assert out1 == [1, 2]
+    # restart: fresh instance, same state dir
+    dd2 = IngestPrefPairDedup(spark, state, threshold=0.5)
+    out2 = sorted(
+        r["pair_id"]
+        for r in dd2.process_batch(
+            spark.createDataFrame(batches[1], schema)
+        ).collect()
+    )
+    assert out2 == [11]
+
+    # batch reference over the union
+    union = spark.createDataFrame(
+        [p for b in batches for p in b], schema
+    )
+    ref = sorted(
+        r["pair_id"] for r in preference_pair_dedup(union).collect()
+    )
+    assert sorted(out1 + out2) == ref
