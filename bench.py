@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "video_fingerprint",
     "video_dedup",
+    "video_scenes",
 ]
 
 

@@ -1156,3 +1156,58 @@ def video_fp_dedup(
         id_col, "id"
     )
     return _sig_keep_min(sig, hamming_max, max_bucket, id_col, persist)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    num: int = 13,
+    den: int = 10,
+) -> DataFrame:
+    """Scene-cut detection — the shot-boundary primitive a video
+    training pipeline runs before per-scene sampling (one keyframe per
+    scene beats every-kth-frame when shots differ in length): frame f
+    (f >= 1) starts a new scene iff its luma energy changes by more
+    than num/den (default 13/10 = +-30%) against frame f-1, tested with
+    EXACT integer cross-multiplication (den*e[f] > num*e[f-1] or
+    num*e[f] < den*e[f-1]) — no float ratios, so any engine replays the
+    cuts bit-identically from the pixels.
+
+    1->N mapInPandas: a blob fans out to one row per SCENE; only
+    (id, scene_idx, start_frame, n_frames, 1 energy) shuffle — never
+    pixels. Frame 0 always opens scene 0; a zero-energy run is stable
+    (0 > num*0 is false, so black frames group into one scene).
+
+    Output: (id_col, scene_idx, start_frame, n_frames, energy_first).
+    """
+
+    def cuts(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                _, _, _, fr = _decode_video(bytes(blob))
+                e = (fr ** 2).sum(axis=1)
+                scene, start = 0, 0
+                for f in range(1, len(e)):
+                    if den * e[f] > num * e[f - 1] or num * e[f] < den * e[f - 1]:
+                        rows.append(
+                            (int(i), scene, start, f - start, int(e[start]))
+                        )
+                        scene, start = scene + 1, f
+                rows.append(
+                    (int(i), scene, start, len(e) - start, int(e[start]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "scene_idx", "start_frame", "n_frames",
+                    "energy_first",
+                ],
+            )
+
+    return df.mapInPandas(
+        cuts,
+        f"{id_col} long, scene_idx long, start_frame long, "
+        "n_frames long, energy_first long",
+    )

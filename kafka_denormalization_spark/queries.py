@@ -4828,6 +4828,21 @@ def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection (functions/multimodal.py video_scene_cuts):
+    one row per detected scene with exact integer bounds — a +-30%
+    frame-energy change opens a scene, tested by integer
+    cross-multiplication so the oracle replays cuts from the pixels."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        video_scene_cuts,
+    )
+
+    return video_scene_cuts(_video_blobs(spark, sf_dir), "id").select(
+        F.col("id").alias("doc_id"),
+        "scene_idx", "start_frame", "n_frames", "energy_first",
+    )
+
+
 def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dedup retention (functions/multimodal.py
     video_fp_dedup): Hamming-ball blocking + exact popcount verify over
@@ -4951,6 +4966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": q_video_frame_sample,
     "video_fingerprint": q_video_fingerprint,
     "video_dedup": q_video_dedup,
+    "video_scenes": q_video_scenes,
     "embedding_debias": q_embedding_debias,
     "signal_correlations": q_signal_correlations,
     "z_order_prune": q_z_order_prune,
@@ -5117,14 +5133,16 @@ _DRIVER_HEAD = [
     #     operators/join.py builder as the included denorm_inner /
     #     denorm_full_outer / denorm_nested_struct), corpus_pipeline
     #     (v2/v3/v4 descendants driver-checked in r09, same stage
-    #     machinery). They rotate next round.
+    #     machinery), ntile_acctbal (window physics covered by the
+    #     included window_running_total/topk_per_group). They rotate
+    #     next round.
     # (a) never driver-checked
     "conv_near_dedup", "conv_response_contamination", "doc_tokens_v2",
     "fuzzy_contamination", "lang_id_v2", "pref_length_bias",
     "pref_pair_dedup", "pref_pairs",
     # (b) round-10 video modality
     "video_stats", "video_frame_sample", "video_fingerprint",
-    "video_dedup",
+    "video_dedup", "video_scenes",
     # (c) r06-stale, alphabetical
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
     "anti_join_orphans", "asof_join", "bpe_doc_tokens",
@@ -5134,7 +5152,7 @@ _DRIVER_HEAD = [
     "denorm_full_outer", "denorm_inner", "denorm_nested_struct",
     "distinct_pairs", "fingerprint", "join_key_digest", "json_parse",
     "keyword_extraction", "latest_per_key", "market_share",
-    "ngram_jaccard_pairs", "ntile_acctbal", "quantiles",
+    "ngram_jaccard_pairs", "quantiles",
     "rekey_select_key", "rollup_pricing", "sessionize",
     "sliding_window", "text_clean", "topk_per_group",
     "value_histogram", "vocab_topk", "waiting_suppliers",
@@ -9050,6 +9068,30 @@ ORACLE_SQL: dict[str, str] = {
     "video_fingerprint": f"""
     WITH {_VIDEO_FP_CTES_SQL}
     SELECT doc_id, b0, b1, b2, b3 FROM vfp
+    """,
+    "video_scenes": f"""
+    WITH {_VIDEO_PX_SQL},
+    vfr AS (
+      SELECT doc_id, f, sum(v * v) AS e FROM vs GROUP BY doc_id, f
+    ),
+    vcut AS (
+      SELECT doc_id, f, e,
+             CASE WHEN f = 0 THEN 0
+                  WHEN 10 * e > 13 * lag(e) OVER w
+                    OR 13 * e < 10 * lag(e) OVER w THEN 1
+                  ELSE 0 END AS cut
+      FROM vfr WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    vscene AS (
+      SELECT doc_id, f, e,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene_idx
+      FROM vcut
+    )
+    SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+           CAST(min(f) AS BIGINT) AS start_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(min_by(e, f) AS BIGINT) AS energy_first
+    FROM vscene GROUP BY doc_id, scene_idx
     """,
     "video_dedup": f"""
     WITH {_VIDEO_FP_CTES_SQL},

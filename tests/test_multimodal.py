@@ -564,3 +564,39 @@ def test_video_fp_dedup_keeps_min_id_per_family(spark):
     df = spark.createDataFrame(rows, "id long, blob binary")
     kept = sorted(r["id"] for r in video_fp_dedup(df).collect())
     assert kept == [10, 20, 30]
+
+
+def test_video_scene_cuts_hand_computed(spark):
+    """Hand-built energy staircase: frames with pixel value v have
+    energy 64*v^2; +-30% integer cross-multiplication cuts exactly
+    where planted. Pixels: 3 frames at 10, 2 at 20 (jump up -> cut at
+    f=3), 1 back at 10 (drop -> cut at f=5)."""
+    px = [10] * 64 * 3 + [20] * 64 * 2 + [10] * 64
+    blob = make_video_blob(px)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    rows = sorted(
+        (r["scene_idx"], r["start_frame"], r["n_frames"], r["energy_first"])
+        for r in __import__(
+            "kafka_denormalization_spark.functions.multimodal",
+            fromlist=["video_scene_cuts"],
+        ).video_scene_cuts(df).collect()
+    )
+    assert rows == [
+        (0, 0, 3, 64 * 100),
+        (1, 3, 2, 64 * 400),
+        (2, 5, 1, 64 * 100),
+    ]
+
+
+def test_video_scene_cuts_black_frames_stable(spark):
+    """A zero-energy run stays ONE scene (0 > k*0 is false)."""
+    px = [0] * 64 * 4
+    df = spark.createDataFrame(
+        [(2, bytearray(make_video_blob(px)))], "id long, blob binary"
+    )
+    from kafka_denormalization_spark.functions.multimodal import (
+        video_scene_cuts,
+    )
+
+    rows = video_scene_cuts(df).collect()
+    assert len(rows) == 1 and rows[0]["n_frames"] == 4

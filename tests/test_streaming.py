@@ -1278,3 +1278,107 @@ def test_ingest_near_dedup_streaming_e2e(spark, tmp_path):
     # unrelated docs do
     assert 2 in survivors and 4 in survivors and len(survivors) == 3
     assert (1 in survivors) ^ (3 in survivors)
+
+
+def test_ingest_sig_dedup_video_matches_batch_with_restart(spark, tmp_path):
+    """IngestSigDedup (streaming/ingest_multimodal.py) over FAKV video
+    blobs: streamed survivors across two batches (with a RESTART in
+    between) == the batch retention (video_fp_dedup) over the union —
+    same fingerprint, same Hamming ball, durable signature state."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_video_pixels,
+        make_video_blob,
+        video_fingerprint,
+        video_fp_dedup,
+    )
+    from kafka_denormalization_spark.streaming.ingest_multimodal import (
+        IngestSigDedup,
+    )
+
+    def blob(seed, gain=1):
+        return bytearray(make_video_blob(fake_video_pixels(seed, gain)))
+
+    batches = [
+        # batch 1: three distinct clips (seeds 1, 2, 3)
+        [(10, blob(1)), (20, blob(2)), (30, blob(3))],
+        # batch 2: 40 re-grades seed 1 (cross-batch dup), 50/51 are a
+        # within-batch re-grade family (min id 50 survives), 60 is new
+        [(40, blob(1, gain=3)), (50, blob(4)), (51, blob(4, gain=2)),
+         (60, blob(5))],
+    ]
+    schema = "id long, blob binary"
+    state = str(tmp_path / "sig_state")
+    dd = IngestSigDedup(
+        spark, state, "id",
+        fingerprint=lambda df: video_fingerprint(df, "id"),
+    )
+    out1 = sorted(
+        r["id"]
+        for r in dd.process_batch(
+            spark.createDataFrame(batches[0], schema)
+        ).collect()
+    )
+    assert out1 == [10, 20, 30]
+    # restart: fresh instance, same state dir
+    dd2 = IngestSigDedup(
+        spark, state, "id",
+        fingerprint=lambda df: video_fingerprint(df, "id"),
+    )
+    out2 = sorted(
+        r["id"]
+        for r in dd2.process_batch(
+            spark.createDataFrame(batches[1], schema)
+        ).collect()
+    )
+    assert out2 == [50, 60]
+
+    # batch reference over the union
+    union = spark.createDataFrame([b for bs in batches for b in bs], schema)
+    ref = sorted(r["id"] for r in video_fp_dedup(union, "id").collect())
+    assert sorted(out1 + out2) == ref
+
+    # compaction preserves decisions
+    dd2.compact()
+    out3 = dd2.process_batch(
+        spark.createDataFrame([(70, blob(2, gain=2)), (80, blob(6))], schema)
+    ).collect()
+    assert sorted(r["id"] for r in out3) == [80]
+
+
+def test_ingest_sig_dedup_audio_and_presigned(spark, tmp_path):
+    """The same class serves audio fingerprints, and accepts
+    pre-computed (id, b0..b3) signature batches (fingerprint=None)."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        audio_fingerprint,
+        fake_audio_samples,
+        make_audio_blob,
+    )
+    from kafka_denormalization_spark.streaming.ingest_multimodal import (
+        IngestSigDedup,
+    )
+
+    def blob(seed, gain=1):
+        return bytearray(make_audio_blob(fake_audio_samples(seed, gain)))
+
+    dd = IngestSigDedup(
+        spark, str(tmp_path / "a"), "id",
+        fingerprint=lambda df: audio_fingerprint(df, "id"),
+    )
+    b1 = spark.createDataFrame(
+        [(1, blob(7)), (2, blob(8))], "id long, blob binary"
+    )
+    assert sorted(r["id"] for r in dd.process_batch(b1).collect()) == [1, 2]
+    b2 = spark.createDataFrame(
+        [(3, blob(7, gain=2))], "id long, blob binary"
+    )
+    assert dd.process_batch(b2).count() == 0  # re-level of batch-1's 1
+
+    # pre-signed path: signatures straight in, no decode
+    sigs = audio_fingerprint(b1, "id")
+    dd2 = IngestSigDedup(spark, str(tmp_path / "b"), "id")
+    assert dd2.process_batch(sigs).count() == 2
+    again = audio_fingerprint(
+        spark.createDataFrame([(9, blob(8, gain=3))], "id long, blob binary"),
+        "id",
+    )
+    assert dd2.process_batch(again).count() == 0
