@@ -2500,14 +2500,29 @@ def _corpus_v3_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared v3 curation chain up to (and including) the
     temperature mix — rows still carry ``text_dedup``. Consumed by
     q_corpus_pipeline_v3 (which scrubs the text) and q_corpus_to_shards
-    (which lays the shipped set out into training shards)."""
+    (which lays the shipped set out into training shards).
 
+    Multi-consumer frames (kept: lm_score training + the survivor
+    join; surv: temperature's strata aggregate + sample filter) are
+    EAGERLY lineage-truncated, not lazily persisted: AQE materializes a
+    lazy-cached frame's consumers concurrently before the cache
+    populates and re-computes the span-dedup subtree per reader —
+    measured at sf0.1, fresh session one shot each: lazy 10.9-11.4 s
+    vs eager 7.6-8.3 s (~30% cut; the v4 flip's pathology, VERDICT r09
+    #6, docs/SCALE_NOTES.md "r10 v4 eager-vs-lazy"). A configured
+    checkpoint dir makes the cuts executor-loss-tolerant."""
+
+    from kafka_denormalization_spark.checkpoint import (
+        resolve_checkpoint_dir,
+        truncate_lineage,
+    )
     from kafka_denormalization_spark.operators.chunking import span_dedup
     from kafka_denormalization_spark.operators.sampling import temperature_sample
 
+    ckpt = resolve_checkpoint_dir(spark)
     docs = table(spark, sf_dir, "documents")
     sd = span_dedup(docs, "doc_id", "text", chunk_tokens=16)
-    kept = (
+    kept = truncate_lineage(
         sd.join(docs.select("doc_id", "lang", "source"), "doc_id")
         .filter(
             (F.lit(2) * F.col("n_dropped") <= F.col("n_chunks"))
@@ -2516,15 +2531,18 @@ def _corpus_v3_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "lang", "source", "text_dedup",
             F.length("text_dedup").cast("long").alias("n_chars_dedup"),
-        )
-        .transform(persist_if_uncached)
+        ),
+        ckpt,
     )
     lm = text_fns.lm_score(kept, "doc_id", "text_dedup", F.col("lang") == "en")
-    surv = kept.join(
-        lm.filter(
-            (F.col("n_bigrams") >= 1) & (F.col("nll_r") <= LM_NLL_CUTOFF)
-        ).select("doc_id"),
-        "doc_id",
+    surv = truncate_lineage(
+        kept.join(
+            lm.filter(
+                (F.col("n_bigrams") >= 1) & (F.col("nll_r") <= LM_NLL_CUTOFF)
+            ).select("doc_id"),
+            "doc_id",
+        ),
+        ckpt,
     )
     return temperature_sample(
         surv, "lang", "n_chars_dedup", "doc_id",
@@ -2552,23 +2570,22 @@ def _corpus_v4_mixed(
     from kafka_denormalization_spark.operators.sampling import temperature_sample
 
     def _stage(df):
-        # observability consumers (v4_funnel's counts, v4_attribution's
-        # per-doc cascade) reference EVERY stage frame inside one plan;
-        # without lineage truncation the analyzed plan repeats the whole
-        # chain once per stage, and the plan TREE alone OOMs a
-        # default-1g driver session (measured: v4_funnel fails on a
-        # fresh vanilla local[8] at sf0.01). localCheckpoint stores the
-        # same MEMORY_AND_DISK data but swaps the subtree for a
-        # LogicalRDD leaf, so each extra consumer costs O(1) plan. The
-        # single-consumer pipeline query keeps the pure-lazy persist
-        # (one chain copy analyzes fine, and lineage survives for
-        # executor-loss recompute at cluster scale).
-        if not return_stages:
-            return persist_if_uncached(df)
-        # stage frames default to the RELIABLE (executor-loss-tolerant)
-        # checkpoint whenever a checkpoint dir is configured — caller
-        # arg, $SPARK_GRAFT_CHECKPOINT_DIR, or the SparkContext's own
-        # setting; localCheckpoint only when none is (VERDICT r09 #7)
+        # Every stage frame is EAGERLY lineage-truncated, always:
+        # (a) observability consumers (v4_funnel's counts,
+        #     v4_attribution's cascade) reference every stage inside one
+        #     plan — without the cut the analyzed plan repeats the whole
+        #     chain per stage and the plan TREE alone OOMs a default-1g
+        #     driver (measured: v4_funnel on a vanilla local[8]);
+        # (b) the lazy-persist alternative for the single-consumer
+        #     pipeline query was REMOVED in r10: AQE materializes a lazy
+        #     cache's readers concurrently before it populates and
+        #     re-computes stage subtrees per reader — fresh-session
+        #     one-shots at sf0.1 measured lazy 21.4-36.0 s vs eager
+        #     ~13 s total (docs/SCALE_NOTES.md "r10 v4 eager-vs-lazy").
+        # Stage frames take the RELIABLE (executor-loss-tolerant)
+        # checkpoint whenever a dir is configured — caller arg,
+        # $SPARK_GRAFT_CHECKPOINT_DIR, or the SparkContext's own
+        # setting; localCheckpoint otherwise (VERDICT r09 #7).
         from kafka_denormalization_spark.checkpoint import (
             resolve_checkpoint_dir,
             truncate_lineage,
@@ -2577,20 +2594,20 @@ def _corpus_v4_mixed(
         return truncate_lineage(df, resolve_checkpoint_dir(spark, checkpoint_dir))
 
     docs = table(spark, sf_dir, "documents")
+    # share_digest ON (VERDICT r09 #6): the line-digest explode + md5
+    # runs ONCE, feeding both the document-frequency aggregation and
+    # the removal join from one digest-sized cache. Re-measured r10
+    # with alternating 3x3 reps at sf0.1: 3.2-4.1 s OFF vs 2.3 s ON
+    # (~38% cut on the stage) — the r9 A/B that showed the persist
+    # barrier costing 2.3 s did not reproduce on an idle box (SCALE_NOTES
+    # "r10 line_dedup share_digest re-A/B"). The digest cache handle
+    # rides _sg_internal_cache; the eager staged path releases it as
+    # soon as the stage frame materializes, the lazy path carries it
+    # (125k 3-long rows at sf0.1 — noise next to the stage frames).
     stripped = text_fns.line_dedup(
         _docs_with_lines(spark, sf_dir), "doc_id", "lines",
-        min_docs=LINE_MIN_DOCS,
+        min_docs=LINE_MIN_DOCS, share_digest=True,
     )
-    # the stripped corpus is consumed by span_dedup (which reads its
-    # input twice) AND the lang/source re-join — persisted so the
-    # line-dedup chain (explode + df-count + rebuild) runs once
-    # (23.2 s -> ~17 s at sf0.1 together with the surv persist below).
-    # share_digest stays OFF here: the measured 3x3 A/B at sf0.1 has the
-    # persist barrier COSTING ~2.3 s against the saved second explode
-    # (SCALE_NOTES "line_dedup share_digest A/B") — the knob pays only
-    # when the corpus is large enough that re-tokenizing dominates and
-    # small enough that the digest frame caches; leave the default
-    # elsewhere
     docs4 = (
         stripped.filter(F.col("n_lines_kept") > 0)
         .join(docs.select("doc_id", "lang", "source"), "doc_id")
@@ -2599,6 +2616,11 @@ def _corpus_v4_mixed(
         )
     )
     docs4 = _stage(docs4)
+    digest_cache = getattr(stripped, "_sg_internal_cache", None)
+    if digest_cache is not None:
+        # _stage just materialized docs4 eagerly — the shared
+        # line-digest cache has no further consumer; release it now
+        digest_cache.unpersist()
     sd = span_dedup(docs4, "doc_id", "text", chunk_tokens=16)
     kept = (
         sd.join(docs4.select("doc_id", "lang", "source"), "doc_id")
@@ -2653,8 +2675,18 @@ def q_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup -> mostly-duplicated gate -> CCNet LM fluency
     gate on the deduped text -> Naive-Bayes curated-seed quality gate ->
     temperature mix -> PII scrub on shipped rows only. Extends v3 with
-    the two round-8 model stages; full-pipeline oracle hash match."""
-    mixed = _corpus_v4_mixed(spark, sf_dir)
+    the two round-8 model stages; full-pipeline oracle hash match.
+
+    Runs the EAGER staged chain (VERDICT r09 #6): the lazy-persist
+    single-plan variant re-computed whole stage subtrees when AQE
+    materialized a multi-consumer stage's readers before its cache
+    populated — measured at sf0.1 (fresh session, one shot each):
+    lazy 21.4-36.0 s vs eager-staged 14.8 s build + ~1 s final select
+    (docs/SCALE_NOTES.md "r10 v4 eager-vs-lazy"). Each stage frame is
+    materialized exactly once behind a lineage cut; a configured
+    checkpoint dir makes the cuts executor-loss-tolerant
+    (checkpoint.resolve_checkpoint_dir)."""
+    mixed, _ = _corpus_v4_mixed(spark, sf_dir, return_stages=True)
     return mixed.select(
         "doc_id", "lang", "source", "n_chars_dedup",
         text_fns.scrub_pii(F.col("text_dedup")).alias("text_scrubbed"),
