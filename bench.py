@@ -224,6 +224,8 @@ BENCH_QUERIES = [
     "video_fingerprint",
     "video_dedup",
     "video_scenes",
+    "video_keyframes",
+    "audio_segments",
 ]
 
 

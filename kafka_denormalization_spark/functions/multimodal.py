@@ -1211,3 +1211,108 @@ def video_scene_cuts(
         f"{id_col} long, scene_idx long, start_frame long, "
         "n_frames long, energy_first long",
     )
+
+
+def video_keyframe_hash(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    num: int = 13,
+    den: int = 10,
+) -> DataFrame:
+    """Per-scene KEYFRAME feature extraction — the step after scene-cut
+    detection in a video curation pipeline (one representative frame
+    per shot feeds the encoder / the near-dup index, not the stream):
+    for every scene (same +-30% integer energy-cut rule as
+    ``video_scene_cuts``), emit the scene's FIRST frame with a 56-bit
+    spatial dHash (bit (r, c) set iff pixel (r, c+1) > pixel (r, c) —
+    8 rows x 7 horizontal gradients), brightness-gain invariant like
+    every signature in this family and integer-replayable by the
+    oracle from the pixel formula.
+
+    Output: (id_col, scene_idx, frame_idx, khash) — khash is the
+    56-bit gradient signature as one long."""
+
+    def kf(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, _, _, fr = _decode_video(bytes(blob))
+                e = (fr ** 2).sum(axis=1)
+                starts = [0]
+                for f in range(1, len(e)):
+                    if den * e[f] > num * e[f - 1] or num * e[f] < den * e[f - 1]:
+                        starts.append(f)
+                for scene, f in enumerate(starts):
+                    v = fr[f]
+                    h, bit = 0, 0
+                    for r in range(len(v) // w):
+                        for c in range(w - 1):
+                            if v[r * w + c + 1] > v[r * w + c]:
+                                h |= 1 << bit
+                            bit += 1
+                    rows.append((int(i), scene, f, h))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "scene_idx", "frame_idx", "khash"]
+            )
+
+    return df.mapInPandas(
+        kf, f"{id_col} long, scene_idx long, frame_idx long, khash long"
+    )
+
+
+def audio_segments(
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Activity segmentation (VAD-lite) — the speech-pipeline primitive
+    that splits a recording into voiced/silent runs before
+    transcription or training-clip extraction: the signal is cut into
+    the fingerprint family's 64-sample frames, a frame is ACTIVE iff
+    its exact energy exceeds a quarter of the recording's mean frame
+    energy, tested with integer cross-multiplication
+    (4 * n_frames * e[f] > sum(e) — no float thresholds, so the oracle
+    replays segments bit-identically from the PCM), and maximal
+    constant-activity runs become segments.
+
+    1->N mapInPandas: only (id, segment_idx, 3 ints, flag) shuffle —
+    samples never leave the scan. Trailing samples short of a full
+    frame are ignored (the fingerprint convention).
+
+    Output: (id_col, segment_idx, start_frame, n_frames, active)."""
+
+    def seg(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                _, s = _decode_audio(bytes(blob))
+                nf = len(s) // AUDIO_FRAME_LEN
+                if nf == 0:
+                    continue
+                e = (
+                    (s[: nf * AUDIO_FRAME_LEN] ** 2)
+                    .reshape(nf, AUDIO_FRAME_LEN)
+                    .sum(axis=1)
+                )
+                tot = int(e.sum())
+                act = [bool(4 * nf * int(x) > tot) for x in e]
+                seg_i, start = 0, 0
+                for f in range(1, nf):
+                    if act[f] != act[f - 1]:
+                        rows.append(
+                            (int(i), seg_i, start, f - start, act[start])
+                        )
+                        seg_i, start = seg_i + 1, f
+                rows.append((int(i), seg_i, start, nf - start, act[start]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "segment_idx", "start_frame", "n_frames",
+                    "active",
+                ],
+            )
+
+    return df.mapInPandas(
+        seg,
+        f"{id_col} long, segment_idx long, start_frame long, "
+        "n_frames long, active boolean",
+    )

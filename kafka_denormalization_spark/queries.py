@@ -4875,6 +4875,59 @@ def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scene keyframe extraction (functions/multimodal.py
+    video_keyframe_hash): each scene's first frame with its 56-bit
+    spatial gradient signature — integer-replayable, so the oracle
+    recomputes both the scene starts and the hash from the pixels."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        video_keyframe_hash,
+    )
+
+    return video_keyframe_hash(_video_blobs(spark, sf_dir), "id").select(
+        F.col("id").alias("doc_id"), "scene_idx", "frame_idx", "khash"
+    )
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation / VAD-lite (functions/multimodal.py
+    audio_segments): maximal voiced/quiet frame runs under the exact
+    integer quarter-of-mean-energy rule. The fixture PLANTS silence —
+    the congruential PCM is energy-uniform, so the shared _audio_blobs
+    would make every recording one all-active segment and never
+    exercise the run logic: every doc_id % 3 == 0 recording has frames
+    20-29 zeroed (a 10-frame dropout), splitting it into
+    active / silent / active."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        AUDIO_FRAME_LEN,
+        audio_segments,
+        fake_audio_samples,
+        make_audio_blob,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = fake_audio_samples(d % AUDIO_SEED_MOD, 1 + d % 3)
+                if d % 3 == 0:
+                    lo, hi = 20 * AUDIO_FRAME_LEN, 30 * AUDIO_FRAME_LEN
+                    samples[lo:hi] = [0] * (hi - lo)
+                rows.append((d, make_audio_blob(samples)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.mapInPandas(encode, "id long, blob binary")
+    return audio_segments(blobs, "id").select(
+        F.col("id").alias("doc_id"),
+        "segment_idx", "start_frame", "n_frames", "active",
+    )
+
+
 def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dedup retention (functions/multimodal.py
     video_fp_dedup): Hamming-ball blocking + exact popcount verify over
@@ -4999,6 +5052,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_fingerprint": q_video_fingerprint,
     "video_dedup": q_video_dedup,
     "video_scenes": q_video_scenes,
+    "video_keyframes": q_video_keyframes,
+    "audio_segments": q_audio_segments,
     "embedding_debias": q_embedding_debias,
     "signal_correlations": q_signal_correlations,
     "z_order_prune": q_z_order_prune,
@@ -5166,15 +5221,17 @@ _DRIVER_HEAD = [
     #     denorm_full_outer / denorm_nested_struct), corpus_pipeline
     #     (v2/v3/v4 descendants driver-checked in r09, same stage
     #     machinery), ntile_acctbal (window physics covered by the
-    #     included window_running_total/topk_per_group). They rotate
-    #     next round.
+    #     included window_running_total/topk_per_group), and quantiles /
+    #     value_histogram (metadata-sized single aggregations) which
+    #     yielded their slots to the late round-10 additions
+    #     video_keyframes / audio_segments. They rotate next round.
     # (a) never driver-checked
     "conv_near_dedup", "conv_response_contamination", "doc_tokens_v2",
     "fuzzy_contamination", "lang_id_v2", "pref_length_bias",
     "pref_pair_dedup", "pref_pairs",
     # (b) round-10 video modality
     "video_stats", "video_frame_sample", "video_fingerprint",
-    "video_dedup", "video_scenes",
+    "video_dedup", "video_scenes", "video_keyframes", "audio_segments",
     # (c) r06-stale, alphabetical
     "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
     "anti_join_orphans", "asof_join", "bpe_doc_tokens",
@@ -5184,10 +5241,10 @@ _DRIVER_HEAD = [
     "denorm_full_outer", "denorm_inner", "denorm_nested_struct",
     "distinct_pairs", "fingerprint", "join_key_digest", "json_parse",
     "keyword_extraction", "latest_per_key", "market_share",
-    "ngram_jaccard_pairs", "quantiles",
+    "ngram_jaccard_pairs",
     "rekey_select_key", "rollup_pricing", "sessionize",
     "sliding_window", "text_clean", "topk_per_group",
-    "value_histogram", "vocab_topk", "waiting_suppliers",
+    "vocab_topk", "waiting_suppliers",
     "window_running_total", "winnowing",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
@@ -9124,6 +9181,80 @@ ORACLE_SQL: dict[str, str] = {
            CAST(count(*) AS BIGINT) AS n_frames,
            CAST(min_by(e, f) AS BIGINT) AS energy_first
     FROM vscene GROUP BY doc_id, scene_idx
+    """,
+    "video_keyframes": f"""
+    WITH {_VIDEO_PX_SQL},
+    vfr AS (
+      SELECT doc_id, f, sum(v * v) AS e FROM vs GROUP BY doc_id, f
+    ),
+    vcut AS (
+      SELECT doc_id, f,
+             CASE WHEN f = 0 THEN 0
+                  WHEN 10 * e > 13 * lag(e) OVER w
+                    OR 13 * e < 10 * lag(e) OVER w THEN 1
+                  ELSE 0 END AS cut
+      FROM vfr WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    vstart AS (
+      SELECT doc_id, f AS frame_idx,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene_idx
+      FROM vcut WHERE f = 0 OR cut = 1
+    ),
+    vgrad AS (
+      SELECT a.doc_id, a.f,
+             sum(CASE WHEN b.v > a.v
+                      THEN (CAST(1 AS BIGINT) << ((a.p // 8) * 7 + a.p % 8))
+                      ELSE 0 END) AS khash
+      FROM vs a JOIN vs b
+        ON a.doc_id = b.doc_id AND a.f = b.f AND b.p = a.p + 1
+      WHERE a.p % 8 != 7
+      GROUP BY a.doc_id, a.f
+    )
+    SELECT s.doc_id, CAST(s.scene_idx AS BIGINT) AS scene_idx,
+           CAST(s.frame_idx AS BIGINT) AS frame_idx,
+           CAST(g.khash AS BIGINT) AS khash
+    FROM vstart s JOIN vgrad g
+      ON s.doc_id = g.doc_id AND s.frame_idx = g.f
+    """,
+    "audio_segments": f"""
+    WITH s AS (
+      SELECT doc_id, t.k AS k,
+             CASE WHEN doc_id % 3 = 0 AND t.k // 64 BETWEEN 20 AND 29
+                  THEN 0
+                  ELSE (((t.k * (179 + (doc_id % {AUDIO_SEED_MOD}) * 2) + 11)
+                         % 16384) - 8192) * (1 + doc_id % 3)
+             END AS v
+      FROM documents CROSS JOIN range(0, {AUDIO_N}) t(k)
+    ),
+    afr AS (
+      SELECT doc_id, k // 64 AS f, sum(v * v) AS e
+      FROM s GROUP BY doc_id, k // 64
+    ),
+    atot AS (
+      SELECT doc_id, sum(e) AS tot, count(*) AS nf FROM afr GROUP BY doc_id
+    ),
+    aact AS (
+      SELECT a.doc_id, a.f, (4 * t.nf * a.e > t.tot) AS active
+      FROM afr a JOIN atot t USING (doc_id)
+    ),
+    achg AS (
+      SELECT doc_id, f, active,
+             CASE WHEN f = 0 THEN 0
+                  WHEN active != lag(active)
+                       OVER (PARTITION BY doc_id ORDER BY f) THEN 1
+                  ELSE 0 END AS chg
+      FROM aact
+    ),
+    aseg AS (
+      SELECT doc_id, f, active,
+             sum(chg) OVER (PARTITION BY doc_id ORDER BY f) AS segment_idx
+      FROM achg
+    )
+    SELECT doc_id, CAST(segment_idx AS BIGINT) AS segment_idx,
+           CAST(min(f) AS BIGINT) AS start_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           any_value(active) AS active
+    FROM aseg GROUP BY doc_id, segment_idx
     """,
     "video_dedup": f"""
     WITH {_VIDEO_FP_CTES_SQL},

@@ -600,3 +600,51 @@ def test_video_scene_cuts_black_frames_stable(spark):
 
     rows = video_scene_cuts(df).collect()
     assert len(rows) == 1 and rows[0]["n_frames"] == 4
+
+
+def test_video_keyframe_hash_staircase(spark):
+    """Keyframes = scene starts; khash = 56 horizontal-gradient bits of
+    the start frame. One planted cut (pixel value 10 -> 20 at frame 2);
+    frames are flat fields, so every khash is 0 — the assertion is the
+    scene/keyframe STRUCTURE plus a non-flat second doc whose gradient
+    bits are hand-checked."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        video_keyframe_hash,
+    )
+
+    flat = [10] * 64 * 2 + [20] * 64
+    # doc 2: one frame, row pattern 0,1,2,...,7 repeated -> every
+    # horizontal gradient rises -> all 56 bits set
+    ramp = list(range(8)) * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(make_video_blob(flat))),
+         (2, bytearray(make_video_blob(ramp)))],
+        "id long, blob binary",
+    )
+    rows = {(r["id"], r["scene_idx"]): r for r in video_keyframe_hash(df).collect()}
+    assert rows[(1, 0)]["frame_idx"] == 0 and rows[(1, 0)]["khash"] == 0
+    assert rows[(1, 1)]["frame_idx"] == 2 and rows[(1, 1)]["khash"] == 0
+    assert rows[(2, 0)]["khash"] == (1 << 56) - 1
+
+
+def test_audio_segments_planted_dropout(spark):
+    """A mid-recording zeroed run splits the recording into
+    active / silent / active with exact frame bounds."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        AUDIO_FRAME_LEN,
+        audio_segments,
+        fake_audio_samples,
+        make_audio_blob,
+    )
+
+    samples = fake_audio_samples(5)
+    lo, hi = 20 * AUDIO_FRAME_LEN, 30 * AUDIO_FRAME_LEN
+    samples[lo:hi] = [0] * (hi - lo)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_audio_blob(samples)))], "id long, blob binary"
+    )
+    segs = sorted(
+        (r["segment_idx"], r["start_frame"], r["n_frames"], r["active"])
+        for r in audio_segments(df).collect()
+    )
+    assert segs == [(0, 0, 20, True), (1, 20, 10, False), (2, 30, 35, True)]
