@@ -1382,3 +1382,137 @@ def test_ingest_sig_dedup_audio_and_presigned(spark, tmp_path):
         "id",
     )
     assert dd2.process_batch(again).count() == 0
+
+
+def test_ingest_sig_dedup_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run for the multimodal signature-dedup
+    twin: parquet file source of FAKV blobs, one file per trigger — a
+    later file's brightness re-grade of an earlier file's clip never
+    reaches the sink."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_video_pixels,
+        make_video_blob,
+        video_fingerprint,
+    )
+    from kafka_denormalization_spark.streaming.ingest_multimodal import (
+        IngestSigDedup,
+    )
+
+    def blob(seed, gain=1):
+        return bytearray(make_video_blob(fake_video_pixels(seed, gain)))
+
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, blob(11)), (2, blob(12))], "id long, blob binary"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, blob(11, gain=3)), (4, blob(13))], "id long, blob binary"
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("id long, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    dd = IngestSigDedup(
+        spark, str(tmp_path / "vstate"), "id",
+        fingerprint=lambda df: video_fingerprint(df, "id"),
+    )
+    got: list[int] = []
+
+    def sink(df, epoch_id):
+        got.extend(r["id"] for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(dd.foreach_batch(sink))
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    survivors = sorted(got)
+    # file order is not guaranteed: exactly one of the seed-11 clips
+    # survives; both unrelated clips do
+    assert 2 in survivors and 4 in survivors and len(survivors) == 3
+    assert (1 in survivors) ^ (3 in survivors)
+
+
+def test_ingest_conv_curation_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run for the conversation-curation
+    twin: a JSON-lines file source of nested conversations, one file
+    per trigger — the reworded canned response never yields a pair,
+    and the frozen response-side gate drops the eval-answer leak."""
+    import json as _json
+
+    from kafka_denormalization_spark.functions.conversations import (
+        freeze_eval_grams,
+    )
+    from kafka_denormalization_spark.streaming.ingest_conversations import (
+        IngestConvCuration,
+    )
+
+    canned = (
+        "i am sorry but i cannot help with that particular request "
+        "please consult the documentation for details today"
+    )
+    reworded = " ".join(canned.split()[:18]) + " friend okay"
+    answer = "the capital of france is paris not london"
+    evals = spark.createDataFrame(
+        [(9, answer)], "eval_id long, answer string"
+    )
+    frozen = str(tmp_path / "cfrozen")
+    freeze_eval_grams(evals, frozen, text_col="answer", n=8)
+
+    def conv(cid, *turns):
+        return {"conv_id": cid,
+                "turns": [{"role": r, "content": c} for r, c in turns]}
+
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    files = [
+        [conv(1, ("user", "please explain rainbows in detail now"),
+                 ("assistant", canned))],
+        [conv(2, ("user", "novel gardening question entirely unrelated"),
+                 ("assistant", reworded)),
+         conv(3, ("user", "what is the capital city of france"),
+                 ("assistant", "well " + answer + " as everyone knows")),
+         conv(4, ("user", "how do i tune my spark shuffle partitions"),
+                 ("assistant", "watch the spill metrics and adjust the"
+                               " partition count upward slowly"))],
+    ]
+    for i, rows in enumerate(files):
+        with open(f"{src}/f{i}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    schema = (
+        "conv_id long, "
+        "turns array<struct<role: string, content: string>>"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src + "/f*.jsonl")
+    )
+    cur = IngestConvCuration(
+        spark, str(tmp_path / "cstate"), frozen_grams_path=frozen
+    )
+    got: list[tuple] = []
+
+    def sink(df, epoch_id):
+        got.extend((r["conv_id"], r["instruction"]) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(cur.foreach_batch(sink))
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    convs = sorted(c for c, _ in got)
+    # conv 3 dies to the frozen response gate in every file order;
+    # exactly one of the canned/reworded pair (convs 1/2) survives;
+    # conv 4 always ships
+    assert 4 in convs and 3 not in convs and len(convs) == 2
+    assert (1 in convs) ^ (2 in convs)
