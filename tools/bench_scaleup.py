@@ -629,6 +629,58 @@ def _video_dedup(docs):
     return video_fp_dedup(blobs, "id", hamming_max=3)
 
 
+def _video_scenes(docs):
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_video_pixels,
+        make_video_blob,
+        video_scene_cuts,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_video_blob(
+                        fake_video_pixels(int(d) % 89, 1 + int(d) % 3)
+                    ),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.select("doc_id").mapInPandas(encode, "id long, blob binary")
+    return video_scene_cuts(blobs, "id")
+
+
+def _audio_segments(docs):
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        AUDIO_FRAME_LEN,
+        audio_segments,
+        fake_audio_samples,
+        make_audio_blob,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = fake_audio_samples(d % 97, 1 + d % 3)
+                if d % 3 == 0:
+                    lo, hi = 20 * AUDIO_FRAME_LEN, 30 * AUDIO_FRAME_LEN
+                    samples[lo:hi] = [0] * (hi - lo)
+                rows.append((d, make_audio_blob(samples)))
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.select("doc_id").mapInPandas(encode, "id long, blob binary")
+    return audio_segments(blobs, "id")
+
+
 def _embedding_debias(emb):
     from kafka_denormalization_spark.functions.similarity import (
         embedding_debias,
@@ -916,6 +968,10 @@ OPS = {
     # same convention: id%89 seed families survive the shift, family
     # width grows with N under the banded Hamming join
     "video_dedup": ("documents", "doc_id", _video_dedup, False),
+    # linear decode fan-outs: the scale question is Arrow batch
+    # throughput, not pair volume
+    "video_scenes": ("documents", "doc_id", _video_scenes, False),
+    "audio_segments": ("documents", "doc_id", _audio_segments, False),
     "embedding_debias": ("embeddings", "vec_id", _embedding_debias, False),
     "dedup_mixture_shift": ("documents", "doc_id", _dedup_mixture_shift, True),
     "contamination_scrub": ("documents", "doc_id", _contamination_scrub, False),
