@@ -51,3 +51,47 @@ def test_correctness_full_artifact_is_fresh():
         f"CORRECTNESS_FULL.json is stale: {sorted(missing)} registered but "
         "never oracle-checked — rerun tools/ci_gate.sh"
     )
+
+
+def test_driver_head_rotation_policy():
+    """Self-enforcing rotation invariant (VERDICT r09 #1's cadence,
+    pinned): treating the CURRENT head as checked next round, no
+    registry name's freshest driver check may be more than 4 rounds
+    old, and every never-driver-checked name must sit in the current
+    head. When the next round's CORRECTNESS_r{N}.json lands, names
+    deliberately skipped this round redden this test until the head
+    rotates onto them — the freshness-test philosophy applied to the
+    rotation itself."""
+    import glob
+    import json
+    import os
+    import re
+
+    from kafka_denormalization_spark.queries import _DRIVER_HEAD
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    fresh: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnd)
+        for name in json.load(open(path)):
+            fresh[name] = max(fresh.get(name, 0), rnd)
+    assert rounds, "no driver artifacts found"
+    current_round = max(rounds) + 1
+    for name in _DRIVER_HEAD:
+        fresh[name] = current_round
+
+    registry = set(entry_mod.queries())
+    never = sorted(n for n in registry if n not in fresh)
+    assert not never, (
+        f"never driver-checked and not in the current head: {never} — "
+        "rotate them into queries.py _DRIVER_HEAD"
+    )
+    stale = sorted(
+        (fresh[n], n) for n in registry if current_round - fresh[n] > 4
+    )
+    assert not stale, (
+        f"stale beyond 4 rounds at round {current_round}: {stale} — "
+        "rotate them into queries.py _DRIVER_HEAD"
+    )
