@@ -5204,48 +5204,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- r10 head (VERDICT r09 next-round #1, exactly) ---
-    # Selection rule (mechanical, from the CORRECTNESS_r0*.json union):
-    # (a) the 8 names never driver-checked (the round-9 conversation/
-    #     preference/script-ID family — all 8 judge-re-verified at
-    #     sf0.01 in the r09 session, so this rotation is confirmation);
-    # (b) the 4 brand-new round-10 video-modality queries;
-    # (c) 38 of the 48 names whose freshest driver check is r06 (the
-    #     stalest tier). The 10 r06 names NOT rotated, with reasons:
-    #     ann_ivf_topk / ann_lsh_topk / approx_stats / denorm_nested
-    #     (no-oracle rows-only by design — the driver row adds nothing
-    #     over CORRECTNESS_FULL's), simhash_pairs / multimodal_decode
-    #     (judge re-verified at sf0.01 inside round 9),
-    #     denorm_left_outer / denorm_right_outer / denorm_on_key (same
-    #     operators/join.py builder as the included denorm_inner /
-    #     denorm_full_outer / denorm_nested_struct), corpus_pipeline
-    #     (v2/v3/v4 descendants driver-checked in r09, same stage
-    #     machinery), ntile_acctbal (window physics covered by the
-    #     included window_running_total/topk_per_group), and quantiles /
-    #     value_histogram (metadata-sized single aggregations) which
-    #     yielded their slots to the late round-10 additions
-    #     video_keyframes / audio_segments. They rotate next round.
-    # (a) never driver-checked
-    "conv_near_dedup", "conv_response_contamination", "doc_tokens_v2",
-    "fuzzy_contamination", "lang_id_v2", "pref_length_bias",
-    "pref_pair_dedup", "pref_pairs",
-    # (b) round-10 video modality
-    "video_stats", "video_frame_sample", "video_fingerprint",
-    "video_dedup", "video_scenes", "video_keyframes", "audio_segments",
-    # (c) r06-stale, alphabetical
-    "agg_fanout_topk", "agg_pricing_summary", "ann_cosine_topk",
-    "anti_join_orphans", "asof_join", "bpe_doc_tokens",
-    "bpe_sequence_packing", "canonical_dedup", "cluster_dedup_docs",
-    "containment_clusters", "contamination_scan",
-    "contamination_scan_join", "copurchase_triangles", "dedup_exact",
-    "denorm_full_outer", "denorm_inner", "denorm_nested_struct",
-    "distinct_pairs", "fingerprint", "join_key_digest", "json_parse",
-    "keyword_extraction", "latest_per_key", "market_share",
-    "ngram_jaccard_pairs",
-    "rekey_select_key", "rollup_pricing", "sessionize",
-    "sliding_window", "text_clean", "topk_per_group",
-    "vocab_topk", "waiting_suppliers",
-    "window_running_total", "winnowing",
+    # --- r11 head (VERDICT r10 next-round #1, exactly) ---
+    # Selection rule (mechanical, from the CORRECTNESS_r0*.json union,
+    # freshness histogram at rotation time r06:13 r07:41 r08:50 r09:50
+    # r10:50):
+    # (a) ALL 13 names whose freshest driver check is r06 — the
+    #     4-round staleness bound (tests/test_entry.py
+    #     test_driver_head_rotation_policy) makes these mandatory at
+    #     round 11; this is the set the r10 verdict listed verbatim;
+    # (b) 37 of the 41 names whose freshest driver check is r07 (due
+    #     at round 12 otherwise). The 4 r07 names NOT rotated, each
+    #     yielding its slot because an included name exercises the
+    #     same code path: zipf_fit_head (same functions/text.py rank
+    #     regression as the included zipf_fit), unimax_shards (same
+    #     UniMax budget solver as the included unimax_mixture),
+    #     cluster_source_mix (same connected-components cluster table
+    #     as the included cluster_size_histogram), shard_plan_bytes
+    #     (same byte-budget packer as the included shard_manifest).
+    #     They are FIRST in line for the round-12 head — the rotation
+    #     tripwire makes that mechanical, not optional.
+    # (a) r06-stale, alphabetical — mandatory
+    "ann_ivf_topk", "ann_lsh_topk", "approx_stats", "corpus_pipeline",
+    "denorm_left_outer", "denorm_nested", "denorm_on_key",
+    "denorm_right_outer", "multimodal_decode", "ntile_acctbal",
+    "quantiles", "simhash_pairs", "value_histogram",
+    # (b) r07-stale, alphabetical
+    "blocklist_filter", "ccnet_buckets", "cluster_size_histogram",
+    "collocations", "contamination_scrub", "corpus_diff",
+    "corpus_pipeline_v4", "cross_source_dups", "curriculum_shards",
+    "dedup_mixture_shift", "dedup_weights", "domain_filtered_corpus",
+    "domain_profile", "domain_temperature_mix", "doremi_weights",
+    "epoch_shards", "gopher_repetition", "icp_packing", "k_anonymity",
+    "line_dedup", "lm_burstiness", "mahalanobis_outliers",
+    "nb_quality", "ngram_diversity", "prototype_prune",
+    "quality_signals", "shard_manifest", "signal_correlations",
+    "signal_filter", "soft_dedup_sample", "source_divergence",
+    "source_overlap", "token_fertility", "unimax_mixture",
+    "url_dedup", "v4_attribution", "zipf_fit",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)

@@ -61,7 +61,14 @@ def test_driver_head_rotation_policy():
     head. When the next round's CORRECTNESS_r{N}.json lands, names
     deliberately skipped this round redden this test until the head
     rotates onto them — the freshness-test philosophy applied to the
-    rotation itself."""
+    rotation itself.
+
+    COUPLING (ADVICE r10 #5): committing a round's CORRECTNESS
+    artifact advances current_round, so the _DRIVER_HEAD rotation for
+    the NEW round must land in the same commit as (or before) the
+    artifact. This is deliberate — the red test is the forcing
+    function that makes the rotation the first task of every round,
+    so the window stays 4 rounds rather than being widened."""
     import glob
     import json
     import os
