@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "video_scenes",
     "video_keyframes",
     "audio_segments",
+    # round-11 operators
+    "video_keyframe_dedup",
 ]
 
 
@@ -290,13 +292,41 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # Re-run the 5 slowest queries 2 more times, full build+exec per rep.
+    # Re-run selected queries 2 more times, full build+exec per rep.
     # Rep 1 is the cold number already in `timings`; reps 2-3 are warm
     # (session memos / JIT / page cache populated), so their MINIMUM is a
     # stable round-over-round floor: a loaded box shows rep-to-rep spread
     # while a genuine plan regression reproduces in the warm minimum.
+    # Selection (VERDICT r10 #6): the 5 slowest PLUS any query whose
+    # time moved >±30% against the previous round's committed sidecar
+    # (this file pre-run IS last round's — it is overwritten at the end
+    # of this function), so a per-query regression like r10's v4_funnel
+    # carries its own warm minimum in the artifact instead of needing a
+    # git-archaeology session. Movers under 0.5 s either way are noise,
+    # not regressions; the mover list is capped at 10 by |delta| with
+    # the dropped names RECORDED in the sidecar (no silent caps).
+    phases_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PHASES.json"
+    )
+    prior_timings: dict[str, float] = {}
+    try:
+        with open(phases_path) as fh:
+            prior_timings = json.load(fh).get("queries", {}) or {}
+    except Exception:  # first run / missing sidecar
+        prior_timings = {}
     slow5 = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    for name, _ in slow5:
+    slow_names = [n for n, _ in slow5]
+    movers = []
+    for name, t in timings.items():
+        p = prior_timings.get(name)
+        if not p or name in slow_names:
+            continue
+        if max(t, p) >= 0.5 and (t > 1.3 * p or t < 0.7 * p):
+            movers.append((abs(t - p), name))
+    movers.sort(reverse=True)
+    moved_names = [n for _, n in movers[:10]]
+    movers_dropped = [n for _, n in movers[10:]]
+    for name in slow_names + moved_names:
         reps = [timings[name]]
         try:
             for _rep in range(2):
@@ -307,6 +337,8 @@ def main() -> None:
             errors[f"{name}#rep"] = f"{type(exc).__name__}: {exc}"[:200]
         phases[name]["reps_s"] = reps
         phases[name]["min_s"] = min(reps)
+        if name in moved_names:
+            phases[name]["prior_s"] = prior_timings[name]
     load_end = load_telemetry()
 
     total = round(sum(timings.values()), 3)
@@ -326,6 +358,10 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "slowest_min_s": {n: phases[n]["min_s"] for n, _ in slow5},
+        "moved_min_s": {
+            n: [prior_timings[n], timings[n], phases[n]["min_s"]]
+            for n in moved_names
+        },
         "load1": [load_start.get("load1"), load_end.get("load1")],
         "procs": [load_start.get("procs"), load_end.get("procs")],
         "sf": sf,
@@ -336,9 +372,6 @@ def main() -> None:
         # compared across runs with different coverage
         out["valid"] = False
         out["n_errors"] = len(errors)
-    phases_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_PHASES.json"
-    )
     with open(phases_path, "w") as fh:
         json.dump(
             {
@@ -348,6 +381,7 @@ def main() -> None:
                 "load_end": load_end,
                 "queries": timings,
                 "phases": phases,
+                "movers_dropped_from_reps": movers_dropped,
                 "errors": errors,
             },
             fh,

@@ -217,14 +217,24 @@ def freeze_eval_grams(
         .dropDuplicates()
         .select(F.col(eval_id_col).alias("_eid"), "_g")
     )
-    grams.write.mode("overwrite").parquet(path)
-    frozen = evals.sparkSession.read.parquet(path)
-    if frozen.limit(1).count() == 0:
-        raise ValueError(
-            "freeze_eval_grams: the frozen gram table is empty — every "
-            f"eval text has fewer than n={n} tokens (or the eval set is "
-            "empty); refusing to freeze a gate that can never fire"
-        )
+    # validate BEFORE writing (ADVICE r10 #4): raising after the write
+    # used to leave an empty parquet at ``path`` — exactly the
+    # silently-empty always-pass gate the honest-gate convention
+    # exists to prevent, handed to whichever pipeline reads the path
+    # next. Persist so the emptiness probe and the write share one
+    # gram computation.
+    grams = grams.persist()
+    try:
+        if grams.limit(1).count() == 0:
+            raise ValueError(
+                "freeze_eval_grams: the frozen gram table is empty — "
+                f"every eval text has fewer than n={n} tokens (or the "
+                "eval set is empty); refusing to freeze a gate that "
+                "can never fire"
+            )
+        grams.write.mode("overwrite").parquet(path)
+    finally:
+        grams.unpersist()
 
 
 def pair_decontaminate_frozen(

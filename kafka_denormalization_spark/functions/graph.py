@@ -100,6 +100,7 @@ def pagerank(
     damping_pct: int = 85,
     n_iter: int = 5,
     checkpoint_dir: str | None = None,
+    truncate_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank by power method — graph authority
     scoring, the crawl-curation primitive (seed ranking / domain
@@ -132,8 +133,16 @@ def pagerank(
     Scale notes (100 TB): each round is ONE shuffle of (dst, contrib)
     keyed by node — the same key every round, so exchange reuse keeps
     the partitioning stable; the ranks frame is |V|-sized, never
-    edge-sized; lineage is truncated per round (eager localCheckpoint,
-    the connected_components precedent) so plan depth stays constant.
+    edge-sized; lineage is truncated every ``truncate_every`` rounds
+    (eager localCheckpoint, the connected_components precedent) so plan
+    depth stays bounded. Per-round truncation is correct but pays one
+    eager job per round; ranks has exactly ONE consumer per round (the
+    next round's join), so chaining a couple of rounds lazily between
+    cuts is recompute-free and halves the job count (r11: warm min
+    7.5 s at 5 rounds was ~1 s/truncation job, not data). Values are
+    bit-identical for any ``truncate_every`` — the cut only bounds plan
+    depth. The final round is never cut (the caller's materialization
+    executes the lazy tail).
     The node census is a 1-row aggregate broadcast (allow-listed BNLJ
     shape), never a driver collect. Sums fit a long: total graph mass
     is ~10^9 nano-units by construction, damping * sum < 10^11.
@@ -145,6 +154,8 @@ def pagerank(
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if truncate_every < 1:
+        raise ValueError(f"truncate_every must be >= 1, got {truncate_every}")
     d = int(damping_pct)
     e = truncate_lineage(
         edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")),
@@ -159,7 +170,7 @@ def pagerank(
         ),
         checkpoint_dir,
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             e.join(ranks, e["_s"] == ranks["node"])
             .join(deg, "_s")
@@ -168,7 +179,7 @@ def pagerank(
                 F.expr("rn DIV _deg").alias("_c"),
             )
         )
-        ranks = truncate_lineage(
+        ranks = (
             contrib.groupBy("node")
             .agg(F.sum("_c").alias("_sc"))
             .crossJoin(F.broadcast(n1))
@@ -178,9 +189,10 @@ def pagerank(
                     f"CAST({(100 - d) * 10_000_000} AS BIGINT) DIV _n"
                     f" + ({d} * _sc) DIV 100"
                 ).alias("rn"),
-            ),
-            checkpoint_dir,
+            )
         )
+        if (i + 1) % truncate_every == 0 and i != n_iter - 1:
+            ranks = truncate_lineage(ranks, checkpoint_dir)
     return ranks.select(
         "node",
         F.col("rn").cast("long").alias("rank_nano"),

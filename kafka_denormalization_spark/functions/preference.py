@@ -136,7 +136,7 @@ def preference_pair_dedup(
     1470 exchange strings in the executed plan -> 23 after the cut).
     ``checkpoint_dir`` selects the reliable (executor-loss-tolerant)
     variant — see checkpoint.py."""
-    from kafka_denormalization_spark.checkpoint import truncate_lineage
+    from kafka_denormalization_spark.checkpoint import truncate_lineage, unpersist_if_owned
     from kafka_denormalization_spark.functions.similarity import (
         minhash_lsh_pairs,
     )
@@ -162,7 +162,7 @@ def preference_pair_dedup(
         out = truncate_lineage(
             pairs.select("id_a", "id_b"), checkpoint_dir
         )
-        pairs.unpersist()
+        unpersist_if_owned(pairs)
         return out
 
     both = side_pairs("chosen").join(

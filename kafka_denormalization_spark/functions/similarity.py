@@ -29,7 +29,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from ..checkpoint import persist_if_uncached
+from ..checkpoint import persist_if_uncached, unpersist_if_owned
 
 from kafka_denormalization_spark.functions.text import tokens
 
@@ -58,6 +58,27 @@ AUTO_BUCKET_FLOOR = 4096
 AUTO_BUCKET_CEIL = 16384
 
 
+# Probe-RESULT memo (VERDICT r10 #3): the eager auto-cap probe stays
+# eager (the lazy in-plan cap was built, measured, and REJECTED in r09 —
+# memory/lazy-guard-rejected), but its scalar result is memoized per
+# (applicationId, widths-plan semanticHash, wcol, floor, ceil) so
+# repeated builds of the SAME bucket pipeline — bench reps, a family
+# member re-deriving the same table+gram-config signatures, the doc+eval
+# double probe in fuzzy_contamination re-run in one session — skip the
+# probe job. The memo holds ints/None only: no executor storage pinned,
+# no unpersist-ownership interplay. semanticHash compares CANONICALIZED
+# plans, so two differently-built DataFrames over the same source with
+# identical semantics share an entry; a new applicationId evicts.
+_AUTO_CAP_MEMO: dict[tuple, int | None] = {}
+
+
+def _plan_semantic_key(df: DataFrame) -> int | None:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - Spark Connect has no _jdf
+        return None
+
+
 def resolve_auto_bucket_cap(
     widths: DataFrame, bands: int, wcol: str = "_w", what: str = "lsh"
 ) -> int | None:
@@ -75,6 +96,21 @@ def resolve_auto_bucket_cap(
     bucket-cache pre-population the main job then reuses): the lazy
     in-plan alternative was built and benchmarked in r09 and rejected —
     see ``hot_bucket_table``."""
+    app_id = widths.sparkSession.sparkContext.applicationId
+    sem = _plan_semantic_key(widths)
+    memo_key = None
+    if sem is not None:
+        memo_key = (app_id, sem, wcol, AUTO_BUCKET_FLOOR, AUTO_BUCKET_CEIL)
+        for k in [k for k in _AUTO_CAP_MEMO if k[0] != app_id]:
+            del _AUTO_CAP_MEMO[k]
+        if memo_key in _AUTO_CAP_MEMO:
+            cached_cap = _AUTO_CAP_MEMO[memo_key]
+            _LOG.info(
+                "%s hot-bucket auto-guard: memoized probe result %s for "
+                "this bucket plan (session cache, no probe job)",
+                what, cached_cap,
+            )
+            return cached_cap
     row = widths.agg(
         F.percentile(F.col(wcol), F.lit(0.999)).alias("_p"),
         F.max(wcol).alias("_mx"),
@@ -88,6 +124,8 @@ def resolve_auto_bucket_cap(
             "(p99.9=%d) — no split, exact banding guarantee kept",
             what, mx, cap, p999,
         )
+        if memo_key is not None:
+            _AUTO_CAP_MEMO[memo_key] = None
         return None
     nsub_max = -(-mx // cap)
     bound = 1.0 - (1.0 - 1.0 / nsub_max) ** bands
@@ -100,6 +138,8 @@ def resolve_auto_bucket_cap(
         what, mx, cap, p999, AUTO_BUCKET_FLOOR, AUTO_BUCKET_CEIL,
         nsub_max, bound, bands,
     )
+    if memo_key is not None:
+        _AUTO_CAP_MEMO[memo_key] = cap
     return cap
 
 
@@ -393,16 +433,16 @@ def minhash_band_buckets(
             if persist:
                 base._sg_internal_cache = internal_cache
             else:
-                base.unpersist()
+                unpersist_if_owned(base)
             return base
         max_bucket = cap
         if not persist:
             # split engages but the caller refused caches: release now;
             # the guard join's two base consumers recompute the subtree
-            base.unpersist()
+            unpersist_if_owned(base)
             internal_cache = None
     elif not persist:
-        base.unpersist()
+        unpersist_if_owned(base)
         internal_cache = None
     hot = hot_bucket_table(widths, max_bucket, ["_band", "_h"], what="minhash-lsh")
     out = base.join(hot, ["_band", "_h"], "left").select(
@@ -687,10 +727,7 @@ def minhash_lsh_pairs(
         for frame in (grams, buckets, grams_all, guard_cache):
             if frame is None:
                 continue
-            try:
-                frame.unpersist()
-            except Exception:  # pragma: no cover - defensive
-                pass
+            unpersist_if_owned(frame)
     return verified
 
 
@@ -762,6 +799,14 @@ def fuzzy_contamination(
             "fuzzy_contamination: the eval set is empty — refusing to "
             "report zero contamination from a misconfigured eval path"
         )
+    if probe["_lo"] is None or probe["_hi"] is None:
+        # non-empty eval set whose ids are ALL NULL: min/max return
+        # NULL and int(None) would die with an opaque TypeError
+        # (ADVICE r10 #3) — raise the contract error instead
+        raise ValueError(
+            "fuzzy_contamination: every eval id is NULL — eval ids "
+            "must be non-null integers in [0, 2^40)"
+        )
     if int(probe["_lo"]) < 0 or int(probe["_hi"]) >= FUZZY_EVAL_OFFSET:
         raise ValueError(
             "fuzzy_contamination: eval ids must lie in [0, 2^40) so the "
@@ -820,10 +865,7 @@ def fuzzy_contamination(
         out = persist_if_uncached(out)
         out.count()
         for frame in (doc_grams, eval_grams, cand, verify_grams):
-            try:
-                frame.unpersist()
-            except Exception:  # pragma: no cover - defensive
-                pass
+            unpersist_if_owned(frame)
     else:
         # ADVICE r09: lazy callers must be able to release the four
         # internal persists — expose them via the repo-wide

@@ -94,11 +94,19 @@ class IngestConvCuration:
         frozen_grams_path: str | None = None,
         decon_n: int = 8,
         n_buckets: int = 32,
+        dedup_roles: tuple[str, ...] | None = None,
     ) -> None:
         self.spark = spark
         self.conv_col = conv_col
         self.turns_col = turns_col
         self.decon_n = decon_n
+        # None = every turn enters the near-dedup (the r10 behavior).
+        # A role tuple (e.g. ("assistant",)) scopes the dedup state to
+        # those roles and passes other turns through UNTOUCHED — the
+        # preference-composition regime, where identical user
+        # instructions are the pair-assembly GROUPING KEY and must not
+        # be collapsed by turn identity (IngestPrefCuration below).
+        self.dedup_roles = dedup_roles
         self._frozen_path = frozen_grams_path
         self._frozen: DataFrame | None = None
         self._near = IngestNearDedup(
@@ -131,7 +139,20 @@ class IngestConvCuration:
             "role",
             "content",
         )
-        surv_turns = self._near.process_batch(keyed, epoch_id).drop("_turn_key")
+        if self.dedup_roles is None:
+            surv_turns = self._near.process_batch(keyed, epoch_id).drop(
+                "_turn_key"
+            )
+        else:
+            in_scope = keyed.filter(F.col("role").isin(*self.dedup_roles))
+            pass_through = keyed.filter(
+                ~F.col("role").isin(*self.dedup_roles)
+            )
+            surv_turns = (
+                self._near.process_batch(in_scope, epoch_id)
+                .unionByName(pass_through)
+                .drop("_turn_key")
+            )
         prs = instruction_response_pairs(surv_turns)
         if self._frozen_path is None:
             return prs
@@ -250,4 +271,102 @@ class IngestPrefPairDedup:
         for col, side in self._sides.items():
             for k, v in side.compact().items():
                 out[f"{col}/{k}"] = v
+        return out
+
+
+class IngestPrefCuration:
+    """Conversations in, surviving PREFERENCE pairs out — one
+    foreachBatch closing the preference family's streaming remainder
+    (VERDICT r10 #7):
+
+        IngestConvCuration (role-scoped durable turn near-dedup +
+        optional frozen response decontamination; dedup_roles =
+        ("assistant",) so identical user instructions — the assembly
+        grouping key — pass through)
+          -> per-batch preference-pair ASSEMBLY
+             (functions/preference.py preference_pairs)
+          -> IngestPrefPairDedup (durable BOTH-SIDES cross-batch pair
+             near-dedup).
+
+    Equivalence regime (each twin documents its own): pair assembly is
+    corpus-global in batch (groupBy instruction), so streamed == batch
+    additionally requires every instruction's candidate responses to
+    arrive within ONE micro-batch (upstream sessionization keyed on the
+    instruction — the availableNow/session-window pattern). Instruction
+    groups that span batches assemble per-batch pairs instead; turn
+    dedup and pair dedup remain cross-batch-correct regardless, which
+    is why assembly alone was left un-incrementalized in r9 (module
+    docstring) — this composition makes the regime explicit instead of
+    leaving the lane batch-only.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        conv_col: str = "conv_id",
+        turns_col: str = "turns",
+        turn_threshold: float = 0.9,
+        pair_threshold: float = 0.5,
+        n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 32,
+        frozen_grams_path: str | None = None,
+        decon_n: int = 8,
+        n_buckets: int = 32,
+    ) -> None:
+        import os
+
+        # turn dedup at a HIGHER threshold than pair dedup by default:
+        # the turn state collapses near-verbatim canned responses; the
+        # pair state owns the looser reworded-pair rule. With equal
+        # thresholds the turn stage would eat every cross-batch pair
+        # near-dup before the pair stage could apply its BOTH-SIDES
+        # rule (a single-side match must SHIP — the reward signal
+        # differs).
+        self._conv = IngestConvCuration(
+            spark,
+            os.path.join(state_dir, "turns"),
+            conv_col=conv_col,
+            turns_col=turns_col,
+            near_threshold=turn_threshold,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            frozen_grams_path=frozen_grams_path,
+            decon_n=decon_n,
+            n_buckets=n_buckets,
+            dedup_roles=("assistant",),
+        )
+        self._pref = IngestPrefPairDedup(
+            spark,
+            os.path.join(state_dir, "pairs"),
+            threshold=pair_threshold,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            n_buckets=n_buckets,
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        from kafka_denormalization_spark.functions.preference import (
+            preference_pairs,
+        )
+
+        sft = self._conv.process_batch(batch_df, epoch_id)
+        prefs = preference_pairs(sft).localCheckpoint(eager=True)
+        return self._pref.process_batch(prefs, epoch_id)
+
+    def foreach_batch(self, sink):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            sink(self.process_batch(batch_df, epoch_id), epoch_id)
+
+        return fn
+
+    def compact(self) -> dict[str, int]:
+        out = {f"turns/{k}": v for k, v in self._conv.compact().items()}
+        for k, v in self._pref.compact().items():
+            out[f"pairs/{k}"] = v
         return out

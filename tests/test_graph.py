@@ -287,3 +287,55 @@ def test_v4_stages_default_to_configured_checkpoint_dir(
     counts_env = {k: df.count() for k, df in stages_env.items()}
     assert counts_local == counts_env
     assert any(os.scandir(ckpt))
+
+
+def test_resolve_truncate_round_trip_does_not_nest(spark, tmp_path):
+    """ADVICE r10 #1: with a checkpoint dir already set on the
+    SparkContext (the cluster scenario), resolve_checkpoint_dir returns
+    the UUID-SUFFIXED path getCheckpointDir() reports; feeding that back
+    into truncate_lineage must NOT re-call setCheckpointDir (which would
+    mint another UUID level per round trip, growing the path
+    unboundedly). The context's dir must be byte-stable across repeated
+    resolve/truncate cycles — and an actual dir CHANGE must still
+    re-set."""
+    from kafka_denormalization_spark.checkpoint import (
+        resolve_checkpoint_dir,
+        truncate_lineage,
+    )
+
+    sc = spark.sparkContext
+    sc._sg_ckpt_state = None  # isolate from other tests in the session
+    sc.setCheckpointDir(str(tmp_path / "pre"))
+
+    df = spark.range(100)
+    seen = set()
+    for _ in range(4):
+        d = resolve_checkpoint_dir(spark)
+        truncate_lineage(df, d).count()
+        seen.add(sc.getCheckpointDir())
+    assert len(seen) == 1, f"checkpoint dir drifted across round trips: {seen}"
+    assert str(tmp_path / "pre") in next(iter(seen))
+
+    # a real dir change still re-points the context
+    other = str(tmp_path / "other")
+    truncate_lineage(df, other).count()
+    assert str(tmp_path / "other") in sc.getCheckpointDir()
+    sc._sg_ckpt_state = None
+
+
+def test_v4_stage_frames_memoized_per_session(spark):
+    """VERDICT r10 #2: the eager v4/v3 chains build ONCE per
+    (session, sf_dir, checkpoint dir) — funnel/attribution/pipeline
+    consumers must receive the very same stage-frame objects, not a
+    re-materialized chain per caller."""
+    from kafka_denormalization_spark.queries import (
+        _corpus_v3_mixed,
+        _corpus_v4_mixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m1, s1 = _corpus_v4_mixed(spark, sf, return_stages=True)
+    m2, s2 = _corpus_v4_mixed(spark, sf, return_stages=True)
+    assert m1 is m2
+    assert set(s1) == set(s2) and all(s1[k] is s2[k] for k in s1)
+    assert _corpus_v3_mixed(spark, sf) is _corpus_v3_mixed(spark, sf)

@@ -793,6 +793,14 @@ def test_freeze_eval_grams_empty_gate_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="refusing to freeze"):
         freeze_eval_grams(short, str(tmp_path / "f"), text_col="answer", n=8)
+    # ADVICE r10 #4: the failed freeze must leave NOTHING at the path —
+    # an empty parquet there is a silently-always-pass gate for the
+    # next pipeline pointed at it
+    import os
+
+    assert not os.path.exists(str(tmp_path / "f")), (
+        "failed freeze left an (empty) parquet on disk"
+    )
 
 
 def test_pref_pair_dedup_streaming_matches_batch_with_restart(spark, tmp_path):
@@ -853,3 +861,96 @@ def test_pref_pair_dedup_streaming_matches_batch_with_restart(spark, tmp_path):
         r["pair_id"] for r in preference_pair_dedup(union).collect()
     )
     assert sorted(out1 + out2) == ref
+
+
+def test_pref_curation_composed_matches_batch_with_restart(spark, tmp_path):
+    """IngestPrefCuration (VERDICT r10 #7): conversations -> role-scoped
+    turn dedup -> per-batch preference-pair assembly -> cross-batch
+    BOTH-SIDES pair dedup, one foreachBatch — streamed survivors == the
+    batch chain (instruction_response_pairs -> preference_pairs ->
+    preference_pair_dedup) over the union, with a RESTART between
+    batches. Regime: every instruction group arrives within one batch
+    (the class docstring's documented equivalence regime); identical
+    user instructions survive because only assistant turns enter the
+    turn-dedup state."""
+    from kafka_denormalization_spark.functions.conversations import (
+        conversation_turns,
+        instruction_response_pairs,
+    )
+    from kafka_denormalization_spark.functions.preference import (
+        preference_pair_dedup,
+        preference_pairs,
+    )
+    from kafka_denormalization_spark.streaming.ingest_conversations import (
+        IngestPrefCuration,
+    )
+
+    # 14-word A / 10-word B: chosen (longest) is stable under the
+    # single-word rewordings; one changed word keeps 3-gram Jaccard in
+    # [0.5, 0.9) — past the 0.9 turn gate, inside the 0.5 pair rule
+    A = ("cherry blossoms drift across the quiet pond while morning "
+         "sunlight settles gently over stones")
+    A_last = A.replace("stones", "pebbles")
+    A_first = A.replace("cherry", "sakura")
+    B = "petals fall in pink spirals covering wooden bridges near temples"
+    B_last = B.replace("temples", "shrines")
+    C = ("weeds tangle beneath broken fences where rusty gates lean "
+         "against crumbling walls")
+
+    batches = [
+        # batch 1 — group G1 (instruction I1): pair (A chosen, B rejected)
+        [
+            _conv(1, ("user", "write a short poem about spring"),
+                  ("assistant", A)),
+            _conv(2, ("user", "write a short poem about spring"),
+                  ("assistant", B)),
+        ],
+        # batch 2 — G2 rewords BOTH of G1's sides (cross-batch drop);
+        # G3 rewords only the chosen side (single-side match SHIPS)
+        [
+            _conv(6, ("user", "write a short poem about springtime blooms"),
+                  ("assistant", A_last)),
+            _conv(7, ("user", "write a short poem about springtime blooms"),
+                  ("assistant", B_last)),
+            _conv(8, ("user", "compose a verse about gardens in spring"),
+                  ("assistant", A_first)),
+            _conv(9, ("user", "compose a verse about gardens in spring"),
+                  ("assistant", C)),
+        ],
+    ]
+    state = str(tmp_path / "pref_state")
+    got = []
+    pc = IngestPrefCuration(spark, state)
+    got.extend(
+        r.asDict()
+        for r in pc.process_batch(
+            spark.createDataFrame(batches[0], _CONV_SCHEMA)
+        ).collect()
+    )
+    # restart: fresh instance, same state dir — both the turn and the
+    # pair memories must live in durable state
+    pc2 = IngestPrefCuration(spark, state)
+    got.extend(
+        r.asDict()
+        for r in pc2.process_batch(
+            spark.createDataFrame(batches[1], _CONV_SCHEMA)
+        ).collect()
+    )
+
+    union = spark.createDataFrame(
+        [c for b in batches for c in b], _CONV_SCHEMA
+    )
+    ref_prefs = preference_pairs(
+        instruction_response_pairs(conversation_turns(union))
+    )
+    ref = sorted(
+        r["pair_id"]
+        for r in preference_pair_dedup(ref_prefs, threshold=0.5).collect()
+    )
+    assert sorted(r["pair_id"] for r in got) == ref
+    # the both-sides drop actually fired: G1 (conv 1) and G3 (conv 8)
+    # survive, G2 (conv 6) does not
+    assert sorted(r["chosen_conv"] for r in got) == [1, 8]
+    chosen = {r["chosen_conv"]: r for r in got}
+    assert chosen[1]["chosen"] == A and chosen[1]["rejected"] == B
+    assert chosen[8]["chosen"] == A_first and chosen[8]["rejected"] == C

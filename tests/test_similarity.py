@@ -1021,3 +1021,55 @@ def test_fuzzy_contamination_rejects_empty_eval_set(spark):
     empty = spark.createDataFrame([], "eval_id long, prompt string")
     with _pytest.raises(ValueError, match="eval set is empty"):
         S.fuzzy_contamination(docs, "doc_id", "text", empty)
+
+
+def test_fuzzy_contamination_rejects_all_null_eval_ids(spark):
+    """ADVICE r10 #3: a non-empty eval set whose ids are all NULL must
+    raise the descriptive contract error, not an opaque TypeError from
+    int(None)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    nulls = spark.createDataFrame(
+        [(None, "w x y z q")], "eval_id long, prompt string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        S.fuzzy_contamination(docs, "doc_id", "text", nulls)
+
+
+def test_auto_cap_probe_result_memoized(spark):
+    """VERDICT r10 #3: the eager auto-cap probe stays eager but its
+    scalar RESULT is memoized per (session, canonicalized bucket plan)
+    — a second resolve over a semantically identical widths frame must
+    return the same cap without re-running the probe job."""
+    from kafka_denormalization_spark.functions.similarity import (
+        _AUTO_CAP_MEMO,
+        resolve_auto_bucket_cap,
+    )
+
+    def widths():
+        return (
+            spark.range(300)
+            .selectExpr("id % 7 AS _band", "id % 11 AS _h")
+            .groupBy("_band", "_h")
+            .agg(F.count(F.lit(1)).alias("_w"))
+        )
+
+    before = dict(_AUTO_CAP_MEMO)
+    cap1 = resolve_auto_bucket_cap(widths(), 32, what="memo-test")
+    new_keys = set(_AUTO_CAP_MEMO) - set(before)
+    assert len(new_keys) == 1, "probe result was not memoized"
+    (key,) = new_keys
+    # poison the memo: a second call must hit it, not re-probe
+    _AUTO_CAP_MEMO[key] = 12345
+    assert resolve_auto_bucket_cap(widths(), 32, what="memo-test") == 12345
+    _AUTO_CAP_MEMO[key] = cap1
+    assert resolve_auto_bucket_cap(widths(), 32, what="memo-test") == cap1
+    del _AUTO_CAP_MEMO[key]
+
+
+def test_paired_audit_memoized_per_session(spark):
+    from kafka_denormalization_spark.queries import q_paired_dedup
+
+    sf = "/root/testdata/sf0.001"
+    assert q_paired_dedup(spark, sf) is q_paired_dedup(spark, sf)
