@@ -629,6 +629,32 @@ def _video_dedup(docs):
     return video_fp_dedup(blobs, "id", hamming_max=3)
 
 
+def _video_keyframe_dedup(docs):
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_video_pixels,
+        make_video_blob,
+        video_keyframe_dedup,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_video_blob(
+                        fake_video_pixels(int(d) % 89, 1 + int(d) % 3)
+                    ),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.select("doc_id").mapInPandas(encode, "id long, blob binary")
+    return video_keyframe_dedup(blobs, "id")
+
+
 def _video_scenes(docs):
     import pandas as pd
 
@@ -968,6 +994,9 @@ OPS = {
     # same convention: id%89 seed families survive the shift, family
     # width grows with N under the banded Hamming join
     "video_dedup": ("documents", "doc_id", _video_dedup, False),
+    # keyframe keep-min: id%89 seed families survive the shift; the
+    # exact-collapse absorbs the width growth before the banded join
+    "video_keyframe_dedup": ("documents", "doc_id", _video_keyframe_dedup, False),
     # linear decode fan-outs: the scale question is Arrow batch
     # throughput, not pair volume
     "video_scenes": ("documents", "doc_id", _video_scenes, False),
