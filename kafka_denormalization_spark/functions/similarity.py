@@ -1426,20 +1426,40 @@ def ivf_centroids(
     vec_col: str = "embedding",
     num_planes: int = 4,
     dim: int = 64,
+    signature=None,
 ) -> DataFrame:
     """Coarse quantizer: cells = RP-signature buckets; centroid = elementwise
     mean of the cell's vectors (a deterministic single-pass k-means-lite —
     no driver-side randomness, reproducible across runs/retries).
 
-    Columnar: posexplode -> per-(cell, position) avg -> re-assemble. Output:
+    Columnar: posexplode -> per-(cell, position) mean -> re-assemble. Output:
     (cell, centroid array<double>, cell_size).
+
+    Determinism (r11): the mean uses the q_embedding_centroid convention —
+    each element scaled by 2^36 (exact exponent shift), FLOOR'd to BIGINT,
+    summed in exact integer math, one final IEEE division. A float avg()
+    here was the one order-DEPENDENT step in the IVF path: its low-order
+    bits moved with shuffle partitioning, so probed-cell RANKINGS could
+    differ between runs (and between engines) near centroid-similarity
+    ties. The 2^-36 quantization (~1.5e-11) is far below f32 noise.
+
+    ``signature`` selects the bucket function (rp_signature default;
+    rp_signature_portable for oracle-replayable consumers).
     """
+    if signature is None:
+        signature = rp_signature
     cells = corpus.select(
-        rp_signature(F.col(vec_col), num_planes, dim).alias("_cell"),
+        signature(F.col(vec_col), num_planes, dim).alias("_cell"),
         F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
     )
+    scale = float(2**36)
     by_pos = cells.groupBy("_cell", "_pos").agg(
-        F.avg(F.col("_x").cast("double")).alias("_m"),
+        (
+            F.sum(
+                F.floor(F.col("_x").cast("double") * F.lit(scale)).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.lit(scale))
+        ).alias("_m"),
         F.count(F.lit(1)).alias("_n"),
     )
     return (
@@ -1467,6 +1487,7 @@ def ivf_topk(
     num_planes: int = 4,
     dim: int = 64,
     probe_cells: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF approximate NN: each query exact-scores only the ``probe_cells``
     cells whose centroids are most cosine-similar to it.
@@ -1474,12 +1495,17 @@ def ivf_topk(
     Scale: the centroid table is tiny (<= 2^num_planes rows) and broadcast;
     the corpus is partitioned by cell once and each query touches
     probe_cells/2^num_planes of it. Same output shape as ``cosine_topk``.
+
+    ``portable=True`` buckets with rp_signature_portable so a DuckDB
+    oracle can replay the WHOLE path (cells, floor-scaled centroids,
+    probe ranking, exact cosines) bit-for-bit.
     """
-    cents = ivf_centroids(corpus, vec_col, num_planes, dim)
+    sig_fn = rp_signature_portable if portable else rp_signature
+    cents = ivf_centroids(corpus, vec_col, num_planes, dim, signature=sig_fn)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        rp_signature(F.col(vec_col), num_planes, dim).alias("cell"),
+        sig_fn(F.col(vec_col), num_planes, dim).alias("cell"),
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     # rank cells per query by centroid cosine, keep probe_cells
@@ -1503,6 +1529,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
     )
+
+
+def rp_plane_components(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic hyperplane constants SHARED by the engine and the
+    DuckDB oracle (the simhash_table_portable convention taken one step
+    further: the pseudo-randoms are md5-derived in PYTHON and embedded
+    as literals on both sides, so neither engine needs the other's hash
+    builtin). Components lie in [-0.999, 0.999], zero-centered."""
+    import hashlib
+
+    return [
+        [
+            (
+                (
+                    int(
+                        hashlib.md5(f"rp:{p}:{j}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % 1999
+                )
+                - 999
+            )
+            / 1000.0
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def rp_signature_portable(
+    vec: Column, num_planes: int = 16, dim: int = 64
+) -> Column:
+    """``rp_signature`` over PRECOMPUTED plane constants
+    (rp_plane_components) instead of in-engine xxhash64 — bit-identical
+    buckets are computable by any engine that can fold a list in order
+    (DuckDB's list_sum matches Spark's F.aggregate left fold — the
+    ann_cosine_topk precedent, 0 diffs across 45k rows). Use this
+    variant when the consumer needs an oracle; the xxhash64 variant
+    stays the default for pure-engine paths (no literal arrays in the
+    plan)."""
+    comps = rp_plane_components(num_planes, dim)
+
+    def plane_dot(p: int) -> Column:
+        arr = F.array(*[F.lit(c) for c in comps[p]])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = F.lit(0).cast("long")
+    for p in range(num_planes):
+        out = out.bitwiseOR(
+            F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
 
 
 def rp_signature(vec: Column, num_planes: int = 16, dim: int = 64) -> Column:
@@ -1542,6 +1626,7 @@ def lsh_ann_topk(
     num_planes: int = 8,
     dim: int = 64,
     probe: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate NN: corpus bucketed by random-hyperplane signature; each
     query scores the buckets within Hamming distance ``probe`` of its own
@@ -1555,13 +1640,18 @@ def lsh_ann_topk(
     Scale: the corpus is hash-partitioned by bucket once (reusable across
     query batches); the probe expansion happens on the (small, broadcast)
     query side only — the corpus is never replicated.
+
+    ``portable=True`` buckets with rp_signature_portable — the whole
+    path (buckets, XOR probe masks, exact cosines, rank) becomes
+    DuckDB-oracle-replayable bit-for-bit.
     """
+    sig_fn = rp_signature_portable if portable else rp_signature
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        rp_signature(F.col(vec_col), num_planes, dim).alias("_bucket"),
+        sig_fn(F.col(vec_col), num_planes, dim).alias("_bucket"),
     )
-    sig = rp_signature(F.col(vec_col), num_planes, dim)
+    sig = sig_fn(F.col(vec_col), num_planes, dim)
     masks = _probe_masks(num_planes, probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),

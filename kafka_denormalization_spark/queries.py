@@ -2906,13 +2906,17 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (scale path). Approximate by design —
-    rows-only driver check; recall vs brute force covered by pytest."""
+    """LSH-bucketed approximate NN (scale path). HASH-CHECKED since r11:
+    the portable signature (precomputed md5-derived plane constants,
+    similarity.rp_plane_components) makes the whole multi-probe path —
+    buckets, XOR masks, exact cosines, rank — DuckDB-replayable; the
+    approximation vs brute force is still a pytest recall property, but
+    the OPERATOR's own output is now deterministic cross-engine."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim_fns.lsh_ann_topk(emb, queries, k=5, num_planes=4, probe=2).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return sim_fns.lsh_ann_topk(
+        emb, queries, k=5, num_planes=4, probe=2, portable=True
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2961,12 +2965,16 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN (coarse cells + probe-limited exact scan).
-    Approximate by design — rows-only check; recall covered by pytest."""
+    HASH-CHECKED since r11: portable plane constants + the floor-scaled
+    exact-integer centroid (the q_embedding_centroid convention — the
+    float avg() it replaces was the one shuffle-order-DEPENDENT step in
+    the path) make cells, centroids, probe ranking, and cosines all
+    DuckDB-replayable; recall vs brute force stays a pytest property."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim_fns.ivf_topk(emb, queries, k=5, num_planes=4, probe_cells=4).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return sim_fns.ivf_topk(
+        emb, queries, k=5, num_planes=4, probe_cells=4, portable=True
+    ).select("query_id", "neighbor_id", "rank")
 
 
 _SHINGLES_SQL = (
@@ -3000,6 +3008,100 @@ _COS_SQL = (
     " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
     " ELSE 0.0 END)"
 )
+
+
+
+def _rp_sig_sql(vec_expr: str, num_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB replica of similarity.rp_signature_portable: per-plane
+    ordered dot fold over the SAME md5-derived constants (embedded as
+    literals on both sides), bit p set iff the dot is > 0. list_sum's
+    left fold matches Spark's F.aggregate — the _COS_SQL precedent."""
+    from kafka_denormalization_spark.functions.similarity import (
+        rp_plane_components,
+    )
+
+    comps = rp_plane_components(num_planes, dim)
+    terms = []
+    for pl in range(num_planes):
+        arr = "[" + ", ".join(repr(c) for c in comps[pl]) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(({vec_expr})[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << pl} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _ann_lsh_oracle_sql() -> str:
+    from kafka_denormalization_spark.functions.similarity import _probe_masks
+
+    masks = ", ".join(str(m) for m in _probe_masks(4, 2))
+    sig = _rp_sig_sql("embedding", 4, 64)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {sig} AS bucket
+      FROM embeddings
+    ),
+    q0 AS (
+      SELECT vec_id AS query_id, embedding AS qv, {sig} AS qsig
+      FROM embeddings WHERE vec_id < 10
+    ),
+    q AS (
+      SELECT query_id, qv, xor(qsig, m.m) AS bucket
+      FROM q0, (SELECT unnest([{masks}]) AS m) m
+    ),
+    s AS (
+      SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS sim
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """
+
+
+def _ann_ivf_oracle_sql() -> str:
+    sig = _rp_sig_sql("embedding", 4, 64)
+    scale = float(2**36)
+    return f"""
+    WITH cvec AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {sig} AS cell
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT cell, t.i AS pos,
+             CAST(sum(CAST(floor(CAST(cv[t.i] AS DOUBLE) * {scale!r}) AS BIGINT)) AS DOUBLE)
+               / (count(*) * {scale!r}) AS m
+      FROM cvec, range(1, 65) t(i)
+      GROUP BY cell, t.i
+    ),
+    cents AS (
+      SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    qc AS (
+      SELECT query_id, qv, cell,
+             {_COS_SQL.format(a="qv", b="centroid")} AS cs
+      FROM q, cents
+    ),
+    probed AS (
+      SELECT query_id, qv, cell FROM qc
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell) <= 4
+    ),
+    s AS (
+      SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS sim
+      FROM probed JOIN cvec USING (cell) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+    """
+
 
 # ---------------------------------------------------------------------------
 # window / sort / set-op / rollup coverage (north-star; operators/window.py,
@@ -8101,6 +8203,8 @@ ORACLE_SQL: dict[str, str] = {
     SELECT doc_id, lang, source, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
     """,
+    "ann_lsh_topk": _ann_lsh_oracle_sql(),
+    "ann_ivf_topk": _ann_ivf_oracle_sql(),
     "ann_cosine_topk": f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

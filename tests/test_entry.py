@@ -16,13 +16,13 @@ def test_queries_and_oracles_aligned():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     # non-SQL-expressible exceptions are known and deliberate:
-    # nested-struct output, approximate-by-design ANN, sketch internals
-    # (simhash_pairs and multimodal_decode graduated to hash-checked in
-    # r09 — portable md5 fingerprint family / FAKB integer replay)
+    # nested-struct output and sketch internals (simhash_pairs and
+    # multimodal_decode graduated to hash-checked in r09 via the
+    # portable md5 family / FAKB integer replay; ann_lsh_topk and
+    # ann_ivf_topk graduated in r11 via precomputed plane constants +
+    # the floor-scaled exact-integer centroid)
     assert set(qs) - set(oracles) == {
         "denorm_nested",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
         "approx_stats",
     }
 

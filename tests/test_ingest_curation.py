@@ -954,3 +954,61 @@ def test_pref_curation_composed_matches_batch_with_restart(spark, tmp_path):
     chosen = {r["chosen_conv"]: r for r in got}
     assert chosen[1]["chosen"] == A and chosen[1]["rejected"] == B
     assert chosen[8]["chosen"] == A_first and chosen[8]["rejected"] == C
+
+
+def test_pref_curation_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run for IngestPrefCuration: file
+    source, one file per trigger — the batch-2 group whose chosen AND
+    rejected sides reword a batch-1 surviving pair never reaches the
+    sink (durable both-sides state across triggers)."""
+    import os
+
+    from kafka_denormalization_spark.streaming.ingest_conversations import (
+        IngestPrefCuration,
+    )
+
+    A = ("cherry blossoms drift across the quiet pond while morning "
+         "sunlight settles gently over stones")
+    B = "petals fall in pink spirals covering wooden bridges near temples"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            _conv(1, ("user", "write a short poem about spring"),
+                  ("assistant", A)),
+            _conv(2, ("user", "write a short poem about spring"),
+                  ("assistant", B)),
+        ],
+        _CONV_SCHEMA,
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [
+            _conv(6, ("user", "write a short poem about springtime"),
+                  ("assistant", A.replace("stones", "pebbles"))),
+            _conv(7, ("user", "write a short poem about springtime"),
+                  ("assistant", B.replace("temples", "shrines"))),
+        ],
+        _CONV_SCHEMA,
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(_CONV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    pc = IngestPrefCuration(spark, str(tmp_path / "state"))
+    got: list[int] = []
+    q = (
+        stream.writeStream.foreachBatch(
+            pc.foreach_batch(
+                lambda df, e: got.extend(r["chosen_conv"] for r in df.collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # whichever file ran first assembles the surviving pair; the other
+    # group's pair (a both-sides reword) is dropped against state
+    assert len(got) == 1 and got[0] in (1, 6)

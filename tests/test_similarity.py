@@ -1073,3 +1073,25 @@ def test_paired_audit_memoized_per_session(spark):
 
     sf = "/root/testdata/sf0.001"
     assert q_paired_dedup(spark, sf) is q_paired_dedup(spark, sf)
+
+
+def test_ivf_centroids_partition_invariant(spark):
+    """r11 determinism fix: the floor-scaled exact-integer centroid is
+    BIT-identical under any partitioning — the float avg() it replaced
+    moved in the low-order bits with shuffle order, so IVF probe
+    rankings could differ between runs near centroid-similarity ties."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cents(df):
+        return {
+            r["cell"]: tuple(r["centroid"])
+            for r in S.ivf_centroids(df, "embedding", 4, 64).collect()
+        }
+
+    a = cents(emb.repartition(1))
+    b = cents(emb.repartition(13, "vec_id"))
+    assert a == b, "centroids changed under repartitioning"

@@ -1579,3 +1579,60 @@ def test_ingest_scene_keyframes_matches_batch_with_restart(spark, tmp_path):
         spark.createDataFrame([(50, blob(3, gain=2))], schema)
     )
     assert kf3.count() == 0
+
+
+def test_ingest_scene_keyframes_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run for IngestSceneKeyframes: file
+    source, one file per trigger, two sinks via the foreach_batch
+    adapter — every clip's scenes reach the scene sink (stateless 1->N)
+    while a later file's gain-re-graded clip contributes NO surviving
+    keyframes (its keyframe hashes are gain-invariant duplicates of an
+    earlier file's, dropped against the durable signature state)."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_video_pixels,
+        make_video_blob,
+    )
+    from kafka_denormalization_spark.streaming.ingest_multimodal import (
+        IngestSceneKeyframes,
+    )
+
+    def blob(seed, gain=1):
+        return bytearray(make_video_blob(fake_video_pixels(seed, gain)))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, blob(1)), (2, blob(2))], "id long, blob binary"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, blob(1, gain=3)), (4, blob(5))], "id long, blob binary"
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("id long, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    sk = IngestSceneKeyframes(spark, str(tmp_path / "state"), "id")
+    scene_ids: list[int] = []
+    kf_ids: list[int] = []
+
+    q = (
+        stream.writeStream.foreachBatch(
+            sk.foreach_batch(
+                lambda df, e: scene_ids.extend(r["id"] for r in df.collect()),
+                lambda df, e: kf_ids.extend(r["id"] for r in df.collect()),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # scenes are stateless: every clip contributes scene rows
+    assert set(scene_ids) == {1, 2, 3, 4}
+    # keyframes are stateful: whichever file ran first wins the seed-1
+    # family; the other seed-1 clip contributes nothing
+    surv = set(kf_ids)
+    assert (1 in surv) ^ (3 in surv)
+    assert 2 in surv and 4 in surv
