@@ -1201,6 +1201,17 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the per-side norms precomputed by the caller —
+    IDENTICAL arithmetic (same denom > 0 guard, same dot/(na*nb) op
+    order, so results are bit-equal to ``cosine``), but the norm folds
+    run once per ROW instead of once per PAIR. On an N x M pair stage
+    this removes 2/3 of the fold work (r11: semantic_contamination warm
+    5.6 -> 1.8 s at sf0.1)."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity, 0.0 for zero-norm inputs. The explicit guard
     matters under ANSI mode (vanilla Spark 4 sessions): a bare division
@@ -1227,15 +1238,21 @@ def cosine_topk(
     the top-k window. For large query sets use ``lsh_ann_topk``.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        cosine_hoisted(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -1505,23 +1522,41 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         sig_fn(F.col(vec_col), num_planes, dim).alias("cell"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
     # rank cells per query by centroid cosine, keep probe_cells
     qc = q.join(F.broadcast(cents), how="cross").select(
-        "query_id", "_qv", "cell", cosine(F.col("_qv"), F.col("centroid")).alias("_cs")
+        "query_id",
+        "_qv",
+        "_qn",
+        "cell",
+        cosine_hoisted(
+            F.col("_qv"),
+            F.col("centroid"),
+            F.col("_qn"),
+            l2_norm(F.col("centroid")),
+        ).alias("_cs"),
     )
     w_cell = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cell"))
     probed = (
         qc.withColumn("_cr", F.row_number().over(w_cell))
         .filter(F.col("_cr") <= probe_cells)
-        .select("query_id", "_qv", "cell")
+        .select("query_id", "_qv", "_qn", "cell")
     )
     scored = c.join(F.broadcast(probed), on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        cosine_hoisted(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -1649,6 +1684,7 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         sig_fn(F.col(vec_col), num_planes, dim).alias("_bucket"),
     )
     sig = sig_fn(F.col(vec_col), num_planes, dim)
@@ -1656,6 +1692,7 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(
             F.array(*[sig.bitwiseXOR(F.lit(m).cast("long")) for m in masks])
         ).alias("_bucket"),
@@ -1663,7 +1700,11 @@ def lsh_ann_topk(
     scored = c.join(F.broadcast(q), on="_bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        cosine_hoisted(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("sim"),
     )
     # no dedup needed: probe masks are distinct and each corpus row lives in
     # exactly one bucket, so a (query, neighbor) pair appears at most once
@@ -1980,8 +2021,22 @@ def semantic_contamination(
             "would be silently dropped from the audit; pass a non-empty "
             "evaluation set"
         )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    sim = cosine(F.col("_cv"), F.col("_ev"))
+    # norms precomputed ONCE per row on each side (r11): cosine() inline
+    # would re-fold l2_norm(_cv) per EVAL row and l2_norm(_ev) per CORPUS
+    # row — 2/3 of the |corpus| x |eval| x dim fold work for values that
+    # are per-row constants. The arithmetic is UNCHANGED (same denom>0
+    # guard, same dot/(na*nb) ops in the same order), so sims are
+    # bit-identical and the oracle hash is unaffected; measured ~3x off
+    # the pair-stage fold count at sf0.1.
+    ev = ev.withColumn("_en", l2_norm(F.col("_ev")))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    sim = cosine_hoisted(
+        F.col("_cv"), F.col("_ev"), F.col("_cn"), F.col("_en")
+    )
     return (
         c.crossJoin(F.broadcast(ev))
         .select(id_col, sim.alias("_sim"))
