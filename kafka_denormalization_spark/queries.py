@@ -5394,8 +5394,8 @@ _DRIVER_HEAD = [
     #     4-round staleness bound (tests/test_entry.py
     #     test_driver_head_rotation_policy) makes these mandatory at
     #     round 11; this is the set the r10 verdict listed verbatim;
-    # (b) 37 of the 41 names whose freshest driver check is r07 (due
-    #     at round 12 otherwise). The 4 r07 names NOT rotated, each
+    # (b) 36 of the 41 names whose freshest driver check is r07 (due
+    #     at round 12 otherwise). The 5 r07 names NOT rotated, each
     #     yielding its slot because an included name exercises the
     #     same code path: zipf_fit_head (same functions/text.py rank
     #     regression as the included zipf_fit), unimax_shards (same
