@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "audio_segments",
     # round-11 operators
     "video_keyframe_dedup",
+    "image_resize",
 ]
 
 

@@ -246,6 +246,111 @@ def make_image_blob(width: int, height: int, pixels: bytes) -> bytes:
     return FAKE_MAGIC + _struct.pack("<II", width, height) + pixels
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    out_w: int = 9,
+    out_h: int = 8,
+) -> DataFrame:
+    """Exact-integer area-pooling DOWNSCALE of image blobs — the
+    pre-encode normalization step a multimodal training pipeline runs
+    before feature extraction (thumbnails, fixed encoder geometry):
+    output pixel (r, c) is the mean of its source block on DIV-grid
+    boundaries (rows [r*h DIV out_h, (r+1)*h DIV out_h) x cols
+    [c*w DIV out_w, (c+1)*w DIV out_w)), computed as an integral-image
+    block sum DIV area — ``image_dhash``'s 9x8 pooling generalized to
+    an arbitrary target geometry. A pure function of the pixel grid
+    (no resampling filter, no floats), so any engine replays the bytes
+    bit-identically; for exact-multiple geometries it reduces to plain
+    block-mean pooling (the dHash oracle's reduction argument).
+
+    Decode order: FAKB -> registered REAL_IMAGE_DECODER hook -> Pillow
+    -> NotImplementedError (the seam convention). UPSCALING raises —
+    area pooling is a downscale; interpolation would re-introduce
+    filter-dependent float arithmetic (honest gate, not a silent
+    fallback).
+
+    Output: (id_col, blob [FAKB out_w x out_h], width, height) — 1->1
+    mapInPandas; pixels never shuffle beyond the emitted thumbnail
+    (out_w*out_h bytes/row).
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"target geometry must be positive, got {out_w}x{out_h}")
+
+    # capture the swap-seam hook at PLAN-BUILD time (driver side)
+    _real = REAL_IMAGE_DECODER
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if _real is not None:
+            def real_decode(b: bytes) -> "np.ndarray":
+                return np.asarray(_real(b), dtype="int64")
+        else:
+            try:
+                import io
+
+                from PIL import Image
+
+                def real_decode(b: bytes) -> "np.ndarray":
+                    img = Image.open(io.BytesIO(b)).convert("L")
+                    return np.asarray(img, dtype="int64")
+            except ImportError:
+                real_decode = None
+
+        def decode_grid(b: bytes) -> "np.ndarray":
+            if b[:4] == FAKE_MAGIC:
+                w, h = _struct.unpack("<II", b[4:12])
+                return np.frombuffer(
+                    b[12 : 12 + w * h], dtype="uint8"
+                ).astype("int64").reshape(h, w)
+            if real_decode is None:
+                raise NotImplementedError(
+                    "real image decoding requires Pillow (not in this "
+                    "container); only FAKB test blobs are decodable"
+                )
+            return real_decode(b)
+
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                g = decode_grid(bytes(blob))
+                h, w = g.shape
+                if out_w > w or out_h > h:
+                    raise ValueError(
+                        f"resize_images: {w}x{h} -> {out_w}x{out_h} is an "
+                        "UPSCALE; area pooling only downscales (an "
+                        "interpolating upscale would re-introduce "
+                        "filter-dependent float arithmetic)"
+                    )
+                ii = np.zeros((h + 1, w + 1), dtype="int64")
+                ii[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+                rb = np.array([(r * h) // out_h for r in range(out_h + 1)])
+                cb = np.array([(c * w) // out_w for c in range(out_w + 1)])
+                sums = (
+                    ii[rb[1:], :][:, cb[1:]]
+                    - ii[rb[:-1], :][:, cb[1:]]
+                    - ii[rb[1:], :][:, cb[:-1]]
+                    + ii[rb[:-1], :][:, cb[:-1]]
+                )
+                areas = np.outer(np.diff(rb), np.diff(cb))
+                v = (sums // areas).astype("uint8")
+                out.append(
+                    (
+                        rid,
+                        make_image_blob(out_w, out_h, v.tobytes()),
+                        out_w,
+                        out_h,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[id_col, "blob", "width", "height"])
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(blob_col).alias(blob_col)
+    ).mapInPandas(rs, f"{id_col} long, blob binary, width long, height long")
+
+
 def image_dhash(
     df: DataFrame,
     id_col: str = "id",

@@ -4317,6 +4317,73 @@ def _paired_pixels(s: int, flip: bool) -> bytes:
     return bytes(px)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer area-pooling image resize (functions/multimodal.py
+    resize_images — the pre-encode thumbnail/normalization step): the
+    36x32 phash fixture grids downscale to 9x8 (exact 4x4 blocks, so
+    the DIV-grid pooling reduces to block means the oracle replays with
+    one GROUP BY). The emitted thumbnail BLOB is round-tripped through
+    the FAKB decode and pinned by integer layout stats: sum, min, max,
+    and a position-weighted checksum sum(v * (r*9 + c + 1)) that any
+    pixel transposition would move."""
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+        resize_images,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (int(d), make_image_blob(PHASH_W, PHASH_H, _phash_pixels(int(d))))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.mapInPandas(encode, "id long, blob binary")
+    resized = resize_images(blobs, "id", "blob", out_w=9, out_h=8)
+
+    def stats(batches):
+        import numpy as np
+        import struct as _st
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["blob"]):
+                b = bytes(blob)
+                w, h = _st.unpack("<II", b[4:12])
+                v = np.frombuffer(b[12 : 12 + w * h], dtype="uint8").astype(
+                    "int64"
+                )
+                rows.append(
+                    (
+                        int(rid),
+                        int(w),
+                        int(h),
+                        int(v.sum()),
+                        int(v.min()),
+                        int(v.max()),
+                        int((v * (np.arange(w * h) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "px_sum", "px_min",
+                    "px_max", "px_weighted",
+                ],
+            )
+
+    return resized.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, px_sum long, px_min long, "
+        "px_max long, px_weighted long",
+    )
+
+
 _PAIRED_AUDIT_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -5233,6 +5300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_fingerprint": q_video_fingerprint,
     "video_dedup": q_video_dedup,
     "video_keyframe_dedup": q_video_keyframe_dedup,
+    "image_resize": q_image_resize,
     "video_scenes": q_video_scenes,
     "video_keyframes": q_video_keyframes,
     "audio_segments": q_audio_segments,
@@ -5394,8 +5462,8 @@ _DRIVER_HEAD = [
     #     4-round staleness bound (tests/test_entry.py
     #     test_driver_head_rotation_policy) makes these mandatory at
     #     round 11; this is the set the r10 verdict listed verbatim;
-    # (b) 36 of the 41 names whose freshest driver check is r07 (due
-    #     at round 12 otherwise). The 5 r07 names NOT rotated, each
+    # (b) 35 of the 41 names whose freshest driver check is r07 (due
+    #     at round 12 otherwise). The 6 r07 names NOT rotated, each
     #     yielding its slot because an included name exercises the
     #     same code path: zipf_fit_head (same functions/text.py rank
     #     regression as the included zipf_fit), unimax_shards (same
@@ -5403,13 +5471,16 @@ _DRIVER_HEAD = [
     #     cluster_source_mix (same connected-components cluster table
     #     as the included cluster_size_histogram), shard_plan_bytes
     #     (same byte-budget packer as the included shard_manifest),
-    #     and soft_dedup_sample (rides the included dedup_weights'
+    #     soft_dedup_sample (rides the included dedup_weights'
     #     cluster-weight machinery + the sampling family's hash draw),
-    #     which yielded its slot to the round-11 addition
-    #     video_keyframe_dedup (never driver-checked names MUST sit in
-    #     the current head). All five are FIRST in line for the
-    #     round-12 head — the rotation tripwire makes that mechanical,
-    #     not optional.
+    #     and cross_source_dups (rides the same session-memoized
+    #     _lsh_pairs_shared pair table as the included
+    #     cluster_size_histogram / dedup_weights) — the last two
+    #     yielded their slots to the round-11 additions
+    #     video_keyframe_dedup and image_resize (never driver-checked
+    #     names MUST sit in the current head). All six are FIRST in
+    #     line for the round-12 head — the rotation tripwire makes
+    #     that mechanical, not optional.
     # (a) r06-stale, alphabetical — mandatory
     "ann_ivf_topk", "ann_lsh_topk", "approx_stats", "corpus_pipeline",
     "denorm_left_outer", "denorm_nested", "denorm_on_key",
@@ -5418,7 +5489,7 @@ _DRIVER_HEAD = [
     # (b) r07-stale, alphabetical
     "blocklist_filter", "ccnet_buckets", "cluster_size_histogram",
     "collocations", "contamination_scrub", "corpus_diff",
-    "corpus_pipeline_v4", "cross_source_dups", "curriculum_shards",
+    "corpus_pipeline_v4", "curriculum_shards",
     "dedup_mixture_shift", "dedup_weights", "domain_filtered_corpus",
     "domain_profile", "domain_temperature_mix", "doremi_weights",
     "epoch_shards", "gopher_repetition", "icp_packing", "k_anonymity",
@@ -5428,8 +5499,8 @@ _DRIVER_HEAD = [
     "signal_filter", "source_divergence",
     "source_overlap", "token_fertility", "unimax_mixture",
     "url_dedup", "v4_attribution", "zipf_fit",
-    # (d) round-11 addition (never driver-checked)
-    "video_keyframe_dedup",
+    # (d) round-11 additions (never driver-checked)
+    "video_keyframe_dedup", "image_resize",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
@@ -8852,6 +8923,35 @@ ORACLE_SQL: dict[str, str] = {
     # regenerates the deterministic pixel grid arithmetically (PNG is
     # lossless, so Spark's Pillow-decoded pixels are the same integers),
     # then replays dHash pooling/bits/bands + Hamming-band blocking
+    "image_resize": f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    px AS (
+      SELECT doc_id, i, j,
+             CASE WHEN doc_id % 5 = 0 AND i = 0 AND j = 0
+               THEN (((doc_id % {PHASH_GROUPS}) * 31
+                      + i * (7 + (doc_id % {PHASH_GROUPS}) % 101)
+                      + j * (13 + (doc_id % {PHASH_GROUPS}) % 103))
+                     % 256 + 128) % 256
+               ELSE ((doc_id % {PHASH_GROUPS}) * 31
+                     + i * (7 + (doc_id % {PHASH_GROUPS}) % 101)
+                     + j * (13 + (doc_id % {PHASH_GROUPS}) % 103)) % 256
+             END AS p
+      FROM ids, range(0, {PHASH_H}) t1(i), range(0, {PHASH_W}) t2(j)
+    ),
+    pooled AS (
+      SELECT doc_id, i // 4 AS r, j // 4 AS c,
+             CAST(SUM(p) // 16 AS BIGINT) AS v
+      FROM px GROUP BY doc_id, i // 4, j // 4
+    )
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max,
+           CAST(SUM(v * (r * 9 + c + 1)) AS BIGINT) AS px_weighted
+    FROM pooled GROUP BY doc_id
+    """,
     "image_phash_dedup": f"""
     WITH ids AS (SELECT doc_id FROM documents),
     px AS (

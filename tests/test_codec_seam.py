@@ -142,3 +142,36 @@ def test_image_seam_preserves_downstream_contract(spark, monkeypatch):
     hn = _rows(M.image_dhash(native), ["id"])
     hs = _rows(M.image_dhash(swapped), ["id"])
     assert hn == hs
+
+
+def test_image_seam_resize_path(spark, monkeypatch):
+    """resize_images consumes the injected real decoder too: a
+    foreign-container blob resizes to the same thumbnail bytes as its
+    native FAKB twin."""
+    w, h = 12, 8
+    fakb = M.make_fake_image(w, h, seed=9)
+    foreign = PNGX_MAGIC + fakb[4:]
+
+    def fake_real_image(blob: bytes):
+        import numpy as np
+
+        assert blob[:4] == PNGX_MAGIC
+        iw, ih = struct.unpack("<II", blob[4:12])
+        return (
+            np.frombuffer(blob, dtype="u1", count=iw * ih, offset=12)
+            .astype("int64")
+            .reshape(ih, iw)
+        )
+
+    native = spark.createDataFrame([(1, bytearray(fakb))], "id long, blob binary")
+    swapped = spark.createDataFrame(
+        [(1, bytearray(foreign))], "id long, blob binary"
+    )
+    with pytest.raises(Exception, match="Pillow|NotImplemented"):
+        M.resize_images(swapped, out_w=6, out_h=4).collect()
+    monkeypatch.setattr(M, "REAL_IMAGE_DECODER", fake_real_image)
+    rn = _rows(M.resize_images(native, out_w=6, out_h=4), ["id"])
+    rs = _rows(M.resize_images(swapped, out_w=6, out_h=4), ["id"])
+    assert [(r[0], bytes(r[1]), r[2], r[3]) for r in rn] == [
+        (r[0], bytes(r[1]), r[2], r[3]) for r in rs
+    ]

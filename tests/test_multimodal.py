@@ -648,3 +648,70 @@ def test_audio_segments_planted_dropout(spark):
         for r in audio_segments(df).collect()
     )
     assert segs == [(0, 0, 20, True), (1, 20, 10, False), (2, 30, 35, True)]
+
+
+def test_resize_images_exact_block_means(spark):
+    """Exact-multiple geometry: every output pixel is precisely its
+    source block's integer mean (hand-replayed with numpy)."""
+    import numpy as np
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+        resize_images,
+    )
+
+    w, h, ow, oh = 12, 8, 6, 4
+    px = bytes((i * 17 + 3) % 256 for i in range(w * h))
+    df = spark.createDataFrame(
+        [(1, bytearray(make_image_blob(w, h, px)))], "id long, blob binary"
+    )
+    out = resize_images(df, out_w=ow, out_h=oh).collect()[0]
+    assert (out["width"], out["height"]) == (ow, oh)
+    got = np.frombuffer(bytes(out["blob"])[12:], dtype="uint8").reshape(oh, ow)
+    g = np.frombuffer(px, dtype="uint8").astype("int64").reshape(h, w)
+    want = g.reshape(oh, 2, ow, 2).sum(axis=(1, 3)) // 4
+    assert (got == want).all()
+
+
+def test_resize_images_div_grid_non_multiple(spark):
+    """Non-multiple geometry: DIV-grid boundaries (the dHash pooling
+    generalized) — block (r, c) covers rows [r*h DIV oh, (r+1)*h DIV oh)
+    x cols [c*w DIV ow, ...), value = block sum DIV area."""
+    import numpy as np
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+        resize_images,
+    )
+
+    w, h, ow, oh = 7, 5, 3, 2
+    px = bytes((i * 29 + 11) % 256 for i in range(w * h))
+    df = spark.createDataFrame(
+        [(1, bytearray(make_image_blob(w, h, px)))], "id long, blob binary"
+    )
+    out = resize_images(df, out_w=ow, out_h=oh).collect()[0]
+    got = np.frombuffer(bytes(out["blob"])[12:], dtype="uint8").reshape(oh, ow)
+    g = np.frombuffer(px, dtype="uint8").astype("int64").reshape(h, w)
+    want = np.zeros((oh, ow), dtype="int64")
+    for r in range(oh):
+        for c in range(ow):
+            r0, r1 = (r * h) // oh, ((r + 1) * h) // oh
+            c0, c1 = (c * w) // ow, ((c + 1) * w) // ow
+            blk = g[r0:r1, c0:c1]
+            want[r, c] = blk.sum() // blk.size
+    assert (got == want).all()
+
+
+def test_resize_images_upscale_raises(spark):
+    import pytest as _pytest
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_fake_image,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_fake_image(4, 4, seed=1)))], "id long, blob binary"
+    )
+    with _pytest.raises(Exception, match="UPSCALE"):
+        resize_images(df, out_w=8, out_h=8).collect()

@@ -629,6 +629,31 @@ def _video_dedup(docs):
     return video_fp_dedup(blobs, "id", hamming_max=3)
 
 
+def _image_resize(docs):
+    import pandas as pd
+
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+        resize_images,
+    )
+    from kafka_denormalization_spark.queries import (
+        PHASH_H,
+        PHASH_W,
+        _phash_pixels,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = [
+                (int(d), make_image_blob(PHASH_W, PHASH_H, _phash_pixels(int(d))))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob"])
+
+    blobs = docs.select("doc_id").mapInPandas(encode, "id long, blob binary")
+    return resize_images(blobs, out_w=9, out_h=8)
+
+
 def _video_keyframe_dedup(docs):
     import pandas as pd
 
@@ -994,6 +1019,9 @@ OPS = {
     # same convention: id%89 seed families survive the shift, family
     # width grows with N under the banded Hamming join
     "video_dedup": ("documents", "doc_id", _video_dedup, False),
+    # linear decode/encode fan-out — the scale question is Arrow batch
+    # throughput (thumbnails are 72 bytes/row out)
+    "image_resize": ("documents", "doc_id", _image_resize, False),
     # keyframe keep-min: id%89 seed families survive the shift; the
     # exact-collapse absorbs the width growth before the banded join
     "video_keyframe_dedup": ("documents", "doc_id", _video_keyframe_dedup, False),
