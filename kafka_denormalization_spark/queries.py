@@ -3506,6 +3506,13 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         damping_pct=PAGERANK_DAMPING_PCT,
         n_iter=PAGERANK_ITERS,
+        # at the fixed 5 iterations the whole power chain fits one lazy
+        # plan (deg's identical per-round exchange becomes a
+        # ReusedExchange) — measured warm 5.7 -> 4.7 s at sf0.1 vs
+        # cutting every 2 rounds; values bit-identical (the cut only
+        # bounds plan depth). High-iteration callers keep the
+        # truncate_every=2 default floor.
+        truncate_every=PAGERANK_ITERS,
     )
 
 
