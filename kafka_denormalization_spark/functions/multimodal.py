@@ -1499,6 +1499,7 @@ def video_keyframe_dedup(
     max_bucket: int | str | None = "auto",
     num: int = 13,
     den: int = 10,
+    persist: bool = True,
 ) -> DataFrame:
     """Keyframe-level near-dedup retention — the batch twin of
     streaming ``IngestSceneKeyframes``: every scene's keyframe whose
@@ -1507,11 +1508,25 @@ def video_keyframe_dedup(
     ``_sig_keep_min`` (exact-duplicate collapse + banded pair join)
     through the 14-bit-band decomposition of ``keyframe_sig``.
 
+    ``persist`` and cache ownership (ADVICE r11 #1): the keyframe-hash
+    table (decoded once, consumed by both the signature stage and the
+    retention join) and ``_sig_keep_min``'s reps/guard caches are
+    exposed on the returned frame as ``_sg_internal_cache`` /
+    ``_sg_internal_caches`` — the image_phash_dedup convention — so
+    callers can release executor storage via
+    ``checkpoint.unpersist_if_owned`` once the result is consumed;
+    ``persist=False`` skips every internal persist (consumers then
+    recompute the decode subtree).
+
     Output: (id_col, scene_idx, frame_idx, khash) surviving rows."""
     kf = video_keyframe_hash(df, id_col, blob_col, num, den)
-    kf = persist_if_uncached(kf)
+    if persist:
+        kf = persist_if_uncached(kf)
     sig = keyframe_sig(kf, id_col).withColumnRenamed("kid", "id")
-    keep = _sig_keep_min(sig, hamming_max, max_bucket, "kid").select("kid")
+    keep_full = _sig_keep_min(sig, hamming_max, max_bucket, "kid", persist)
+    # read the handles BEFORE .select strips them from the frame
+    inner = list(getattr(keep_full, "_sg_internal_caches", []))
+    keep = keep_full.select("kid")
     out = (
         kf.withColumn(
             "kid",
@@ -1520,6 +1535,10 @@ def video_keyframe_dedup(
         .join(keep, "kid", "left_semi")
         .drop("kid")
     )
+    caches = ([kf] if persist else []) + inner
+    if caches:
+        out._sg_internal_cache = caches[0]
+        out._sg_internal_caches = caches
     return out
 
 

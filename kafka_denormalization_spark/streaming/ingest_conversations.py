@@ -66,6 +66,23 @@ from kafka_denormalization_spark.streaming.ingest_dedup import IngestNearDedup
 TURN_KEY_STRIDE = 4096
 
 
+def role_scope_split(
+    turns: DataFrame, roles: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """EXHAUSTIVE (in_scope, pass_through) split of a turn frame by
+    role membership (ADVICE r11 #2): for a NULL role both
+    ``isin(...)`` and ``~isin(...)`` evaluate to NULL, so a naive
+    filter pair lands such turns in NEITHER side and silently drops
+    them — ``dedup_roles=None`` passes them through, and the scoped
+    regime must too (a NULL role is never a member of the scope
+    tuple). Every input row lands in exactly one side."""
+    member = F.col("role").isin(*roles)
+    return (
+        turns.filter(member),
+        turns.filter(F.coalesce(~member, F.lit(True))),
+    )
+
+
 class IngestConvCuration:
     """Composed continuous conversation curation with durable
     turn-dedup state and a frozen decontamination gate.
@@ -144,9 +161,8 @@ class IngestConvCuration:
                 "_turn_key"
             )
         else:
-            in_scope = keyed.filter(F.col("role").isin(*self.dedup_roles))
-            pass_through = keyed.filter(
-                ~F.col("role").isin(*self.dedup_roles)
+            in_scope, pass_through = role_scope_split(
+                keyed, self.dedup_roles
             )
             surv_turns = (
                 self._near.process_batch(in_scope, epoch_id)

@@ -309,3 +309,77 @@ class IngestSceneKeyframes:
 
     def compact(self) -> dict[str, int]:
         return self._sig.compact()
+
+
+class IngestResizeDedup:
+    """Streaming twin of the batch multimodal lane's FIRST stage
+    (VERDICT r11 #6; queries.py q_multimodal_to_shards): stateless
+    exact-integer RESIZE to the encoder geometry (resize_images — 1->1
+    per batch, no state, blobs decode once in the scan) feeding the
+    durable signature near-dedup state (``IngestSigDedup`` over the
+    resized thumbnails' dHash).
+
+    ``process_batch`` returns the batch's SURVIVING resized rows
+    (id_col, blob [FAKB out_w x out_h], width, height) — the
+    normalize-then-dedup lane a streamed multimodal ingest runs.
+    Because DIV-grid area pooling composes exactly for exact-multiple
+    geometries (dhash(resize(img)) == dhash(img) — the
+    test_dhash_invariant_under_exact_resize pin), the survivor ID set
+    equals the batch chain resize -> image_phash_dedup over the union
+    whenever ids arrive in monotone order (the ingest_dedup min-key
+    equivalence regime).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str = "id",
+        blob_col: str = "blob",
+        out_w: int = 9,
+        out_h: int = 8,
+        hamming_max: int = 3,
+        n_buckets: int = 32,
+    ) -> None:
+        self.id_col = id_col
+        self.blob_col = blob_col
+        self.out_w = out_w
+        self.out_h = out_h
+        self._sig = IngestSigDedup(
+            spark,
+            state_dir,
+            id_col,
+            fingerprint=self._fingerprint,
+            hamming_max=hamming_max,
+            n_buckets=n_buckets,
+        )
+
+    def _fingerprint(self, resized: DataFrame) -> DataFrame:
+        from kafka_denormalization_spark.functions.multimodal import (
+            image_dhash,
+        )
+
+        return image_dhash(resized, self.id_col, self.blob_col)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        from kafka_denormalization_spark.functions.multimodal import (
+            resize_images,
+        )
+
+        # resize once per batch; survivors ship the thumbnail (the
+        # full-resolution blob stays in the batch scan, never in state)
+        resized = resize_images(
+            batch_df, self.id_col, self.blob_col, self.out_w, self.out_h
+        ).localCheckpoint(eager=True)
+        return self._sig.process_batch(resized, epoch_id)
+
+    def foreach_batch(self, sink):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            sink(self.process_batch(batch_df, epoch_id), epoch_id)
+
+        return fn
+
+    def compact(self) -> dict[str, int]:
+        return self._sig.compact()

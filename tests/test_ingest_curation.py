@@ -1012,3 +1012,33 @@ def test_pref_curation_streaming_e2e(spark, tmp_path):
     # whichever file ran first assembles the surviving pair; the other
     # group's pair (a both-sides reword) is dropped against state
     assert len(got) == 1 and got[0] in (1, 6)
+
+
+def test_role_scope_split_is_exhaustive_with_null_roles(spark):
+    """ADVICE r11 #2: the role-scoped dedup split must be EXHAUSTIVE —
+    a turn with a NULL role satisfies neither isin() nor ~isin() (both
+    evaluate to NULL), so the naive filter pair dropped it silently;
+    it must land in pass_through exactly like the dedup_roles=None
+    regime would keep it."""
+    from kafka_denormalization_spark.streaming.ingest_conversations import (
+        role_scope_split,
+    )
+
+    rows = [
+        (1, 0, "user", "hello"),
+        (1, 1, "assistant", "hi"),
+        (1, 2, None, "system note with no role"),
+        (2, 0, "tool", "result blob"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, content string"
+    )
+    in_scope, pass_through = role_scope_split(turns, ("assistant",))
+    scope_keys = {(r[0], r[1]) for r in in_scope.collect()}
+    pass_keys = {(r[0], r[1]) for r in pass_through.collect()}
+    assert scope_keys == {(1, 1)}
+    assert pass_keys == {(1, 0), (1, 2), (2, 0)}, (
+        "NULL-role turn was dropped by the scoped split"
+    )
+    assert scope_keys | pass_keys == {(r[0], r[1]) for r in rows}
+    assert not (scope_keys & pass_keys)

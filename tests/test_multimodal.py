@@ -715,3 +715,227 @@ def test_resize_images_upscale_raises(spark):
     )
     with _pytest.raises(Exception, match="UPSCALE"):
         resize_images(df, out_w=8, out_h=8).collect()
+
+
+def test_video_keyframe_dedup_exposes_cache_handles(spark):
+    """ADVICE r11 #1: video_keyframe_dedup must propagate its internal
+    persisted frames (the decoded keyframe-hash table + _sig_keep_min's
+    reps/guard caches) on the returned frame so callers can release
+    executor storage, and persist=False must pin nothing."""
+    from kafka_denormalization_spark.checkpoint import unpersist_if_owned
+    from kafka_denormalization_spark.functions.multimodal import (
+        fake_video_pixels,
+        make_video_blob,
+        video_keyframe_dedup,
+    )
+
+    def blob(seed, gain=1):
+        return bytearray(make_video_blob(fake_video_pixels(seed, gain)))
+
+    df = spark.createDataFrame(
+        [(1, blob(1)), (2, blob(1, gain=3)), (3, blob(2))],
+        "id long, blob binary",
+    )
+    out = video_keyframe_dedup(df)
+    rows = sorted((r["id"], r["scene_idx"]) for r in out.collect())
+    caches = getattr(out, "_sg_internal_caches", None)
+    assert caches, "no cache handles exposed on the returned frame"
+    assert out._sg_internal_cache is caches[0]
+
+    def _cached(f) -> bool:
+        lvl = f.storageLevel
+        return lvl.useMemory or lvl.useDisk or lvl.useOffHeap
+
+    assert any(_cached(f) for f in caches)
+    for f in caches:
+        unpersist_if_owned(f)
+    assert not any(_cached(f) for f in caches), (
+        "unpersist_if_owned left an internal cache pinned"
+    )
+
+    # persist=False: identical survivors, no handles, nothing cached
+    out2 = video_keyframe_dedup(df, persist=False)
+    assert sorted((r["id"], r["scene_idx"]) for r in out2.collect()) == rows
+    assert not getattr(out2, "_sg_internal_caches", [])
+
+
+def test_dhash_invariant_under_exact_resize(spark):
+    """The q_multimodal_to_shards equivalence argument: DIV-grid area
+    pooling composes exactly when the intermediate geometry divides the
+    source, so dhash(resize(img, 9, 8)) == dhash(img) bit-for-bit for
+    the 36x32 fixture (exact 4x4 blocks; dHash's internal pooling over
+    an already-9x8 grid is the identity). This is what lets the
+    composed lane ride the memoized full-resolution audit."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        image_dhash,
+        make_image_blob,
+        resize_images,
+    )
+
+    w, h = 36, 32
+    rows = [
+        (
+            i,
+            make_image_blob(
+                w,
+                h,
+                bytes(
+                    ((i * 31 + r * 7 + c * 13) % 256)
+                    for r in range(h)
+                    for c in range(w)
+                ),
+            ),
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    def sigs(frame):
+        return {
+            r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in image_dhash(frame).collect()
+        }
+
+    direct = sigs(df)
+    via_resize = sigs(resize_images(df, "id", "blob", out_w=9, out_h=8))
+    assert direct == via_resize
+
+
+def test_png_image_lane_matches_fakb_end_to_end(spark):
+    """VERDICT r11 #5: the WHOLE image lane — resize -> dHash ->
+    near-dedup retention — over a REAL PNG corpus must equal the FAKB
+    corpus carrying the identical pixel grids: same surviving ids, same
+    signatures, and the PNG-decoded resize emits byte-identical FAKB
+    thumbnails. Extends the dHash-only PNG roundtrip above to
+    resize_images and image_phash_dedup, so the real-codec seam is
+    contract-tested for every batch image operator. Container-honest
+    without Pillow: the PNGs are spec-conformant (stdlib zlib encoder)
+    and decoded through set_real_image_decoder — the deployment swap
+    path — falling back to Pillow's own decode where it exists."""
+    import random
+
+    def _encode_png_gray8(w: int, h: int, px: bytes) -> bytes:
+        # A REAL grayscale-8 PNG from stdlib zlib alone (filter 0 per
+        # scanline) — spec-conformant (any viewer opens it), so this
+        # test runs even in containers without Pillow.
+        import struct
+        import zlib
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            c = typ + data
+            return (
+                struct.pack(">I", len(data))
+                + c
+                + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + px[y * w : (y + 1) * w] for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def _decode_png_gray8(b: bytes):
+        # Minimal spec-path PNG decode (stdlib only): walk the chunk
+        # stream, inflate IDAT, undo per-scanline filters 0-2. Plays
+        # the "real third-party decoder" role through
+        # set_real_image_decoder; defined INSIDE the test so
+        # cloudpickle ships it by value into the scan-stage workers —
+        # the deployment seam a Pillow/libpng swap uses.
+        import struct
+        import zlib
+
+        import numpy as np
+
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, idat, w = 8, b"", None
+        while pos < len(b):
+            (ln,) = struct.unpack(">I", b[pos : pos + 4])
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, color = struct.unpack(">IIBB", data[:10])
+                assert (depth, color) == (8, 0), "test decoder: gray8 only"
+            elif typ == b"IDAT":
+                idat += data
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        out = np.zeros((h, w), dtype="int64")
+        stride = w + 1
+        for y in range(h):
+            line = raw[y * stride : (y + 1) * stride]
+            f = line[0]
+            vals = np.frombuffer(line[1:], dtype="uint8").astype("int64")
+            if f == 0:
+                row = vals
+            elif f == 1:  # Sub
+                row = np.cumsum(vals) % 256
+            elif f == 2:  # Up
+                row = (vals + out[y - 1]) % 256 if y else vals
+            else:
+                raise NotImplementedError(f"test decoder: filter {f}")
+            out[y] = row
+        return out
+
+    rng = random.Random(12)
+    w, h = 36, 32
+
+    def grid(seed, flip=False):
+        g = bytearray((seed * 31 + k * 7) % 256 for k in range(w * h))
+        if flip:
+            g[0] = (g[0] + 128) % 256
+        return bytes(g)
+
+    grids = {
+        1: grid(1),
+        2: grid(2),
+        3: grid(1, flip=True),   # near-dup of 1
+        4: bytes(rng.randrange(256) for _ in range(w * h)),
+    }
+    png = spark.createDataFrame(
+        [
+            (i, bytearray(_encode_png_gray8(w, h, g)))
+            for i, g in grids.items()
+        ],
+        "id long, blob binary",
+    )
+    fakb = spark.createDataFrame(
+        [(i, bytearray(M.make_image_blob(w, h, g))) for i, g in grids.items()],
+        "id long, blob binary",
+    )
+
+    def lane(df):
+        resized = M.resize_images(df, "id", "blob", 9, 8)
+        thumbs = {r["id"]: bytes(r["blob"]) for r in resized.collect()}
+        surv = {
+            r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in M.image_phash_dedup(
+                resized, "id", "blob", hamming_max=3
+            ).collect()
+        }
+        return thumbs, surv
+
+    try:
+        import PIL  # noqa: F401 — Pillow decodes the PNGs natively
+    except ImportError:
+        M.set_real_image_decoder(_decode_png_gray8)
+    try:
+        png_thumbs, png_surv = lane(png)
+    finally:
+        M.set_real_image_decoder(None)
+    fakb_thumbs, fakb_surv = lane(fakb)
+    assert png_thumbs == fakb_thumbs, (
+        "PNG-decoded resize diverged from the FAKB grid"
+    )
+    assert png_surv == fakb_surv
+    assert set(png_surv) and 3 not in png_surv, (
+        "fixture should drop the near-dup id 3"
+    )
+    # sanity on the fixture's own decoder: round-trip recovers the grid
+    import numpy as np
+
+    rt = _decode_png_gray8(_encode_png_gray8(w, h, grids[4]))
+    assert rt.shape == (h, w)
+    assert bytes(rt.astype("uint8").reshape(-1)) == grids[4]

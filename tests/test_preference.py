@@ -98,3 +98,58 @@ def test_preference_length_bias_exact(spark):
     assert r["rejected_chars"] == 5 + 2
     assert r["len_ratio"] == round(21 / 7, 9)
     assert r["frac_chosen_longer"] == 1.0
+
+
+def test_preference_pair_dedup_session_memo_matches_direct(spark, tmp_path):
+    """VERDICT r11 #2: session_memo=True must produce the identical
+    survivor set as the direct path — the memo changes WHERE the
+    signature build runs (once per session), never what it computes —
+    and repeat calls must reuse the memoized side builds.
+
+    The fixture goes through parquet: a createDataFrame LocalRelation
+    does NOT canonicalize to a stable semanticHash across builds (each
+    carries fresh attribute ids), so the plan-hash-keyed memos only hit
+    for scan-rooted plans — which is what every registry query feeds
+    them (table() parquet reads)."""
+    from kafka_denormalization_spark.functions.preference import (
+        preference_pair_dedup,
+    )
+    from kafka_denormalization_spark.functions.similarity import (
+        _LSH_PAIRS_SESSION_MEMO,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "completely different response about database join strategies"
+    rej = "a brief unhelpful reply that dodges the question entirely"
+    rows = [
+        (1, base + " extra tail words", rej),
+        (2, alt, "another terse reply that refuses to engage at all"),
+        (10, base + " extra tail words padded", rej + " sadly"),
+        (11, base + " extra tail words also", alt + " with numbers"),
+    ]
+    path = str(tmp_path / "prefs.parquet")
+    spark.createDataFrame(
+        rows, "pair_id long, chosen string, rejected string"
+    ).write.parquet(path)
+
+    def prefs():
+        return spark.read.parquet(path)
+
+    direct = sorted(
+        r["pair_id"] for r in preference_pair_dedup(prefs()).collect()
+    )
+    memo1 = sorted(
+        r["pair_id"]
+        for r in preference_pair_dedup(prefs(), session_memo=True).collect()
+    )
+    assert memo1 == direct
+    n_entries = len(_LSH_PAIRS_SESSION_MEMO)
+    memo2 = sorted(
+        r["pair_id"]
+        for r in preference_pair_dedup(prefs(), session_memo=True).collect()
+    )
+    assert memo2 == direct
+    assert len(_LSH_PAIRS_SESSION_MEMO) == n_entries, (
+        "a repeat call minted new side-pair memo entries instead of "
+        "hitting the session memo"
+    )

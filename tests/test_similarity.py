@@ -1095,3 +1095,49 @@ def test_ivf_centroids_partition_invariant(spark):
     a = cents(emb.repartition(1))
     b = cents(emb.repartition(13, "vec_id"))
     assert a == b, "centroids changed under repartitioning"
+
+
+def test_minhash_lsh_pairs_session_identity_and_equivalence(spark, tmp_path):
+    """VERDICT r11 #2: the session-memoized pair builder returns the
+    SAME materialized pair-table object for semantically identical
+    (docs plan, config) calls, and its rows equal the un-memoized
+    operator's. Parquet-rooted fixture: LocalRelation plans don't
+    canonicalize to stable semanticHashes, scan plans do (the
+    test_preference session-memo note)."""
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_session,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "a completely unrelated sentence about database joins"),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        path
+    )
+
+    def docs():
+        return spark.read.parquet(path)
+
+    p1 = minhash_lsh_pairs_session(
+        docs(), "doc_id", "text", num_hashes=64, bands=32, threshold=0.5
+    )
+    p2 = minhash_lsh_pairs_session(
+        docs(), "doc_id", "text", num_hashes=64, bands=32, threshold=0.5
+    )
+    assert p1 is p2, "identical plan+config did not hit the session memo"
+    # a different config misses
+    p3 = minhash_lsh_pairs_session(
+        docs(), "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
+    )
+    assert p3 is not p1
+    ref = minhash_lsh_pairs(
+        docs(), "doc_id", "text", num_hashes=64, bands=32, threshold=0.5,
+        persist=False,
+    )
+    assert sorted(map(tuple, p1.collect())) == sorted(
+        map(tuple, ref.collect())
+    )

@@ -1636,3 +1636,74 @@ def test_ingest_scene_keyframes_streaming_e2e(spark, tmp_path):
     surv = set(kf_ids)
     assert (1 in surv) ^ (3 in surv)
     assert 2 in surv and 4 in surv
+
+
+def test_ingest_resize_dedup_matches_batch_with_restart(spark, tmp_path):
+    """IngestResizeDedup (VERDICT r11 #6): streamed resize -> dHash
+    near-dedup survivors across two batches (with a restart between
+    them) == the batch chain resize_images -> image_phash_dedup over
+    the union, and every surviving row ships the exact thumbnail bytes
+    the batch resize produces."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        image_phash_dedup,
+        make_image_blob,
+        resize_images,
+    )
+    from kafka_denormalization_spark.streaming.ingest_multimodal import (
+        IngestResizeDedup,
+    )
+
+    w, h = 36, 32
+
+    def px(seed, flip=False):
+        a, b = 7 + seed % 101, 13 + seed % 103
+        g = bytearray(
+            ((seed * 31 + i * a + j * b) % 256)
+            for i in range(h)
+            for j in range(w)
+        )
+        if flip:
+            g[0] = (g[0] + 128) % 256
+        return bytes(g)
+
+    def blob(seed, flip=False):
+        return bytearray(make_image_blob(w, h, px(seed, flip)))
+
+    batches = [
+        # batch 1: two distinct images + a within-batch near-dup of 1
+        [(1, blob(1)), (2, blob(2)), (3, blob(1, flip=True))],
+        # batch 2: 10 near-dups batch-1's seed-1 (cross-batch drop),
+        # 11 is new
+        [(10, blob(1, flip=True)), (11, blob(5))],
+    ]
+    schema = "id long, blob binary"
+    state = str(tmp_path / "resize_state")
+
+    rd = IngestResizeDedup(spark, state)
+    out1 = rd.process_batch(spark.createDataFrame(batches[0], schema))
+    rows1 = {r["id"]: bytes(r["blob"]) for r in out1.collect()}
+    # restart: fresh instance, same state dir
+    rd2 = IngestResizeDedup(spark, state)
+    out2 = rd2.process_batch(spark.createDataFrame(batches[1], schema))
+    rows2 = {r["id"]: bytes(r["blob"]) for r in out2.collect()}
+
+    union = spark.createDataFrame(
+        [p for b in batches for p in b], schema
+    )
+    resized_union = resize_images(union, "id", "blob", 9, 8)
+    batch_surv = {
+        r["id"] for r in image_phash_dedup(
+            resized_union, "id", "blob", hamming_max=3
+        ).collect()
+    }
+    streamed = rows1 | rows2
+    assert set(streamed) == batch_surv
+    # thumbnails are byte-identical to the batch resize
+    batch_thumbs = {
+        r["id"]: bytes(r["blob"]) for r in resized_union.collect()
+    }
+    for i, b in streamed.items():
+        assert b == batch_thumbs[i]
+    # survivors carry the resized geometry, and state never saw blobs
+    assert all(r["width"] == 9 and r["height"] == 8
+               for r in out2.collect())

@@ -927,11 +927,36 @@ def _pref_assembled(docs):
 
 
 def _pref_pair_dedup(docs):
+    """Direct (un-memoized) operator call — the scale row measures the
+    full per-corpus signature build, not the session-memo warm path the
+    registry query rides (queries.py q_pref_pair_dedup
+    session_memo=True); the memo's warm floor is pinned separately in
+    SCALE_NOTES' r12 section."""
     from kafka_denormalization_spark.functions.preference import (
         preference_pair_dedup,
     )
 
     return preference_pair_dedup(_pref_assembled(docs))
+
+
+def _conv_turn_near_dedup(docs):
+    """Turn-level near-dedup pairs (queries.py q_conv_turn_near_dedup's
+    operator chain, un-memoized — see _pref_pair_dedup); text is SALTED
+    by the harness (pair-emitting op): same-text replicas would be
+    mutual perfect duplicates with quadratic true-result growth."""
+    from kafka_denormalization_spark.functions.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    turns = _conv_turns_from(docs)
+    keyed = turns.select(
+        (F.col("conv_id") * 4096 + F.col("turn_idx")).alias("uid"),
+        "content",
+    )
+    return minhash_lsh_pairs(
+        keyed, "uid", "content", n=3, num_hashes=64, bands=32,
+        threshold=0.5, eager_cleanup=True,
+    )
 
 
 def _fuzzy_contamination(docs):
@@ -1051,6 +1076,10 @@ OPS = {
     "pref_pairs": ("documents", "doc_id", _pref_assembled, False),
     # salted: the both-sides near-dup join is pair-emitting
     "pref_pair_dedup": ("documents", "doc_id", _pref_pair_dedup, True),
+    # salted: pair-emitting over turn content (see _conv_turn_near_dedup)
+    "conv_turn_near_dedup": (
+        "documents", "doc_id", _conv_turn_near_dedup, True,
+    ),
     # salted: unsalted replicas of the eval-slice docs would all match
     # the pinned eval set, inflating the flag density N-fold
     "fuzzy_contamination": ("documents", "doc_id", _fuzzy_contamination, True),
