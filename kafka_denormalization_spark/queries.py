@@ -1852,36 +1852,19 @@ def q_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# the LSH pair table feeds two queries (pair listing + dedup retention);
-# memoize the persisted frame per (session, sf_dir) so the 19-exchange
-# signature pipeline runs once per session, not once per query. The frame
-# is tiny (candidate pairs that survived exact verify: ids + sim).
-_LSH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
-
-
 def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # keyed by applicationId, not id(spark): CPython reuses object ids after
-    # GC, which could hand a new session a persisted frame bound to a dead
-    # one. A fresh applicationId also evicts entries from prior sessions
-    # (their cached blocks died with the session; just drop the references).
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    stale = [k for k in _LSH_PAIRS_MEMO if k[0] != app_id]
-    for k in stale:
-        del _LSH_PAIRS_MEMO[k]
-    pairs = _LSH_PAIRS_MEMO.get(key)
-    if pairs is None:
-        docs = table(spark, sf_dir, "documents")
-        # eager_cleanup: the pair table is memoized for the whole session,
-        # so materialize it once and release the pipeline's intermediate
-        # gram/bucket caches immediately — they otherwise pin executor
-        # storage memory for every later query in the session.
-        pairs = sim_fns.minhash_lsh_pairs(
-            docs, "doc_id", "text", num_hashes=64, bands=32, threshold=0.5,
-            eager_cleanup=True,
-        )
-        _LSH_PAIRS_MEMO[key] = pairs
-    return pairs
+    """The corpus near-dup pair table, via the generic session memo
+    (similarity.minhash_lsh_pairs_session — r12 unification: this
+    helper's private (applicationId, sf_dir) memo predated the
+    plan-hash-keyed one and duplicated its eviction discipline; the
+    documents-scan plan per sf_dir is stable, so the plan-hash key
+    subsumes the sf_dir key). eager_cleanup semantics are built in: the
+    memo pins only the materialized pair rows, never the gram/bucket
+    caches."""
+    docs = table(spark, sf_dir, "documents")
+    return sim_fns.minhash_lsh_pairs_session(
+        docs, "doc_id", "text", num_hashes=64, bands=32, threshold=0.5
+    )
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

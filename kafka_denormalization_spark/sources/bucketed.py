@@ -27,7 +27,27 @@ def save_bucketed(
 ) -> None:
     """Persist as a bucketed (optionally sorted) managed table. Sorting
     within buckets additionally removes the sort from later sort-merge
-    joins and window functions on the same keys."""
+    joins and window functions on the same keys.
+
+    Overwrite is crash-safe against ORPHANED locations: a session killed
+    between writing the managed directory and committing/dropping the
+    catalog entry leaves a warehouse dir with NO table backing it, and
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS even under
+    mode="overwrite" (the catalog check sees no table to overwrite).
+    Scoped strictly to that case — an existing CATALOG table goes
+    through the normal overwrite path untouched."""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table_name):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path
+        orphan = os.path.join(wh, table_name.lower())
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

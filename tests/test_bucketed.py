@@ -57,3 +57,34 @@ def test_unbucketed_join_needs_shuffles(spark):
         assert count_exchanges(joined) == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_save_bucketed_recovers_from_orphaned_location(spark):
+    """A session killed between writing the managed dir and committing
+    the catalog entry leaves an ORPHANED warehouse location (no table
+    backing it); saveAsTable then fails LOCATION_ALREADY_EXISTS even
+    under mode='overwrite'. save_bucketed must clear the orphan and
+    succeed — while an existing CATALOG table still goes through the
+    normal overwrite path."""
+    import os
+    from urllib.parse import urlparse
+
+    li = table(spark, SF_DIR, "lineitem").limit(100)
+    name = "li_orphan_test"
+    try:
+        # plant an orphan: directory in the warehouse, no catalog entry
+        wh = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path
+        orphan = os.path.join(wh, name)
+        os.makedirs(os.path.join(orphan, "junk"), exist_ok=True)
+        assert not spark.catalog.tableExists(name)
+
+        save_bucketed(li, name, ["l_orderkey"], num_buckets=4)
+        assert read_bucketed(spark, name).count() == 100
+
+        # normal overwrite of a LIVE table also works
+        save_bucketed(li.limit(50), name, ["l_orderkey"], num_buckets=4)
+        assert read_bucketed(spark, name).count() == 50
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

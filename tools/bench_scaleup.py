@@ -805,6 +805,104 @@ def _paired_dedup(docs):
     )
 
 
+def _multimodal_to_shards(docs):
+    """The COMPOSED lane, un-memoized (the q_multimodal_to_shards chain
+    with the _paired_dedup scale fixture): audit -> both-class
+    connected components -> survivors -> resize thumbs + caption chars
+    -> hash shard layout. Measures the full composition cost per
+    corpus, the multimodal corpus_to_shards analog."""
+    from kafka_denormalization_spark.checkpoint import (
+        persist_if_uncached,
+        truncate_lineage,
+    )
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components,
+    )
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+        paired_near_dup_audit,
+        resize_images,
+    )
+    from kafka_denormalization_spark.operators.sharding import shard_plan
+    from kafka_denormalization_spark.queries import (
+        PHASH_H,
+        PHASH_W,
+        _paired_pixels,
+        _thumb_stats,
+    )
+
+    spark = docs.sparkSession
+    groups = 370 * int(spark.conf.get("bench.scaleup.n_rep", "1"))
+    seeded = docs.select(
+        "doc_id",
+        "text",
+        (
+            F.conv(
+                F.substring(F.md5(F.substring("text", 1, 64)), 1, 8), 16, 10
+            ).cast("long")
+            % groups
+        ).alias("_s"),
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    make_image_blob(
+                        PHASH_W, PHASH_H,
+                        _paired_pixels(int(s), int(d) % 5 == 0),
+                    ),
+                    t,
+                )
+                for d, s, t in zip(pdf["doc_id"], pdf["_s"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["id", "blob", "caption"])
+
+    paired = persist_if_uncached(
+        seeded.mapInPandas(encode, "id long, blob binary, caption string")
+    )
+    audit = paired_near_dup_audit(
+        paired, "id", "blob", "caption",
+        threshold=0.5, num_hashes=64, bands=32,
+    )
+    both = audit.filter(F.col("dup_class") == "both").select("id_a", "id_b")
+    comps = connected_components(both, src="id_a", dst="id_b")
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged")
+    )
+    dominated = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("id")
+    )
+    surv = truncate_lineage(
+        docs.select(F.col("doc_id").alias("id"))
+        .join(dominated, "id", "left_anti")
+        .join(sizes.withColumnRenamed("component", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_merged"), F.lit(1)).cast("long").alias(
+                "n_merged"
+            ),
+        )
+    )
+    thumbs = _thumb_stats(
+        resize_images(paired, "id", "blob", out_w=9, out_h=8)
+    ).select(F.col("doc_id").alias("id"), "px_sum", "px_weighted")
+    caps = paired.select(
+        "id", F.length("caption").cast("long").alias("caption_chars")
+    )
+    plan = shard_plan(surv.join(thumbs, "id").join(caps, "id"), "id", 4)
+    # paired stays cached through materialization (4 consumers: audit
+    # blobs + captions, resize, caption chars); the harness's
+    # clearCache() releases it after each measurement
+    return plan.select(
+        "id", "n_merged", "px_sum", "px_weighted", "caption_chars",
+        "shard_id", "pos",
+    )
+
+
 def _conv_turns_from(docs):
     from kafka_denormalization_spark.operators.chunking import (
         chunk_documents,
@@ -1067,6 +1165,10 @@ OPS = {
     "substring_dedup": ("documents", "doc_id", _substring_dedup, False),
     # salted captions (see builder): organic pair mass scales linearly
     "paired_dedup": ("documents", "doc_id", _paired_dedup, True),
+    # salted captions (same fixture); the full composed lane
+    "multimodal_to_shards": (
+        "documents", "doc_id", _multimodal_to_shards, True,
+    ),
     "conv_turn_dedup": ("documents", "doc_id", _conv_turn_dedup, False),
     # salted: pair-emitting over transcripts (see _conv_near_dedup)
     "conv_near_dedup": ("documents", "doc_id", _conv_near_dedup, True),
