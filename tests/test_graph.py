@@ -339,3 +339,22 @@ def test_v4_stage_frames_memoized_per_session(spark):
     assert m1 is m2
     assert set(s1) == set(s2) and all(s1[k] is s2[k] for k in s1)
     assert _corpus_v3_mixed(spark, sf) is _corpus_v3_mixed(spark, sf)
+
+
+def test_paired_family_frames_memoized_per_session(spark):
+    """VERDICT r11 #3 composition hygiene: the paired family's shared
+    frames — fixture, audit, retention survivors — are session-memoized
+    object-identical across consumers (the v4 stage-frame contract
+    applied to the multimodal lane), so the composed
+    multimodal_to_shards / funnel / attribution queries add no repeated
+    family builds."""
+    from kafka_denormalization_spark.queries import (
+        _paired_frame,
+        _paired_survivors,
+        q_paired_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert _paired_frame(spark, sf) is _paired_frame(spark, sf)
+    assert q_paired_dedup(spark, sf) is q_paired_dedup(spark, sf)
+    assert _paired_survivors(spark, sf) is _paired_survivors(spark, sf)

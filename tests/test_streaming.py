@@ -1707,3 +1707,62 @@ def test_ingest_resize_dedup_matches_batch_with_restart(spark, tmp_path):
     # survivors carry the resized geometry, and state never saw blobs
     assert all(r["width"] == 9 and r["height"] == 8
                for r in out2.collect())
+
+
+def test_ingest_resize_dedup_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming run for IngestResizeDedup: file
+    source, one file per trigger, foreachBatch — the later-arriving
+    near-dup never reaches the sink, survivors arrive as resized
+    thumbnails."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        make_image_blob,
+    )
+    from kafka_denormalization_spark.streaming.ingest_multimodal import (
+        IngestResizeDedup,
+    )
+
+    w, h = 36, 32
+
+    def blob(seed, flip=False):
+        px = bytearray(
+            ((seed * 31 + i * 7 + j * 13) % 256)
+            for i in range(h)
+            for j in range(w)
+        )
+        if flip:
+            px[0] = (px[0] + 128) % 256
+        return bytearray(make_image_blob(w, h, bytes(px)))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, blob(1)), (2, blob(2))], "id long, blob binary"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        # 10 near-dups seed 1 (dropped whichever file lands first —
+        # min-id retention within f1+f2 ordering is monotone), 11 new
+        [(10, blob(1, flip=True)), (11, blob(5))], "id long, blob binary"
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("id long, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    rd = IngestResizeDedup(spark, str(tmp_path / "state"))
+    got: dict[int, tuple[int, int, int]] = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            got[r["id"]] = (r["width"], r["height"], len(bytes(r["blob"])))
+
+    q = (
+        stream.writeStream.foreachBatch(rd.foreach_batch(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [1, 2, 11], got
+    # every survivor is a 9x8 FAKB thumbnail (12-byte header + 72 px)
+    assert set(got.values()) == {(9, 8, 84)}
