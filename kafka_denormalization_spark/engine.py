@@ -90,6 +90,41 @@ def get_spark(app_name: str = "kafka-denormalization-spark") -> SparkSession:
     return spark
 
 
+def parallelize_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition ``df`` to session parallelism ONLY when its physical
+    plan yields fewer partitions — the guide-§2.5 "input skew" remedy
+    for monolithic/unsplittable inputs (the bench testdata is single-
+    row-group parquet, so every scan is exactly ONE task and heavy
+    per-row work downstream would run single-core).
+
+    No-op when the input is already parallel: properly-laid-out
+    production inputs never pay the extra exchange, so operators can
+    apply this unconditionally ahead of expensive per-row stages
+    (explodes, vector folds, mapInPandas) without changing their
+    at-scale shuffle count. With ``key_cols`` the repartition is a hash
+    partitioning (reusable by downstream per-key aggregations — subset
+    rule); without, deterministic round-robin. Partition count follows
+    session conf (shuffle.partitions / defaultParallelism), never a
+    local constant; explicit so AQE does not coalesce a tiny input
+    back to one partition. Streaming frames pass through untouched."""
+    if df.isStreaming:
+        return df
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; never block
+        return df
+    sess = df.sparkSession
+    target = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+        sess.sparkContext.defaultParallelism,
+    )
+    if 2 * cur >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md): columnar parquet scan with
     pushdown/pruning handled by Catalyst.

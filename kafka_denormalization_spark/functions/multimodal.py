@@ -786,6 +786,33 @@ def make_audio_blob(samples: list[int], sample_rate: int = AUDIO_RATE) -> bytes:
     )
 
 
+def fake_audio_blob(
+    seed: int, gain: int = 1, zero_frames: tuple[int, int] | None = None
+) -> bytes:
+    """Vectorized FAKA blob: bit-identical to
+    ``make_audio_blob(fake_audio_samples(seed, gain))`` (pinned by
+    tests/test_multimodal.py), with the per-sample congruence evaluated
+    as one NumPy expression instead of a 4160-iteration Python loop —
+    ~20x less per-blob CPU in the fixture-synthesis scan stage.
+    ``zero_frames=(lo, hi)`` zeroes frames lo..hi-1 (the planted
+    dropout q_audio_segments needs)."""
+    import struct
+
+    import numpy as np
+
+    n = AUDIO_FRAME_LEN * AUDIO_N_FRAMES
+    k = np.arange(n, dtype=np.int64)
+    s = (((k * (179 + seed * 2) + 11) % 16384) - 8192) * gain
+    if zero_frames is not None:
+        lo, hi = zero_frames
+        s[lo * AUDIO_FRAME_LEN : hi * AUDIO_FRAME_LEN] = 0
+    return (
+        AUDIO_MAGIC
+        + struct.pack("<II", AUDIO_RATE, n)
+        + s.astype("<i2").tobytes()
+    )
+
+
 def _decode_audio(blob: bytes, real=None):
     """(sample_rate, int64 sample array) from a FAKA blob; non-FAKA
     blobs go to ``real`` (the REAL_AUDIO_DECODER hook captured at
@@ -1175,6 +1202,25 @@ def make_video_blob(
         VIDEO_MAGIC
         + _struct.pack("<IIII", width, height, len(pixels) // npx, fps)
         + bytes(pixels)
+    )
+
+
+def fake_video_blob(seed: int, gain: int = 1) -> bytes:
+    """Vectorized FAKV blob: bit-identical to
+    ``make_video_blob(fake_video_pixels(seed, gain))`` (pinned by
+    tests/test_multimodal.py), with the frame-major pixel congruence
+    evaluated as one NumPy broadcast instead of a 4160-iteration Python
+    loop — ~20x less per-blob CPU in the fixture-synthesis scan stage."""
+    import numpy as np
+
+    npx = VIDEO_W * VIDEO_H
+    f = np.arange(VIDEO_N_FRAMES, dtype=np.int64)[:, None]
+    p = np.arange(npx, dtype=np.int64)[None, :]
+    px = ((p * (3 + seed) + f * (11 + 2 * seed) + f * f + 7) % 86) * gain
+    return (
+        VIDEO_MAGIC
+        + _struct.pack("<IIII", VIDEO_W, VIDEO_H, VIDEO_N_FRAMES, VIDEO_FPS)
+        + px.astype("u1").tobytes()
     )
 
 

@@ -30,6 +30,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..checkpoint import persist_if_uncached, unpersist_if_owned
+from ..engine import parallelize_scan
 
 from kafka_denormalization_spark.functions.text import tokens
 
@@ -255,6 +256,34 @@ def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column
     )
 
 
+def _pre_partitioned_by_id(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(_id, _wgr_txt) doc rows hash-repartitioned by id ahead of a
+    token/gram explode whose downstream is keyed per-doc (window /
+    groupBy on _id). Moving the exchange BELOW the explode (guide
+    §2.3/§2.4) shuffles whole documents instead of exploded token rows
+    (fewer bytes), runs the explode + per-token hashing at full
+    parallelism instead of inheriting the scan's task count (the bench
+    inputs are single-row-group parquet — one task per scan), and the
+    per-doc downstream reuses the partitioning (subset rule), so the
+    exchange COUNT never grows. Partition count follows session conf
+    (shuffle.partitions / defaultParallelism), never a local constant;
+    explicit so AQE does not coalesce a tiny corpus back to one
+    partition. Streaming frames pass through untouched."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_wgr_txt")
+    )
+    if base.isStreaming:
+        return base
+    sess = docs.sparkSession
+    nparts = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+        sess.sparkContext.defaultParallelism,
+    )
+    return base.repartition(nparts, "_id")
+
+
 def word_gram_rows(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -263,12 +292,24 @@ def word_gram_rows(
     ``ngrams`` expression at corpus scale). One hash exchange on the doc
     id, which downstream per-doc aggregations reuse (subset rule).
     Duplicated grams are kept (min-hash is duplicate-insensitive; call
-    ``.distinct()`` for set semantics)."""
+    ``.distinct()`` for set semantics).
+
+    The doc-id exchange is placed BEFORE the explode (r12, guide
+    §2.3/§2.4): shuffling whole documents moves ~n× fewer bytes than
+    shuffling the exploded token rows the window used to shuffle, the
+    explode + gram construction then run at full parallelism instead of
+    inheriting the scan's task count (the bench inputs are single-row-
+    group parquet — every scan is exactly ONE task), and the window /
+    downstream per-doc aggregations reuse the partitioning (subset
+    rule), so the total exchange count is unchanged or lower. The
+    partition count follows session config (shuffle.partitions /
+    defaultParallelism), never a local constant; explicit so AQE does
+    not coalesce the tiny bench corpus back to one partition."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+    toks = _pre_partitioned_by_id(docs, id_col, text_col).select(
+        "_id",
+        F.posexplode(F.split(F.trim(F.col("_wgr_txt")), r"\s+")).alias("_pos", "_t"),
     )
     if n == 1:
         # unigrams: every token is a gram; no window, no lead, no filter
@@ -1088,8 +1129,8 @@ def simhash_table(
     import operator
 
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
-    ex = docs.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    ex = _pre_partitioned_by_id(docs, id_col, text_col).select(
+        "_id", F.explode(tokens(F.col("_wgr_txt"))).alias("_t")
     )
     h = F.xxhash64(F.col("_t"))
     aggs = [
@@ -1180,9 +1221,9 @@ def simhash_table_portable(
     import functools
     import operator
 
-    ex = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ex = _pre_partitioned_by_id(docs, id_col, text_col).select(
+        "_id",
+        F.explode(tokens(F.col("_wgr_txt"))).alias("_t"),
     )
     hx = F.md5(F.col("_t"))
     hh = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
@@ -1325,6 +1366,9 @@ def cosine_topk(
         F.col(vec_col).alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
+    # the broadcast-join + per-pair cosine folds run in the corpus scan
+    # stage — parallelize a monolithic input (no-op on real layouts)
+    corpus = parallelize_scan(corpus, id_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -1456,6 +1500,9 @@ def quantized_cosine_topk(
     n2 = lambda col: F.aggregate(  # noqa: E731
         col, zero, lambda acc, x: acc + x.cast("long") * x.cast("long")
     )
+    # quantization + integer dot folds run in the corpus scan stage —
+    # parallelize a monolithic input (no-op on real layouts)
+    corpus = parallelize_scan(corpus, id_col)
     c = quantize_embeddings(corpus, id_col, vec_col, bits).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("_cq"),
@@ -2173,6 +2220,10 @@ def mahalanobis_outliers(
         raise ValueError(f"k must be >= 1, got {k}")
     s1 = float(2**36)
     s2 = float(2**24)
+    # both the dim-explode moments pass and the per-row distance folds
+    # run in the scan stage — parallelize a monolithic input (no-op on
+    # real layouts); exact integer sums are partitioning-free
+    emb = parallelize_scan(emb, id_col)
     ex = emb.select(F.posexplode(vec_col).alias("pos", "v")).select(
         "pos",
         F.floor(F.col("v").cast("double") * F.lit(s1)).cast("long").alias("_f1"),
@@ -2261,6 +2312,11 @@ def embedding_covariance(
     Output: (i, j, cov_r) — dim^2 rows, 9-decimal doubles.
     """
     s1, s2 = float(2**36), float(2**24)
+    # the dim^2 per-row product explode runs in the scan stage —
+    # parallelize a monolithic input (no-op on real layouts); the
+    # floor-scaled integer sums are partitioning-free, so output is
+    # identical under any distribution
+    emb = parallelize_scan(emb)
     ex1 = emb.select(F.posexplode(vec_col).alias("i", "_vi"), F.col(vec_col).alias("_v"))
     ex2 = ex1.select(
         "i",
@@ -2430,6 +2486,10 @@ def embedding_debias(
     Output: (id_col, proj_r, resid_norm_r).
     """
     s1 = float(2**36)
+    # means pass + the per-row projection/residual folds all run in the
+    # scan stage — parallelize a monolithic input (no-op on real
+    # layouts); exact integer sums are partitioning-free
+    emb = parallelize_scan(emb, id_col)
     means = (
         emb.select(F.posexplode(vec_col).alias("pos", "v"))
         .select(

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from ..checkpoint import persist_if_uncached
+from ..engine import parallelize_scan
 
 # 2^36: exact binary scale for the fixed-point centroid sums (shared
 # convention with queries.py embedding_centroid oracle).
@@ -81,6 +82,12 @@ def kmeans_assign(
     """
     if k < 1 or iters < 1:
         raise ValueError("need k >= 1 and iters >= 1")
+    # every assignment round's k-way distance folds run over the cached
+    # projection of this frame, which keeps the INPUT's partitioning —
+    # parallelize a monolithic input (engine.parallelize_scan is a
+    # no-op on real layouts); all round arithmetic is exact decimal /
+    # min(struct), partitioning-free
+    emb = parallelize_scan(emb, id_col)
     vecs = emb.select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),

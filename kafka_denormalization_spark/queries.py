@@ -5131,6 +5131,24 @@ AUDIO_SEED_MOD = 97  # doc_id % 97 seeds the PCM -> ~5-doc dup families
 AUDIO_N = 64 * 65
 
 
+def _blob_seed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id rows for the synthetic-blob lanes, hash-repartitioned to
+    session parallelism (guide §2.5 "input skew" remedy): the bench
+    tables are single-row-group parquet, so the scan is exactly ONE
+    task and every downstream mapInPandas (blob synthesis + decode +
+    fingerprint) would otherwise run single-core. The exchange moves
+    8-byte ids only — blobs are synthesized AFTER it, inside the
+    parallel stage — and the per-id downstream aggregations reuse the
+    id partitioning (subset rule). Partition count follows session
+    conf, never a local constant."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    nparts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+    )
+    return docs.repartition(nparts, "doc_id")
+
+
 def _audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic FAKA audio blobs per document: seed = doc_id % 97
     (planted duplicate families), gain = 1 + doc_id % 3 (amplitude
@@ -5138,26 +5156,28 @@ def _audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from kafka_denormalization_spark.functions.multimodal import (
-        fake_audio_samples,
-        make_audio_blob,
+        fake_audio_blob,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = _blob_seed_ids(spark, sf_dir)
 
     def encode(batches):
+        # only 97x3 distinct (seed, gain) blobs exist: build each ONCE
+        # per batch (vectorized NumPy synthesis, bit-identical to the
+        # per-row loop) instead of re-deriving 4160 samples per doc in
+        # pure Python — guide §4.2/§4.5 (measured ~4.6 s -> ~0.02 s of
+        # single-core synthesis per query at sf0.1)
+        memo: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
-            rows = [
-                (
-                    int(d),
-                    make_audio_blob(
-                        fake_audio_samples(
-                            int(d) % AUDIO_SEED_MOD, 1 + int(d) % 3
-                        )
-                    ),
-                )
-                for d in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["id", "blob"])
+            ids = pdf["doc_id"].to_numpy("int64")
+            blobs = []
+            for d in ids:
+                key = (int(d) % AUDIO_SEED_MOD, 1 + int(d) % 3)
+                b = memo.get(key)
+                if b is None:
+                    b = memo[key] = fake_audio_blob(*key)
+                blobs.append(b)
+            yield pd.DataFrame({"id": ids, "blob": blobs})
 
     return docs.mapInPandas(encode, "id long, blob binary")
 
@@ -5218,26 +5238,25 @@ def _video_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from kafka_denormalization_spark.functions.multimodal import (
-        fake_video_pixels,
-        make_video_blob,
+        fake_video_blob,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = _blob_seed_ids(spark, sf_dir)
 
     def encode(batches):
+        # 89x3 distinct (seed, gain) blobs: build each once per batch
+        # via the vectorized bit-identical builder (see _audio_blobs)
+        memo: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
-            rows = [
-                (
-                    int(d),
-                    make_video_blob(
-                        fake_video_pixels(
-                            int(d) % VIDEO_SEED_MOD, 1 + int(d) % 3
-                        )
-                    ),
-                )
-                for d in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["id", "blob"])
+            ids = pdf["doc_id"].to_numpy("int64")
+            blobs = []
+            for d in ids:
+                key = (int(d) % VIDEO_SEED_MOD, 1 + int(d) % 3)
+                b = memo.get(key)
+                if b is None:
+                    b = memo[key] = fake_video_blob(*key)
+                blobs.append(b)
+            yield pd.DataFrame({"id": ids, "blob": blobs})
 
     return docs.mapInPandas(encode, "id long, blob binary")
 
@@ -5328,25 +5347,32 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from kafka_denormalization_spark.functions.multimodal import (
-        AUDIO_FRAME_LEN,
         audio_segments,
-        fake_audio_samples,
-        make_audio_blob,
+        fake_audio_blob,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = _blob_seed_ids(spark, sf_dir)
 
     def encode(batches):
+        # distinct domain is (seed, gain, dropout?) — at most 97x3x2
+        # blobs; vectorized bit-identical builder, built once per batch
+        # (see _audio_blobs)
+        memo: dict[tuple[int, int, bool], bytes] = {}
         for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
+            ids = pdf["doc_id"].to_numpy("int64")
+            blobs = []
+            for d in ids:
                 d = int(d)
-                samples = fake_audio_samples(d % AUDIO_SEED_MOD, 1 + d % 3)
-                if d % 3 == 0:
-                    lo, hi = 20 * AUDIO_FRAME_LEN, 30 * AUDIO_FRAME_LEN
-                    samples[lo:hi] = [0] * (hi - lo)
-                rows.append((d, make_audio_blob(samples)))
-            yield pd.DataFrame(rows, columns=["id", "blob"])
+                key = (d % AUDIO_SEED_MOD, 1 + d % 3, d % 3 == 0)
+                b = memo.get(key)
+                if b is None:
+                    b = memo[key] = fake_audio_blob(
+                        key[0],
+                        key[1],
+                        zero_frames=(20, 30) if key[2] else None,
+                    )
+                blobs.append(b)
+            yield pd.DataFrame({"id": ids, "blob": blobs})
 
     blobs = docs.mapInPandas(encode, "id long, blob binary")
     return audio_segments(blobs, "id").select(

@@ -348,6 +348,37 @@ def test_audio_codec_roundtrip():
     assert list(got) == samples
 
 
+def test_fake_blob_vectorized_identity():
+    """The NumPy fixture-blob builders (r12 optimization) are
+    bit-identical to the per-row loop builders across the full
+    (seed, gain) domain the declared queries draw from, including the
+    q_audio_segments dropout variant."""
+    from kafka_denormalization_spark.functions.multimodal import (
+        AUDIO_FRAME_LEN,
+        fake_audio_blob,
+        fake_video_blob,
+        fake_video_pixels,
+        make_video_blob,
+    )
+
+    for seed in range(0, 97, 7):
+        for gain in (1, 2, 3):
+            assert fake_audio_blob(seed, gain) == make_audio_blob(
+                fake_audio_samples(seed, gain)
+            )
+            s = fake_audio_samples(seed, gain)
+            lo, hi = 20 * AUDIO_FRAME_LEN, 30 * AUDIO_FRAME_LEN
+            s[lo:hi] = [0] * (hi - lo)
+            assert fake_audio_blob(
+                seed, gain, zero_frames=(20, 30)
+            ) == make_audio_blob(s)
+    for seed in range(0, 89, 7):
+        for gain in (1, 2, 3):
+            assert fake_video_blob(seed, gain) == make_video_blob(
+                fake_video_pixels(seed, gain)
+            )
+
+
 def test_audio_real_codec_honest_gate():
     import pytest as _pytest
 
