@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from .checkpoint import persist_if_uncached
 
 from kafka_denormalization_spark.dsl import Denormalize
-from kafka_denormalization_spark.engine import events_table, table
+from kafka_denormalization_spark.engine import (
+    events_table,
+    parallelize_scan,
+    table,
+)
 from kafka_denormalization_spark.functions import domains as dom_fns
 from kafka_denormalization_spark.functions import multimodal as mm_fns
 from kafka_denormalization_spark.functions import similarity as sim_fns
@@ -660,7 +664,12 @@ def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-token lines. With the fixture's ~31-word vocabulary this yields a
     realistic boilerplate profile at sf0.01 — ~3% of line occurrences
     belong to a line repeated in >= 4 distinct docs."""
-    docs = table(spark, sf_dir, "documents")
+    # the tokenize + per-doc segment transform is the dominant cost of
+    # every line-level consumer (measured 1.37 s alone at sf0.1) and
+    # runs in the scan stage — parallelize a monolithic input (no-op on
+    # real layouts); line_dedup's digest + rebuild sides both reuse the
+    # doc_id partitioning
+    docs = parallelize_scan(table(spark, sf_dir, "documents"), "doc_id")
     return docs.withColumn("_w", text_fns.tokens(F.col("text"))).withColumn(
         "lines",
         F.expr(
