@@ -93,6 +93,53 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+_CC_SESSION_MEMO: dict[tuple, DataFrame] = {}
+
+
+def connected_components_session(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Session-memoized :func:`connected_components`: repeated calls
+    with a semantically identical ``edges`` plan and the same (src,
+    dst, max_iter) return the SAME truncated labels frame without
+    re-running the label-propagation rounds (each round is an eager
+    lineage cut + a 1-row fingerprint collect — ~1.3-1.7 s of pure
+    job overhead per CALL at any scale; r12 measured 6+ registry
+    queries re-deriving components of the one shared near-dup pair
+    graph per bench run).
+
+    Keying follows ``minhash_lsh_pairs_session``: canonicalized-plan
+    semanticHash, with a plain un-memoized call as the Spark Connect
+    fallback and eviction of prior applications' entries. The memoized
+    frame is lineage-truncated (LogicalRDD over session-held blocks) —
+    callers must treat it as read-only shared state, exactly like the
+    pair-table memo."""
+    from kafka_denormalization_spark.functions.similarity import (
+        _plan_semantic_key,
+    )
+
+    sem = _plan_semantic_key(edges)
+    if sem is None:  # pragma: no cover - Spark Connect fallback
+        return connected_components(
+            edges, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        )
+    app_id = edges.sparkSession.sparkContext.applicationId
+    key = (app_id, sem, src, dst, max_iter, checkpoint_dir)
+    for k in [k for k in _CC_SESSION_MEMO if k[0] != app_id]:
+        del _CC_SESSION_MEMO[k]
+    labels = _CC_SESSION_MEMO.get(key)
+    if labels is None:
+        labels = connected_components(
+            edges, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        )
+        _CC_SESSION_MEMO[key] = labels
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str,

@@ -2311,6 +2311,20 @@ def embedding_covariance(
 
     Output: (i, j, cov_r) — dim^2 rows, 9-decimal doubles.
     """
+    cov, _means = _cov_with_means(emb, vec_col, checkpoint_dir)
+    return cov
+
+
+def _cov_with_means(
+    emb: DataFrame,
+    vec_col: str,
+    checkpoint_dir: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared body of :func:`embedding_covariance` that also returns the
+    eagerly-checkpointed dim-row means frame, so consumers needing BOTH
+    the covariance and the means (``embedding_debias``) reuse the one
+    means pass instead of re-scanning the corpus for a second, identical
+    aggregation (r12, guide §1.2 "don't compute things you throw away")."""
     s1, s2 = float(2**36), float(2**24)
     # the dim^2 per-row product explode runs in the scan stage —
     # parallelize a monolithic input (no-op on real layouts); the
@@ -2360,7 +2374,7 @@ def embedding_covariance(
     means = truncate_lineage(means, checkpoint_dir)
     mi = means.select(F.col("pos").alias("i"), F.col("_mu").alias("_mui"))
     mj = means.select(F.col("pos").alias("j"), F.col("_mu").alias("_muj"))
-    return (
+    cov = (
         prods.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
         .select(
@@ -2369,6 +2383,7 @@ def embedding_covariance(
             F.round(F.col("_e2") - F.col("_mui") * F.col("_muj"), 9).alias("cov_r"),
         )
     )
+    return cov, means
 
 
 def embedding_pca(
@@ -2399,60 +2414,97 @@ def embedding_pca(
     0.125 on the grid for dim=64) makes the SIGN deterministic too.
 
     Scale (100 TB): the corpus is touched once (the
-    embedding_covariance pass, checkpointed); every iteration is a
-    join/agg on the dim^2-row covariance with a 1-row norm broadcast
-    — bounded work independent of corpus size.
+    embedding_covariance pass, checkpointed); the power iteration runs
+    ON THE DRIVER over the COLLECTED dim^2-cell covariance (r12, guide
+    §1.2 — the distributed algorithm first): the iterate is a
+    dim-bounded MODEL, independent of corpus size (the z-order-bounds /
+    auto-cap-probe doctrine: bounded aggregate collects are metadata,
+    never data rows), and running the dim x dim mat-vec distributed
+    cost 2 jobs per round (lineage-cut + norm broadcast) on 64-row
+    frames — measured ~2.5 s of pure per-job overhead at ANY scale.
+    Every arithmetic step replays Spark's expression semantics exactly
+    (``_pca_power_model``): DECIMAL(12,9) quantization via
+    shortest-repr HALF_UP (= Cast(double AS DECIMAL)), exact Decimal
+    products/sums (= the order-free DECIMAL fold), correctly-rounded
+    Decimal->double conversion (= Decimal.toDouble), HALF_UP 9-grid
+    round (= Round(double, 9)) and IEEE sqrt/divide — pinned
+    bit-identical against the prior in-Spark formulation by
+    tests/test_similarity.py::test_pca_driver_model_matches_sql_formulation.
 
     Output: (pos, pc1, eigval) — dim rows; eigval is the final
     pre-normalization norm (the Rayleigh estimate), repeated per row.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    from kafka_denormalization_spark.checkpoint import truncate_lineage
+    cov, _means = _cov_with_means(emb, vec_col, checkpoint_dir)
+    x, nrm = _pca_power_model(cov.collect(), dim, n_iter)
+    eig = _round9_half_up(nrm)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(int(p), float(xv), float(eig)) for p, xv in sorted(x.items())],
+        "pos long, pc1 double, eigval double",
+    )
 
-    cov = truncate_lineage(
-        embedding_covariance(emb, vec_col, dim, checkpoint_dir),
-        checkpoint_dir,
+
+def _round9_half_up(x: float) -> float:
+    """Spark ``round(double, 9)``: HALF_UP at scale 9 on the shortest
+    decimal representation of the double (BigDecimal.valueOf). Python's
+    ``repr`` is the same shortest round-trip string, and
+    float(Decimal) is correctly rounded like BigDecimal.doubleValue."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("1e-9"), decimal.ROUND_HALF_UP
+        )
     )
-    x0 = round(1.0 / math.sqrt(dim), 9)
-    v = cov.select(F.col("i").alias("pos")).distinct().select(
-        "pos", F.lit(x0).cast("double").alias("x")
-    )
-    norm = None
-    for _ in range(n_iter):
-        y = (
-            cov.join(v.select(F.col("pos").alias("j"), "x"), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.col("cov_r").cast("decimal(12,9)")
-                    * F.col("x").cast("decimal(12,9)")
-                ).alias("_yd")
+
+
+def _pca_power_model(
+    cov_rows, dim: int, n_iter: int
+) -> tuple[dict, float]:
+    """Driver-side replay of the fixed-iteration power method with
+    Spark-identical arithmetic (see :func:`embedding_pca`). Input:
+    collected (i, j, cov_r) rows — dim^2 cells, corpus-size-independent.
+    Returns ({pos: x}, final pre-normalization norm)."""
+    import decimal
+    from decimal import Decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        q9 = Decimal("1e-9")
+
+        def d9(v: float) -> Decimal:
+            # Cast(double AS DECIMAL(_,9)): HALF_UP on shortest repr
+            return Decimal(repr(float(v))).quantize(
+                q9, decimal.ROUND_HALF_UP
             )
-            .select(
-                F.col("i").alias("pos"),
-                F.round(F.col("_yd").cast("double"), 9).alias("yr"),
-            )
-        )
-        norm = y.agg(
-            F.sqrt(
-                F.sum(
-                    F.col("yr").cast("decimal(15,9)")
-                    * F.col("yr").cast("decimal(15,9)")
-                ).cast("double")
-            ).alias("_nrm")
-        )
-        v = truncate_lineage(
-            y.crossJoin(F.broadcast(norm)).select(
-                "pos", F.round(F.col("yr") / F.col("_nrm"), 9).alias("x")
-            ),
-            checkpoint_dir,
-        )
-    return v.crossJoin(F.broadcast(norm)).select(
-        F.col("pos").cast("long").alias("pos"),
-        F.col("x").alias("pc1"),
-        F.round("_nrm", 9).alias("eigval"),
-    )
+
+        by_i: dict = {}
+        for r in cov_rows:
+            i, j, c = r[0], r[1], r[2]
+            by_i.setdefault(i, []).append((j, d9(c)))
+        positions = sorted(by_i)
+        x0 = round(1.0 / math.sqrt(dim), 9)
+        x = {p: float(x0) for p in positions}
+        nrm = 0.0
+        for _ in range(n_iter):
+            y = {}
+            for i, cols in by_i.items():
+                s = Decimal(0)
+                for j, c in cols:
+                    if j in x:
+                        s += c * d9(x[j])
+                # Decimal -> double is correctly rounded (toDouble),
+                # then Round(double, 9)
+                y[i] = _round9_half_up(float(s))
+            ns = Decimal(0)
+            for yv in y.values():
+                dv = d9(yv)
+                ns += dv * dv
+            nrm = math.sqrt(float(ns))
+            x = {p: _round9_half_up(y[p] / nrm) for p in y}
+        return x, nrm
 
 
 def embedding_debias(
@@ -2478,42 +2530,28 @@ def embedding_debias(
     folds are sequential list reductions rounded to the 9-decimal grid
     (the mahalanobis_outliers convention).
 
-    Scale (100 TB): the model side is a 1-row (mu[], pc1[]) broadcast
-    (dim-bounded); the corpus is touched once by the scoring scan (plus
-    the two bounded passes inside the PCA training). Shuffle volume:
-    two scalars per vector.
+    Scale (100 TB): the (mu[], pc1[]) model is dim-bounded and inlined
+    as LITERAL arrays into the scoring expressions (the RP-plane /
+    IVF-centroid literal convention) — the corpus is touched once by
+    the scoring scan plus the two bounded passes inside the covariance
+    training, and the means pass is SHARED with the covariance (r12:
+    previously a second identical corpus aggregation). Shuffle volume:
+    two scalars per vector; the power iteration itself is the
+    driver-side dim-bounded model (see :func:`embedding_pca`).
 
     Output: (id_col, proj_r, resid_norm_r).
     """
-    s1 = float(2**36)
-    # means pass + the per-row projection/residual folds all run in the
-    # scan stage — parallelize a monolithic input (no-op on real
-    # layouts); exact integer sums are partitioning-free
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # the per-row projection/residual folds run in the scan stage —
+    # parallelize a monolithic input (no-op on real layouts)
     emb = parallelize_scan(emb, id_col)
-    means = (
-        emb.select(F.posexplode(vec_col).alias("pos", "v"))
-        .select(
-            "pos",
-            F.floor(F.col("v").cast("double") * F.lit(s1)).cast("long").alias("_f1"),
-        )
-        .groupBy("pos")
-        .agg(F.sum("_f1").alias("_s1"), F.count(F.lit(1)).alias("_n"))
-        .select(
-            "pos",
-            (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
-        )
-    )
-    pc = embedding_pca(emb, vec_col, dim, n_iter, checkpoint_dir).select(
-        "pos", "pc1"
-    )
-    model = (
-        means.join(pc, "pos")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "_mu", "pc1"))).alias("_m"))
-        .select(
-            F.transform("_m", lambda s: s["_mu"]).alias("_mus"),
-            F.transform("_m", lambda s: s["pc1"]).alias("_pcs"),
-        )
-    )
+    cov, means = _cov_with_means(emb, vec_col, checkpoint_dir)
+    x, _nrm = _pca_power_model(cov.collect(), dim, n_iter)
+    mu_by_pos = {r["pos"]: float(r["_mu"]) for r in means.collect()}
+    model_pos = sorted(set(mu_by_pos) & set(x))
+    mus = F.array(*[F.lit(mu_by_pos[p]).cast("double") for p in model_pos])
+    pcs = F.array(*[F.lit(float(x[p])).cast("double") for p in model_pos])
     centered = lambda i: (  # noqa: E731
         F.element_at(F.col(vec_col), i + 1).cast("double")
         - F.element_at(F.col("_mus"), i + 1)
@@ -2526,7 +2564,12 @@ def embedding_debias(
         ),
         9,
     )
-    scored = emb.crossJoin(F.broadcast(model)).select(
+    scored = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        mus.alias("_mus"),
+        pcs.alias("_pcs"),
+    ).select(
         F.col(id_col), F.col(vec_col), "_mus", "_pcs", proj.alias("proj_r")
     )
     resid = lambda i: (  # noqa: E731

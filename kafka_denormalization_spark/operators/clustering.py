@@ -63,6 +63,7 @@ def kmeans_assign(
     iters: int = 3,
     persist: bool = True,
     checkpoint_dir: str | None = None,
+    session_memo: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means, ``iters`` assignment rounds with ``iters - 1``
     centroid updates between them. Seeds are the ``k`` vectors with the
@@ -76,6 +77,14 @@ def kmeans_assign(
     the materialized rounds survive executor loss (checkpoint.py); the
     default keeps the pure-lazy plan (fine at the default 3 rounds).
     Results identical through both paths.
+
+    ``session_memo`` (r12): route the assignment table through
+    ``checkpoint.truncate_lineage_session`` — one eager materialization
+    per (session, plan, params) serves every consumer (five registry
+    queries run Lloyd over the same embeddings corpus per bench pass:
+    kmeans_clusters, semantic_dedup, prototype_prune, kmeans_sizes,
+    cluster-audit shapes); identical rows either way, the memo only
+    swaps recomputation for a LogicalRDD read.
 
     Output: (id_col, cluster_id, dist_r) — every vector's final cluster
     and squared distance on the 9-decimal grid.
@@ -175,11 +184,18 @@ def kmeans_assign(
             )
 
             centroids = truncate_lineage(centroids, checkpoint_dir)
-    return assigned.select(
+    out = assigned.select(
         F.col("_vid").alias(id_col),
         F.col("_cid").alias("cluster_id"),
         F.round(F.col("_d"), 9).alias("dist_r"),
     )
+    if session_memo:
+        from kafka_denormalization_spark.checkpoint import (
+            truncate_lineage_session,
+        )
+
+        out = truncate_lineage_session(out, checkpoint_dir)
+    return out
 
 
 def semantic_dedup(
@@ -189,6 +205,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 3,
     threshold: float = 0.5,
+    session_memo: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication of an
     embedding corpus — k-means cluster first, then drop near-identical
@@ -209,7 +226,9 @@ def semantic_dedup(
 
     from kafka_denormalization_spark.functions.similarity import cosine
 
-    assigned = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters)
+    assigned = kmeans_assign(
+        emb, id_col, vec_col, k=k, iters=iters, session_memo=session_memo
+    )
     # one persisted frame feeds the pair join's both sides AND the final
     # anti-join — otherwise each consumer replays the whole Lloyd plan
     with_vec = assigned.join(
@@ -244,6 +263,7 @@ def prototype_prune(
     iters: int = 3,
     keep_frac: float = 0.5,
     keep: str = "hard",
+    session_memo: bool = False,
 ) -> DataFrame:
     """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
     neural scaling laws"): cluster the embedding corpus, rank each
@@ -272,7 +292,9 @@ def prototype_prune(
     """
     if keep not in ("hard", "easy"):
         raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
-    asg = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters)
+    asg = kmeans_assign(
+        emb, id_col, vec_col, k=k, iters=iters, session_memo=session_memo
+    )
     order = (
         [F.col("dist_r").desc(), F.col(id_col).asc()]
         if keep == "hard"

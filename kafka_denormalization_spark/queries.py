@@ -952,6 +952,26 @@ DSIR_SALT = "dsir1"
 DSIR_K = 200
 
 
+def _containment_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-gram/0.8 containment pair table, materialized once per
+    session via the truncation memo (r12 — the `_lsh_pairs_shared`
+    discipline applied to the containment family): q_containment_dedup
+    returns it and q_containment_clusters propagates components over
+    it, and the two previously re-derived the whole PPJoin
+    prefix-filter + verify pipeline independently (~2.5 s each at
+    sf0.1). Sharing the truncated frame also gives both consumers one
+    plan hash, so the CC session memo keys off the same graph."""
+    from kafka_denormalization_spark.checkpoint import (
+        truncate_lineage_session,
+    )
+    from kafka_denormalization_spark.functions.similarity import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return truncate_lineage_session(
+        containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
+    )
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs (functions/similarity.py
     containment_pairs): C(A→B) = |g(A)∩g(B)|/|g(A)| >= 0.8 over distinct
@@ -960,10 +980,7 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys; recall at the 0.8 bar is unchanged vs 3-grams on this corpus).
     Catches subset duplicates Jaccard LSH misses. Containment is an
     int/int division — engine-exact, oracle = brute-force pairs."""
-    from kafka_denormalization_spark.functions.similarity import containment_pairs
-
-    docs = table(spark, sf_dir, "documents")
-    return containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
+    return _containment_pairs_shared(spark, sf_dir)
 
 
 def q_containment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,12 +992,12 @@ def q_containment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     story the per-pair view can't (same composition cluster_dedup_docs
     uses for Jaccard pairs). Oracle: recursive-CTE transitive closure
     over the brute-force pairs."""
-    from kafka_denormalization_spark.functions.graph import connected_components
-    from kafka_denormalization_spark.functions.similarity import containment_pairs
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
 
-    docs = table(spark, sf_dir, "documents")
-    pairs = containment_pairs(docs, "doc_id", "text", n=4, threshold=0.8)
-    return connected_components(pairs, src="id_a", dst="id_b").select(
+    pairs = _containment_pairs_shared(spark, sf_dir)
+    return connected_components_session(pairs, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
     )
 
@@ -1000,6 +1017,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding",
         k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T,
+        session_memo=True,
     )
 
 
@@ -1085,7 +1103,8 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_assign(
-        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS,
+        session_memo=True,
     )
 
 
@@ -1109,7 +1128,8 @@ def q_icp_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     asg = kmeans_assign(
-        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS,
+        session_memo=True,
     ).select(F.col("vec_id").alias("doc_id"), "cluster_id")
     joined = docs.join(asg, "doc_id").select(
         "doc_id",
@@ -1138,7 +1158,7 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return prototype_prune(
         emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS,
-        keep_frac=PROTO_KEEP_FRAC, keep="hard",
+        keep_frac=PROTO_KEEP_FRAC, keep="hard", session_memo=True,
     )
 
 
@@ -1296,7 +1316,7 @@ def _paired_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts in one session."""
     from kafka_denormalization_spark.checkpoint import truncate_lineage
     from kafka_denormalization_spark.functions.graph import (
-        connected_components,
+        connected_components_session,
     )
 
     app_id = spark.sparkContext.applicationId
@@ -1309,7 +1329,7 @@ def _paired_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     audit = q_paired_dedup(spark, sf_dir)
     both = audit.filter(F.col("dup_class") == "both").select("id_a", "id_b")
-    comps = connected_components(both, src="id_a", dst="id_b")
+    comps = connected_components_session(both, src="id_a", dst="id_b")
     sizes = comps.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_merged")
     )
@@ -1774,11 +1794,13 @@ def q_cluster_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline). max_by over a (n_chars, -doc_id) struct picks the
     representative in one aggregation; singletons never enter the pair
     graph and survive untouched."""
-    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
 
     docs = table(spark, sf_dir, "documents")
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    clusters = connected_components_session(pairs, src="id_a", dst="id_b")
     members = clusters.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), ["node"]
     )
@@ -1898,7 +1920,9 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-test contamination vector a naive per-doc split leaves open.
     Deterministic md5 thresholds (operators/sampling.py convention);
     oracle replays the recursive-CTE closure + the same draw."""
-    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
     from kafka_denormalization_spark.operators.sampling import (
         fraction_threshold,
         sample_hash,
@@ -1906,7 +1930,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    clusters = connected_components_session(pairs, src="id_a", dst="id_b")
     joined = docs.join(
         F.broadcast(clusters.withColumnRenamed("node", "doc_id")),
         "doc_id",
@@ -1932,10 +1956,12 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components give the correct groups — each labeled by its smallest
     doc_id. Oracle: recursive CTE transitive closure over the brute-force
     Jaccard pairs."""
-    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
 
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    return connected_components(pairs, src="id_a", dst="id_b").select(
+    return connected_components_session(pairs, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
     )
 
@@ -1948,10 +1974,12 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile shifts. Rides the session-memoized LSH pair table and the
     bounded label-propagation components; the histogram itself is two
     tiny aggregations."""
-    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
 
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+    cc = connected_components_session(pairs, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("_c")
     )
     docs = table(spark, sf_dir, "documents").select("doc_id")
@@ -2047,12 +2075,12 @@ def q_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report is one hash aggregation with map-side combine.
     """
     from kafka_denormalization_spark.functions.graph import (
-        connected_components,
+        connected_components_session,
     )
 
     docs = table(spark, sf_dir, "documents")
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components_session(pairs, src="id_a", dst="id_b")
     labeled = docs.select("doc_id", "source").join(
         cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     )
@@ -2103,12 +2131,12 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-size aggregation over the (tiny) component table.
     """
     from kafka_denormalization_spark.functions.graph import (
-        connected_components,
+        connected_components_session,
     )
 
     docs = table(spark, sf_dir, "documents")
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components_session(pairs, src="id_a", dst="id_b")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
     labeled = (
         docs.select("doc_id", "lang", "source")
@@ -2143,7 +2171,8 @@ def q_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     emb = table(spark, sf_dir, "embeddings")
     asg = kmeans_assign(
-        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS,
+        session_memo=True,
     ).select(F.col("vec_id").alias("doc_id"), "cluster_id")
     return (
         asg.join(docs, "doc_id")
@@ -2242,11 +2271,13 @@ def q_cluster_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, c dropped for b even when c!~a keeps a second group alive);
     components retain exactly one doc per TRANSITIVE group. One anti-join
     over the (tiny) non-representative set."""
-    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
 
     docs = table(spark, sf_dir, "documents")
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    clusters = connected_components_session(pairs, src="id_a", dst="id_b")
     dropped = clusters.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -2471,7 +2502,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed corpus-wide (before the quality gate), and a dropped
     representative does not promote another member — the standard order
     for reproducible corpus builds."""
-    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
     from kafka_denormalization_spark.operators.sampling import stratified_sample
 
     docs = table(spark, sf_dir, "documents")
@@ -2481,7 +2514,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = keep & c
     quality = docs.filter(keep)
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    clusters = connected_components_session(pairs, src="id_a", dst="id_b")
     dropped = clusters.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -2500,7 +2533,9 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw text (scrubbing can collapse distinct docs), mix fractions from
     the post-dedup survivor weights, scrub last so only shipped rows pay
     the regex chain."""
-    from kafka_denormalization_spark.functions.graph import connected_components
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components_session,
+    )
     from kafka_denormalization_spark.operators.sampling import temperature_sample
 
     docs = table(spark, sf_dir, "documents")
@@ -2510,7 +2545,7 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = keep & c
     quality = docs.filter(keep)
     pairs = _lsh_pairs_shared(spark, sf_dir)
-    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    clusters = connected_components_session(pairs, src="id_a", dst="id_b")
     dropped = clusters.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -4474,6 +4509,14 @@ def _paired_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.01 results are unchanged.
     n_docs = base.count()
     groups = PHASH_GROUPS * max(1, math.ceil(n_docs / 500))
+    # repartition the single-task documents scan so the image synthesis
+    # (and every downstream blob consumer reading this persisted frame)
+    # runs at session parallelism (r12, guide §2.5 — the _blob_seed_ids
+    # remedy; rows here carry text too, so the repartition is inline)
+    nparts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+    )
     docs = base.select(
         "doc_id",
         F.col("text"),
@@ -4483,20 +4526,25 @@ def _paired_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % groups
         ).alias("_s"),
-    )
+    ).repartition(nparts, "doc_id")
 
     def encode(batches):
+        # each distinct (seed, flip) grid is built ONCE per task and
+        # shared across its rows (r12 — the fake_*_blob dedup pattern;
+        # ~2 x `groups` variants vs one synthesis per document)
+        cache: dict[tuple[int, bool], bytes] = {}
+
+        def blob(s: int, flip: bool) -> bytes:
+            k = (s, flip)
+            b = cache.get(k)
+            if b is None:
+                b = make_image_blob(PHASH_W, PHASH_H, _paired_pixels(s, flip))
+                cache[k] = b
+            return b
+
         for pdf in batches:
             rows = [
-                (
-                    int(d),
-                    make_image_blob(
-                        PHASH_W,
-                        PHASH_H,
-                        _paired_pixels(int(s), int(d) % 5 == 0),
-                    ),
-                    t,
-                )
+                (int(d), blob(int(s), int(d) % 5 == 0), t)
                 for d, s, t in zip(pdf["doc_id"], pdf["_s"], pdf["text"])
             ]
             yield pd.DataFrame(rows, columns=["id", "blob", "caption"])

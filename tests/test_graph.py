@@ -358,3 +358,40 @@ def test_paired_family_frames_memoized_per_session(spark):
     assert _paired_frame(spark, sf) is _paired_frame(spark, sf)
     assert q_paired_dedup(spark, sf) is q_paired_dedup(spark, sf)
     assert _paired_survivors(spark, sf) is _paired_survivors(spark, sf)
+
+
+def test_connected_components_session_memo(spark):
+    """r12: connected_components_session returns the SAME labels frame
+    for semantically identical edge plans (the minhash_lsh_pairs_session
+    contract applied to the component step — 6+ registry queries share
+    one near-dup pair graph), and its rows equal the un-memoized
+    operator's."""
+    from kafka_denormalization_spark.functions.graph import (
+        connected_components,
+        connected_components_session,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (3, 9), (10, 5)],
+        "src long, dst long",
+    )
+
+    # the registry path hands the session-memoized pair-table OBJECT to
+    # every consumer (queries._lsh_pairs_shared), so repeated calls see
+    # one plan hash; two filters of it are semantically identical too
+    a = connected_components_session(edges, "src", "dst")
+    b = connected_components_session(edges, "src", "dst")
+    assert a is b, "identical edge plans must share one memo entry"
+    c = connected_components_session(edges.filter("src >= 0"), "src", "dst")
+    d = connected_components_session(edges.filter("src >= 0"), "src", "dst")
+    assert c is d, "semantically equal derived plans must share one entry"
+    plain = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges, "src", "dst").collect()
+    )
+    assert sorted((r["node"], r["component"]) for r in a.collect()) == plain
+    # different key columns miss the memo (distinct graphs)
+    e = connected_components_session(
+        edges.withColumnRenamed("src", "s"), "s", "dst"
+    )
+    assert e is not a

@@ -962,6 +962,87 @@ def test_embedding_debias_strips_common_direction(spark):
     )
 
 
+def test_pca_driver_model_matches_sql_formulation(spark):
+    """The r12 driver-side power iteration (_pca_power_model) must be
+    BIT-IDENTICAL to the prior in-Spark DECIMAL-fold formulation it
+    replaced (the DuckDB oracle unrolls that formulation as CTEs, so
+    this pins the oracle contract too): per round, yr =
+    round(cast(sum(DECIMAL(12,9) c * DECIMAL(12,9) x) as double), 9),
+    nrm = sqrt(cast(sum(DECIMAL(15,9) yr^2) as double)), x' =
+    round(yr/nrm, 9)."""
+    import random
+
+    rng = random.Random(41)
+    dim, n_iter = 8, 4
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-2, 2) for _ in range(dim)])
+            for i in range(50)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cov = S.embedding_covariance(emb, dim=dim)
+    # reference: the pre-r12 in-Spark iteration, run verbatim
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    x0 = round(1.0 / _math.sqrt(dim), 9)
+    v = cov.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(x0).cast("double").alias("x")
+    )
+    norm = None
+    for _ in range(n_iter):
+        y = (
+            cov.join(v.select(F.col("pos").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("cov_r").cast("decimal(12,9)")
+                    * F.col("x").cast("decimal(12,9)")
+                ).alias("_yd")
+            )
+            .select(
+                F.col("i").alias("pos"),
+                F.round(F.col("_yd").cast("double"), 9).alias("yr"),
+            )
+        )
+        norm = y.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("yr").cast("decimal(15,9)")
+                    * F.col("yr").cast("decimal(15,9)")
+                ).cast("double")
+            ).alias("_nrm")
+        )
+        v = y.crossJoin(F.broadcast(norm)).select(
+            "pos", F.round(F.col("yr") / F.col("_nrm"), 9).alias("x")
+        ).localCheckpoint()
+    ref = {
+        r["pos"]: (r["x"], r["_nrm"])
+        for r in v.crossJoin(F.broadcast(norm)).collect()
+    }
+    x, nrm = S._pca_power_model(cov.collect(), dim, n_iter)
+    assert set(x) == set(ref)
+    for p in ref:
+        assert x[p] == ref[p][0], (p, x[p], ref[p][0])
+        assert S._round9_half_up(nrm) == S._round9_half_up(ref[p][1])
+    # and the public wrapper agrees with itself across partitionings
+    a = sorted(
+        (r["pos"], r["pc1"], r["eigval"])
+        for r in S.embedding_pca(emb, dim=dim, n_iter=n_iter).collect()
+    )
+    b = sorted(
+        (r["pos"], r["pc1"], r["eigval"])
+        for r in S.embedding_pca(
+            emb.repartition(5), dim=dim, n_iter=n_iter
+        ).collect()
+    )
+    assert a == b
+    assert [p for p, _x, _e in a] == sorted(ref)
+    assert all(_x == ref[p][0] for p, _x, _e in a)
+
+
 # ---------------------------------------------------------------------------
 # fuzzy_contamination (near-match eval decontamination)
 # ---------------------------------------------------------------------------
