@@ -129,7 +129,7 @@ def connected_components_session(
         )
     app_id = edges.sparkSession.sparkContext.applicationId
     key = (app_id, sem, src, dst, max_iter, checkpoint_dir)
-    for k in [k for k in _CC_SESSION_MEMO if k[0] != app_id]:
+    for k in [k for k in list(_CC_SESSION_MEMO) if k[0] != app_id]:
         del _CC_SESSION_MEMO[k]
     labels = _CC_SESSION_MEMO.get(key)
     if labels is None:

@@ -202,9 +202,20 @@ def preference_pair_dedup(
         unpersist_if_owned(pairs)
         return out
 
-    both = side_pairs("chosen").join(
-        side_pairs("rejected"), ["id_a", "id_b"]
-    )
+    # The two side builds are INDEPENDENT eager pipelines (each runs its
+    # own signature/probe/verify jobs over a different column of the
+    # same truncated pair table); submit them from two driver threads so
+    # the second side's jobs back-fill executors idling in the first
+    # side's stage tails (guide §2.6 — actions are only sequential
+    # because driver code calls them sequentially). Spark's scheduler
+    # handles concurrent jobs natively; the session memos they touch are
+    # keyed disjointly (different column name) and evict over snapshots.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        chosen_f = pool.submit(side_pairs, "chosen")
+        rejected_f = pool.submit(side_pairs, "rejected")
+        both = chosen_f.result().join(rejected_f.result(), ["id_a", "id_b"])
     dominated = both.select(F.col("id_b").alias("pair_id")).dropDuplicates()
     return prefs.join(dominated, ["pair_id"], "left_anti")
 

@@ -114,7 +114,7 @@ def resolve_auto_bucket_cap(
     memo_key = None
     if sem is not None:
         memo_key = (app_id, sem, wcol, AUTO_BUCKET_FLOOR, AUTO_BUCKET_CEIL)
-        for k in [k for k in _AUTO_CAP_MEMO if k[0] != app_id]:
+        for k in [k for k in list(_AUTO_CAP_MEMO) if k[0] != app_id]:
             del _AUTO_CAP_MEMO[k]
         if memo_key in _AUTO_CAP_MEMO:
             cached_cap = _AUTO_CAP_MEMO[memo_key]
@@ -525,13 +525,23 @@ def minhash_band_buckets(
     return out
 
 
-def exact_jaccard_pairs(candidates: DataFrame, grams: DataFrame) -> DataFrame:
+def exact_jaccard_pairs(
+    candidates: DataFrame, grams: DataFrame, all_pairs: bool = True
+) -> DataFrame:
     """Exact n-gram Jaccard for candidate (id_a, id_b) pairs, from a
     DISTINCT (_id, _g) gram-row frame covering every candidate id.
 
     Gram-row joins, not array expressions: two equi-joins count the
     intersection, a per-id count supplies the sizes — all codegen hash
     joins and counting aggregates, work bounded by pairs x doc_grams.
+
+    ``all_pairs``: with True (default) every candidate pair is reported,
+    zero-intersection pairs at jaccard 0.0 (the left_outer shell join —
+    audit fill-ins need the explicit 0). Callers that immediately filter
+    ``jaccard_sim >= t`` for t > 0 pass False: zero-intersection pairs
+    cannot survive the filter, so the shell join + fill is dead weight —
+    one join (and its runtime exchange/broadcast) removed from every
+    LSH-family verify (r12, guide §2.4).
     Output: (id_a, id_b, jaccard_sim)."""
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     inter = (
@@ -540,9 +550,14 @@ def exact_jaccard_pairs(candidates: DataFrame, grams: DataFrame) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    if all_pairs:
+        base = candidates.join(inter, ["id_a", "id_b"], "left_outer").na.fill(
+            {"_inter": 0}
+        )
+    else:
+        base = inter
     return (
-        candidates.join(inter, ["id_a", "id_b"], "left_outer")
-        .na.fill({"_inter": 0})
+        base
         .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), ["id_a"])
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), ["id_b"])
         .select(
@@ -628,7 +643,7 @@ def incremental_near_dedup(
 
     # verify grams: new-batch grams from the cache; base grams re-derived
     # for candidate ids only (semi-join pushed below the gram explode)
-    cand_base_ids = cross_cand.select(F.col("id_b").alias("_id")).dropDuplicates()
+    cand_base_ids = cross_cand.select(F.col("id_b").alias("_id"))
     base_cand_docs = base_df.join(
         cand_base_ids, base_df[id_col] == cand_base_ids["_id"], "left_semi"
     )
@@ -638,14 +653,15 @@ def incremental_near_dedup(
         .transform(persist_if_uncached)
     )
     thr = F.col("jaccard_sim") >= threshold
+    ap = threshold <= 0.0
     dup_vs_base = (
-        exact_jaccard_pairs(cross_cand, verify_grams)
+        exact_jaccard_pairs(cross_cand, verify_grams, all_pairs=ap)
         .filter(thr)
         .select(F.col("id_a").alias(id_col))
         .dropDuplicates()
     )
     dup_within = (
-        exact_jaccard_pairs(within_cand, verify_grams)
+        exact_jaccard_pairs(within_cand, verify_grams, all_pairs=ap)
         .filter(thr)
         .select(F.col("id_b").alias(id_col))
         .dropDuplicates()
@@ -741,10 +757,11 @@ def minhash_lsh_pairs(
     # slice/concat lambda per gram and computed the whole shingle subtree
     # twice (once per join side) — measured ~2x slower on the verify stage.
     # Work is bounded by candidate_pairs x doc_grams, never corpus size.
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("_id"))
-        .unionByName(candidates.select(F.col("id_b").alias("_id")))
-        .dropDuplicates()
+    # no dropDuplicates: both consumers are left_semi joins, which
+    # dedup inherently — the distinct was one whole exchange + AQE job
+    # per family build for nothing (r12, guide §2.4)
+    cand_ids = candidates.select(F.col("id_a").alias("_id")).unionByName(
+        candidates.select(F.col("id_b").alias("_id"))
     )
     if share_grams and persist:
         # row-filter the cached corpus gram table (broadcast semi-join on
@@ -759,9 +776,11 @@ def minhash_lsh_pairs(
 
         # referenced 3x in the verify (two intersection sides + sizes)
         grams = persist_if_uncached(grams)
-    verified = exact_jaccard_pairs(candidates, grams).filter(
-        F.col("jaccard_sim") >= threshold
-    )
+    # zero-intersection candidates cannot reach a positive threshold —
+    # skip the left_outer shell join (all_pairs) whenever one applies
+    verified = exact_jaccard_pairs(
+        candidates, grams, all_pairs=(threshold <= 0.0)
+    ).filter(F.col("jaccard_sim") >= threshold)
     if eager_cleanup and persist:
 
         # Materialize the (tiny) verified pair set now, then release the
@@ -842,7 +861,7 @@ def minhash_lsh_pairs_session(
         app_id, sem, id_col, text_col, n, num_hashes, bands, threshold,
         max_bucket,
     )
-    for k in [k for k in _LSH_PAIRS_SESSION_MEMO if k[0] != app_id]:
+    for k in [k for k in list(_LSH_PAIRS_SESSION_MEMO) if k[0] != app_id]:
         del _LSH_PAIRS_SESSION_MEMO[k]
     pairs = _LSH_PAIRS_SESSION_MEMO.get(key)
     if pairs is None:
@@ -956,16 +975,16 @@ def fuzzy_contamination(
         .dropDuplicates()
         .transform(persist_if_uncached)
     )
-    cand_doc_ids = cand.select(F.col("id_a").alias("_id")).dropDuplicates()
+    cand_doc_ids = cand.select(F.col("id_a").alias("_id"))
     verify_grams = (
         doc_grams.join(F.broadcast(cand_doc_ids), ["_id"], "left_semi")
         .unionByName(eval_grams)
         .dropDuplicates(["_id", "_g"])
         .transform(persist_if_uncached)
     )
-    verified = exact_jaccard_pairs(cand, verify_grams).filter(
-        F.col("jaccard_sim") >= threshold
-    )
+    verified = exact_jaccard_pairs(
+        cand, verify_grams, all_pairs=(threshold <= 0.0)
+    ).filter(F.col("jaccard_sim") >= threshold)
     best = verified.groupBy("id_a").agg(
         F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
         # best match = highest jaccard, ties to the SMALLEST eval id

@@ -1321,7 +1321,7 @@ def _paired_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir)
-    for k in [k for k in _PAIRED_SURV_MEMO if k[0] != app_id]:
+    for k in [k for k in list(_PAIRED_SURV_MEMO) if k[0] != app_id]:
         del _PAIRED_SURV_MEMO[k]
     memo = _PAIRED_SURV_MEMO.get(memo_key)
     if memo is not None:
@@ -2600,7 +2600,7 @@ def _corpus_v3_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = resolve_checkpoint_dir(spark)
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir, ckpt)
-    for k in [k for k in _V3_MIXED_MEMO if k[0] != app_id]:
+    for k in [k for k in list(_V3_MIXED_MEMO) if k[0] != app_id]:
         del _V3_MIXED_MEMO[k]
     memo = _V3_MIXED_MEMO.get(memo_key)
     if memo is not None:
@@ -2673,7 +2673,7 @@ def _corpus_v4_mixed(
     resolved_ckpt = resolve_checkpoint_dir(spark, checkpoint_dir)
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir, resolved_ckpt)
-    for k in [k for k in _V4_STAGES_MEMO if k[0] != app_id]:
+    for k in [k for k in list(_V4_STAGES_MEMO) if k[0] != app_id]:
         del _V4_STAGES_MEMO[k]
     memo = _V4_STAGES_MEMO.get(memo_key)
     if memo is not None:
@@ -4493,7 +4493,7 @@ def _paired_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir)
-    for k in [k for k in _PAIRED_FRAME_MEMO if k[0] != app_id]:
+    for k in [k for k in list(_PAIRED_FRAME_MEMO) if k[0] != app_id]:
         del _PAIRED_FRAME_MEMO[k]
     memo = _PAIRED_FRAME_MEMO.get(memo_key)
     if memo is not None:
@@ -4583,7 +4583,7 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir)
-    for k in [k for k in _PAIRED_AUDIT_MEMO if k[0] != app_id]:
+    for k in [k for k in list(_PAIRED_AUDIT_MEMO) if k[0] != app_id]:
         del _PAIRED_AUDIT_MEMO[k]
     memo = _PAIRED_AUDIT_MEMO.get(memo_key)
     if memo is not None:
@@ -4597,6 +4597,8 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_lsh_dedup and the whole near-dup family) instead of a
     # second signature pipeline; bench A/B: 19.9 s -> the image side +
     # fills only
+    from kafka_denormalization_spark.checkpoint import truncate_lineage
+
     audit = paired_near_dup_audit(
         paired,
         "id",
@@ -4610,6 +4612,17 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a"), F.col("id_b"), "hamming", "jaccard_r", "dup_class"
     )
+    # EAGERLY truncate the memoized audit (r12): the audit's metric
+    # fill-ins (hamming for caption-only pairs, candidate-bounded
+    # Jaccard for image-only pairs) are the lazy tail ABOVE the
+    # operator's internal pair-union truncation, and every consumer
+    # (this query's exec, q_multimodal_attribution's explode,
+    # q_multimodal_funnel's counts, _paired_survivors' components)
+    # re-executed them per action — ~2-3 s each at sf0.1. One
+    # materialization at memo time serves the session; the frame is
+    # near-dup-pair-bounded, the same class the internal truncation
+    # already stores.
+    audit = truncate_lineage(audit)
     _PAIRED_AUDIT_MEMO[memo_key] = audit
     return audit
 

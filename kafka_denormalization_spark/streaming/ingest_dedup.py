@@ -266,14 +266,15 @@ class IngestNearDedup:
             .withColumnRenamed("_gd", "_g")
         )
         thr = F.col("jaccard_sim") >= self.threshold
+        ap = self.threshold <= 0.0
         cross = (
-            exact_jaccard_pairs(cross_cand, verify)
+            exact_jaccard_pairs(cross_cand, verify, all_pairs=ap)
             .filter(thr)
             .select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
             .dropDuplicates()
         )
         within = (
-            exact_jaccard_pairs(within_cand, verify)
+            exact_jaccard_pairs(within_cand, verify, all_pairs=ap)
             .filter(thr)
             .select("id_a", "id_b")
             .dropDuplicates()
