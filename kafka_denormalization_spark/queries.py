@@ -1213,7 +1213,12 @@ def _conversation_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_documents,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # the tokenize + chunk explode otherwise runs on the single-task
+    # documents scan (r12, guide §2.5 — the _docs_with_lines remedy;
+    # event-logged as a 1.4 s one-task stage inside every conv-family
+    # build): repartition DOC rows below the explode. No-op exchange
+    # count at scale; partition count follows session conf.
+    docs = parallelize_scan(table(spark, sf_dir, "documents"), "doc_id")
     chunks = chunk_documents(
         docs, "doc_id", "text", chunk_tokens=CONV_TURN_TOKENS
     )
@@ -4360,7 +4365,11 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_image_blob,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # _blob_seed_ids: the dHash decode is the heaviest per-row Python
+    # stage in this lane and ran on the single scan task — stage-level
+    # A/B 5.2/1.9/1.8 s one-task vs 2.5/1.5/1.1 s repartitioned (r12;
+    # image_resize measured the OPPOSITE and stays single-task)
+    docs = _blob_seed_ids(spark, sf_dir)
 
     def encode(batches):
         for pdf in batches:
