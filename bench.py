@@ -241,19 +241,30 @@ def materialize(df) -> None:
 
 def load_telemetry() -> dict:
     """One /proc sample: 1/5/15-min loadavg, runnable/total process
-    counts. Linux-only by construction (the bench box is Linux); returns
-    {} elsewhere so the bench never fails on telemetry."""
+    counts, plus the cumulative CPU jiffies split (user+sys / idle /
+    STEAL — r13: this box's drift source turned out to be hypervisor
+    steal bursts of 10-60%, invisible in loadavg; the start/end delta
+    lets a judge attribute inflation to the host without archaeology).
+    Linux-only by construction (the bench box is Linux); returns {}
+    elsewhere so the bench never fails on telemetry."""
     try:
         with open("/proc/loadavg") as fh:
             parts = fh.read().split()
         runnable, total_procs = parts[3].split("/")
-        return {
+        out = {
             "load1": float(parts[0]),
             "load5": float(parts[1]),
             "load15": float(parts[2]),
             "runnable": int(runnable),
             "procs": int(total_procs),
         }
+        with open("/proc/stat") as fh:
+            cpu = fh.readline().split()
+        # jiffies: user, nice, system, idle, iowait, irq, softirq, steal
+        out["cpu_busy_s"] = (int(cpu[1]) + int(cpu[2]) + int(cpu[3])) / 100.0
+        out["cpu_idle_s"] = int(cpu[4]) / 100.0
+        out["cpu_steal_s"] = int(cpu[8]) / 100.0
+        return out
     except Exception:  # pragma: no cover - non-Linux fallback
         return {}
 
@@ -318,10 +329,24 @@ def main() -> None:
     phases_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PHASES.json"
     )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # VERDICT r12 #4: a multi-config driver run (32c then 8c) used to
+    # overwrite the one sidecar, so mover detection compared this run's
+    # times against a DIFFERENT core count's priors and flagged spurious
+    # movers. Priors now come from the same-cpus sidecar only (32c owns
+    # BENCH_PHASES.json, other counts own BENCH_PHASES_c{N}.json), with
+    # a cpus-field cross-check for pre-r13 sidecars (all 32c except the
+    # final 8c driver pass).
+    prior_path = (
+        phases_path if cpus == 32
+        else phases_path.replace(".json", f"_c{cpus}.json")
+    )
     prior_timings: dict[str, float] = {}
     try:
-        with open(phases_path) as fh:
-            prior_timings = json.load(fh).get("queries", {}) or {}
+        with open(prior_path) as fh:
+            prior = json.load(fh)
+        if prior.get("cpus", cpus) == cpus:
+            prior_timings = prior.get("queries", {}) or {}
     except Exception:  # first run / missing sidecar
         prior_timings = {}
     slow15 = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
@@ -383,21 +408,28 @@ def main() -> None:
         # compared across runs with different coverage
         out["valid"] = False
         out["n_errors"] = len(errors)
-    with open(phases_path, "w") as fh:
-        json.dump(
-            {
-                "sf": sf,
-                "total_s": total,
-                "load_start": load_start,
-                "load_end": load_end,
-                "queries": timings,
-                "phases": phases,
-                "movers_dropped_from_reps": movers_dropped,
-                "errors": errors,
-            },
-            fh,
-            indent=1,
-        )
+    sidecar = {
+        "sf": sf,
+        "cpus": cpus,
+        "total_s": total,
+        "load_start": load_start,
+        "load_end": load_end,
+        "queries": timings,
+        "phases": phases,
+        "movers_dropped_from_reps": movers_dropped,
+        "errors": errors,
+    }
+    # VERDICT r12 #4: version the sidecar by core count. The canonical
+    # 32c run owns BENCH_PHASES.json (the round-over-round comparison
+    # artifact); every other count writes BENCH_PHASES_c{N}.json, so a
+    # 32c+8c driver double-run leaves BOTH per-query maps on disk
+    # instead of the second overwriting the first.
+    if cpus == 32:
+        with open(phases_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+    else:
+        with open(phases_path.replace(".json", f"_c{cpus}.json"), "w") as fh:
+            json.dump(sidecar, fh, indent=1)
     print(json.dumps(out), flush=True)
 
 

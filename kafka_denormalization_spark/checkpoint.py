@@ -217,7 +217,7 @@ def truncate_lineage_session(
     app_id = df.sparkSession.sparkContext.applicationId
     key = (app_id, sem, checkpoint_dir)
     for k in [k for k in list(_TRUNCATE_SESSION_MEMO) if k[0] != app_id]:
-        del _TRUNCATE_SESSION_MEMO[k]
+        _TRUNCATE_SESSION_MEMO.pop(k, None)
     out = _TRUNCATE_SESSION_MEMO.get(key)
     if out is None:
         out = truncate_lineage(df, checkpoint_dir)

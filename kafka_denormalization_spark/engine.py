@@ -10,9 +10,19 @@ from __future__ import annotations
 
 import os
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# analyzed-plan node names that imply an exchange somewhere below —
+# matched at tree-line starts (after the "+- " / ":- " art), never
+# inside expression text, so column names cannot false-positive
+_SHUFFLE_NODE_RE = re.compile(
+    r"(?m)^[\s:+\-']*(?:Repartition|RepartitionByExpression|Join\b|"
+    r"Aggregate\b|Window\b|Deduplicate\b|Sort\b|GlobalLimit\b)"
+)
 
 TABLES = (
     "region",
@@ -90,6 +100,20 @@ def get_spark(app_name: str = "kafka-denormalization-spark") -> SparkSession:
     return spark
 
 
+def target_partitions(sess: SparkSession) -> int:
+    """Session-parallelism target for explicit repartitions:
+    max(shuffle.partitions, defaultParallelism). One helper instead of
+    four inline copies (ADVICE r12 #3), with a fallback for clusters
+    whose shuffle-partition conf is non-numeric (e.g. "auto" under
+    auto-optimized shuffle) — ``int()`` on that raised an uncaught
+    ValueError through every query routed here."""
+    try:
+        shuffle_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        shuffle_parts = sess.sparkContext.defaultParallelism
+    return max(shuffle_parts, sess.sparkContext.defaultParallelism)
+
+
 def parallelize_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition ``df`` to session parallelism ONLY when its physical
     plan yields fewer partitions — the guide-§2.5 "input skew" remedy
@@ -106,23 +130,41 @@ def parallelize_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     rule); without, deterministic round-robin. Partition count follows
     session conf (shuffle.partitions / defaultParallelism), never a
     local constant; explicit so AQE does not coalesce a tiny input
-    back to one partition. Streaming frames pass through untouched."""
+    back to one partition. Streaming frames pass through untouched.
+
+    Probe discipline (ADVICE r12 #2): ``df.rdd.getNumPartitions()``
+    under AQE finalizes the adaptive plan, EXECUTING any upstream
+    shuffle stages and discarding their output — a frame that was just
+    repartitioned (embedding_debias -> _cov_with_means re-entry) paid
+    its whole repartition once per probe. The probe now short-circuits
+    twice before touching ``.rdd``: (a) a frame THIS function already
+    repartitioned carries ``_sg_parallelized`` and passes through; (b)
+    a plan containing any shuffle-inducing node (repartition, join,
+    aggregate, window, distinct, sort) is already parallel on any real
+    layout — inspected on the ANALYZED plan string, which never
+    executes anything. Only plain scan/project/filter/generate plans —
+    the monolithic-input case this helper exists for — reach the
+    ``.rdd`` probe, where it is cheap (no shuffle stages to run)."""
     if df.isStreaming:
         return df
+    if getattr(df, "_sg_parallelized", False):
+        return df
     try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if _SHUFFLE_NODE_RE.search(plan):
+            return df
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - exotic plans; never block
         return df
-    sess = df.sparkSession
-    target = max(
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-        sess.sparkContext.defaultParallelism,
-    )
+    target = target_partitions(df.sparkSession)
     if 2 * cur >= target:
         return df
     if key_cols:
-        return df.repartition(target, *[F.col(c) for c in key_cols])
-    return df.repartition(target)
+        out = df.repartition(target, *[F.col(c) for c in key_cols])
+    else:
+        out = df.repartition(target)
+    out._sg_parallelized = True
+    return out
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

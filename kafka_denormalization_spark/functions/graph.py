@@ -130,7 +130,7 @@ def connected_components_session(
     app_id = edges.sparkSession.sparkContext.applicationId
     key = (app_id, sem, src, dst, max_iter, checkpoint_dir)
     for k in [k for k in list(_CC_SESSION_MEMO) if k[0] != app_id]:
-        del _CC_SESSION_MEMO[k]
+        _CC_SESSION_MEMO.pop(k, None)
     labels = _CC_SESSION_MEMO.get(key)
     if labels is None:
         labels = connected_components(
@@ -190,6 +190,17 @@ def pagerank(
     bit-identical for any ``truncate_every`` — the cut only bounds plan
     depth. The final round is never cut (the caller's materialization
     executes the lazy tail).
+
+    Per-round join shape (r13, guide §2.4/§3.3): the edge⋈degree join
+    is ITERATION-INVARIANT, so it is hoisted into the build-time cut —
+    one (src, dst, deg) table (+8 bytes/edge of checkpoint storage)
+    replaces one sort-merge join + degree re-aggregation in EVERY
+    round; each round's identical edge-side exchange over the cut scan
+    is reused across rounds (AQE stage reuse), so per round only the
+    |V|-sized ranks frame and the partially-aggregated contribution
+    rows move. The ranks INIT frame is left lazy: it has exactly one
+    consumer (round 1's join), so an eager cut was one pure-overhead
+    job per call (r13; values identical).
     The node census is a 1-row aggregate broadcast (allow-listed BNLJ
     shape), never a driver collect. Sums fit a long: total graph mass
     is ~10^9 nano-units by construction, damping * sum < 10^11.
@@ -209,18 +220,22 @@ def pagerank(
         checkpoint_dir,
     )
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    nodes = e.select(F.col("_s").alias("node")).distinct()
+    # iteration-invariant (src, dst, deg) table: one cut table
+    # (+8 bytes/edge of checkpoint storage) replaces a sort-merge join
+    # + degree re-aggregation in EVERY round; each round's identical
+    # edge-side exchange over this scan is computed once and reused
+    # across rounds (AQE stage reuse on the canonicalized plan)
+    e_deg = truncate_lineage(e.join(deg, "_s"), checkpoint_dir)
+    nodes = e_deg.select(F.col("_s").alias("node")).distinct()
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    ranks = truncate_lineage(
-        nodes.crossJoin(F.broadcast(n1)).select(
-            "node", F.expr("CAST(1000000000 AS BIGINT) DIV _n").alias("rn")
-        ),
-        checkpoint_dir,
+    # lazy by design: ranks0 has exactly one consumer (round 1's join),
+    # so an eager cut here was one pure-overhead job per call
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.expr("CAST(1000000000 AS BIGINT) DIV _n").alias("rn")
     )
     for i in range(n_iter):
         contrib = (
-            e.join(ranks, e["_s"] == ranks["node"])
-            .join(deg, "_s")
+            e_deg.join(ranks, e_deg["_s"] == ranks["node"])
             .select(
                 F.col("_d").alias("node"),
                 F.expr("rn DIV _deg").alias("_c"),

@@ -115,7 +115,7 @@ def resolve_auto_bucket_cap(
     if sem is not None:
         memo_key = (app_id, sem, wcol, AUTO_BUCKET_FLOOR, AUTO_BUCKET_CEIL)
         for k in [k for k in list(_AUTO_CAP_MEMO) if k[0] != app_id]:
-            del _AUTO_CAP_MEMO[k]
+            _AUTO_CAP_MEMO.pop(k, None)
         if memo_key in _AUTO_CAP_MEMO:
             cached_cap = _AUTO_CAP_MEMO[memo_key]
             _LOG.info(
@@ -276,12 +276,9 @@ def _pre_partitioned_by_id(
     )
     if base.isStreaming:
         return base
-    sess = docs.sparkSession
-    nparts = max(
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-        sess.sparkContext.defaultParallelism,
-    )
-    return base.repartition(nparts, "_id")
+    from kafka_denormalization_spark.engine import target_partitions
+
+    return base.repartition(target_partitions(docs.sparkSession), "_id")
 
 
 def word_gram_rows(
@@ -862,7 +859,7 @@ def minhash_lsh_pairs_session(
         max_bucket,
     )
     for k in [k for k in list(_LSH_PAIRS_SESSION_MEMO) if k[0] != app_id]:
-        del _LSH_PAIRS_SESSION_MEMO[k]
+        _LSH_PAIRS_SESSION_MEMO.pop(k, None)
     pairs = _LSH_PAIRS_SESSION_MEMO.get(key)
     if pairs is None:
         pairs = minhash_lsh_pairs(

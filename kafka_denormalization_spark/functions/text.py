@@ -483,7 +483,13 @@ def contamination_scan_join(
 
     from kafka_denormalization_spark.functions.similarity import word_gram_rows
 
-    grams = word_gram_rows(docs, id_col, text_col, probe_grams).dropDuplicates()
+    # broadcast-filter the gram stream BEFORE any exchange (r13, guide
+    # §2.3 "project/filter before the exchange"): the needle-gram join
+    # is map-side, so only matching gram rows survive the explode — the
+    # previous shape dropDuplicates'd the ENTIRE corpus gram table (one
+    # full exploded-row exchange) just to feed this join, and the
+    # distinct was redundant anyway (candidates are dedup'd below)
+    grams = word_gram_rows(docs, id_col, text_col, probe_grams)
     candidates = (
         grams.join(F.broadcast(long_pats), ["_g"])
         .select(F.col("_id").alias(id_col), "pat", "_pnorm")

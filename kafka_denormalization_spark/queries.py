@@ -27,6 +27,7 @@ from kafka_denormalization_spark.engine import (
     events_table,
     parallelize_scan,
     table,
+    target_partitions,
 )
 from kafka_denormalization_spark.functions import domains as dom_fns
 from kafka_denormalization_spark.functions import multimodal as mm_fns
@@ -1327,7 +1328,7 @@ def _paired_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir)
     for k in [k for k in list(_PAIRED_SURV_MEMO) if k[0] != app_id]:
-        del _PAIRED_SURV_MEMO[k]
+        _PAIRED_SURV_MEMO.pop(k, None)
     memo = _PAIRED_SURV_MEMO.get(memo_key)
     if memo is not None:
         return memo
@@ -2606,7 +2607,7 @@ def _corpus_v3_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir, ckpt)
     for k in [k for k in list(_V3_MIXED_MEMO) if k[0] != app_id]:
-        del _V3_MIXED_MEMO[k]
+        _V3_MIXED_MEMO.pop(k, None)
     memo = _V3_MIXED_MEMO.get(memo_key)
     if memo is not None:
         return memo
@@ -2679,7 +2680,7 @@ def _corpus_v4_mixed(
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir, resolved_ckpt)
     for k in [k for k in list(_V4_STAGES_MEMO) if k[0] != app_id]:
-        del _V4_STAGES_MEMO[k]
+        _V4_STAGES_MEMO.pop(k, None)
     memo = _V4_STAGES_MEMO.get(memo_key)
     if memo is not None:
         mixed, stages = memo
@@ -4503,7 +4504,7 @@ def _paired_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir)
     for k in [k for k in list(_PAIRED_FRAME_MEMO) if k[0] != app_id]:
-        del _PAIRED_FRAME_MEMO[k]
+        _PAIRED_FRAME_MEMO.pop(k, None)
     memo = _PAIRED_FRAME_MEMO.get(memo_key)
     if memo is not None:
         return memo
@@ -4522,10 +4523,7 @@ def _paired_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and every downstream blob consumer reading this persisted frame)
     # runs at session parallelism (r12, guide §2.5 — the _blob_seed_ids
     # remedy; rows here carry text too, so the repartition is inline)
-    nparts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism,
-    )
+    nparts = target_partitions(spark)
     docs = base.select(
         "doc_id",
         F.col("text"),
@@ -4593,7 +4591,7 @@ def q_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     memo_key = (app_id, sf_dir)
     for k in [k for k in list(_PAIRED_AUDIT_MEMO) if k[0] != app_id]:
-        del _PAIRED_AUDIT_MEMO[k]
+        _PAIRED_AUDIT_MEMO.pop(k, None)
     memo = _PAIRED_AUDIT_MEMO.get(memo_key)
     if memo is not None:
         return memo
@@ -5221,11 +5219,7 @@ def _blob_seed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     id partitioning (subset rule). Partition count follows session
     conf, never a local constant."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    nparts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism,
-    )
-    return docs.repartition(nparts, "doc_id")
+    return docs.repartition(target_partitions(spark), "doc_id")
 
 
 def _audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:

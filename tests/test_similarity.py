@@ -973,7 +973,12 @@ def test_pca_driver_model_matches_sql_formulation(spark):
     import random
 
     rng = random.Random(41)
-    dim, n_iter = 8, 4
+    # ADVICE r12 #4: run the parity check at the PRODUCTION parameters
+    # (dim=64, n_iter=8) — the Decimal(repr(x)) replay of Spark's
+    # double->DECIMAL(12,9) cast is environment-dependent (JVM
+    # Double.toString shortest-repr), so the guard must exercise the
+    # deployed JVM at the width the registry queries use
+    dim, n_iter = 64, 8
     emb = spark.createDataFrame(
         [
             (i, [rng.uniform(-2, 2) for _ in range(dim)])
