@@ -52,40 +52,50 @@ def connected_components(
         .dropDuplicates(),
         checkpoint_dir,
     )
-    labels = truncate_lineage(
+
+    # The convergence fingerprint rides the truncation job itself
+    # (r13, guide §1.2): ``observe()`` metrics are collected as a side
+    # effect of the eager localCheckpoint's materialization, so each
+    # round is ONE job (cut + fingerprint) instead of two (cut, then a
+    # 1-row aggregate over the cut frame). xxhash64(node, label)
+    # summed: equal multisets always give equal sums, so a converged
+    # state is always detected; a hash-sum collision across DIFFERENT
+    # label states could stop one round early (p ~ 2^-64 per round) —
+    # accepted, unchanged from the two-job formulation. The reliable-
+    # checkpoint and Spark Connect paths keep the separate aggregate
+    # (observation delivery is only relied on for the local
+    # withAction("checkpoint") path this repo's sessions use).
+    _fp_expr = F.sum(
+        F.xxhash64(F.col("node"), F.col("label")).cast("decimal(38,0)")
+    ).alias("s")
+    use_observe = checkpoint_dir is None and hasattr(edges, "_jdf")
+
+    def _cut_with_fp(lab: DataFrame) -> tuple[DataFrame, object]:
+        if use_observe:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            cut = truncate_lineage(lab.observe(obs, _fp_expr), checkpoint_dir)
+            return cut, obs.get["s"]
+        cut = truncate_lineage(lab, checkpoint_dir)
+        return cut, cut.select(_fp_expr).first()["s"]
+
+    labels, fp = _cut_with_fp(
         sym.select(F.col("u").alias("node"))
         .dropDuplicates()
-        .withColumn("label", F.col("node")),
-        checkpoint_dir,
+        .withColumn("label", F.col("node"))
     )
-
-    def _fingerprint(lab: DataFrame) -> int:
-        # xxhash64(node, label) summed: equal multisets always give equal
-        # sums, so a converged state is always detected. A hash-sum
-        # collision across DIFFERENT label states could stop one round
-        # early (p ~ 2^-64 per round) — accepted; an exact check would
-        # cost a full join per round
-        row = lab.select(
-            F.sum(
-                F.xxhash64(F.col("node"), F.col("label")).cast("decimal(38,0)")
-            ).alias("s")
-        ).first()
-        return row["s"]
-
-    fp = _fingerprint(labels)
     for _ in range(max_iter):
         # every node tells its neighbors its label; each node keeps the
         # min of its own label and everything it heard
         msgs = sym.join(labels, sym["v"] == labels["node"]).select(
             F.col("u").alias("node"), F.col("label")
         )
-        new_labels = truncate_lineage(
+        new_labels, new_fp = _cut_with_fp(
             labels.unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label")),
-            checkpoint_dir,
+            .agg(F.min("label").alias("label"))
         )
-        new_fp = _fingerprint(new_labels)
         labels = new_labels
         if new_fp == fp:
             break

@@ -2385,9 +2385,18 @@ def _cov_with_means(
             (F.col("_s1").cast("double") / (F.col("_n") * F.lit(s1))).alias("_mu"),
         )
     )
-    from kafka_denormalization_spark.checkpoint import truncate_lineage
+    # SESSION-memoized cuts (r13): embedding_covariance, embedding_pca
+    # and embedding_debias all funnel through this helper over the same
+    # corpus plan — per-call truncation re-scanned the corpus (2 passes)
+    # once per query. One means pass + one products pass per session
+    # now serve all three; both frames are dim-bounded (dim rows /
+    # dim^2 rows), so the memo pins metadata-sized blocks only.
+    # Same-session same-data assumption: the _AUTO_CAP_MEMO block.
+    from kafka_denormalization_spark.checkpoint import (
+        truncate_lineage_session,
+    )
 
-    means = truncate_lineage(means, checkpoint_dir)
+    means = truncate_lineage_session(means, checkpoint_dir)
     mi = means.select(F.col("pos").alias("i"), F.col("_mu").alias("_mui"))
     mj = means.select(F.col("pos").alias("j"), F.col("_mu").alias("_muj"))
     cov = (
@@ -2399,6 +2408,7 @@ def _cov_with_means(
             F.round(F.col("_e2") - F.col("_mui") * F.col("_muj"), 9).alias("cov_r"),
         )
     )
+    cov = truncate_lineage_session(cov, checkpoint_dir)
     return cov, means
 
 

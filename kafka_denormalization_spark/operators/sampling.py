@@ -334,11 +334,30 @@ def _dsir_gram_rows(
     """(_id, _tgt, _g) rows: whitespace unigrams AND bigrams from ONE
     posexplode pass (bigram via window ``lead`` over token position — the
     word_gram_rows trick, shared exchange, rather than a second scan for
-    each gram order). Duplicates kept: DSIR weights are count-weighted."""
-    toks = docs.select(
+    each gram order). Duplicates kept: DSIR weights are count-weighted.
+
+    The doc-id exchange sits BELOW the explode (r13 — the r12
+    word_gram_rows rewrite, guide §2.3/§2.4): the lead window needs
+    hashpartitioning(_id) either way, so repartitioning the DOC rows
+    first shuffles whole documents instead of exploded (pos, token)
+    rows, runs the explode + per-gram md5 bucketing at full parallelism
+    instead of the scan's task count (one task on monolithic inputs),
+    and the downstream (_id, _b) count aggregation reuses the
+    partitioning (subset rule). Exchange count unchanged; partition
+    count follows session conf. Streaming frames pass through."""
+    base = docs.select(
         F.col(id_col).alias("_id"),
         flag.cast("int").alias("_tgt"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+        F.col(text_col).alias("_dsir_txt"),
+    )
+    if not base.isStreaming:
+        from kafka_denormalization_spark.engine import target_partitions
+
+        base = base.repartition(target_partitions(docs.sparkSession), "_id")
+    toks = base.select(
+        "_id",
+        "_tgt",
+        F.posexplode(F.split(F.trim(F.col("_dsir_txt")), r"\s+")).alias("_pos", "_t"),
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     # window expressions can't live inside a Generate — project the lead

@@ -1022,6 +1022,41 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_scored_docs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lang='en' bigram lm_score table over raw documents,
+    materialized once per session via the truncation memo (r13):
+    q_lm_perplexity, q_ccnet_buckets, q_curriculum_shards and
+    q_doremi_weights each re-trained the SAME interpolated bigram model
+    and re-scored every document (~1-1.6 s apiece at sf0.1). The
+    operator (text.lm_score) is unchanged; the v4 chain keeps its own
+    call (it scores text_dedup, a different input)."""
+    from kafka_denormalization_spark.checkpoint import (
+        truncate_lineage_session,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return truncate_lineage_session(
+        text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    )
+
+
+def _quality_signals_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RPv2-style quality-signal bundle, materialized once per
+    session via the truncation memo (r13): q_quality_signals,
+    q_signal_filter and q_signal_correlations each re-derived the full
+    lexical-statistics scan (~1-1.9 s apiece at sf0.1) — the RPv2
+    pattern ("signals computed once") applied to the session, not just
+    the plan."""
+    from kafka_denormalization_spark.checkpoint import (
+        truncate_lineage_session,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return truncate_lineage_session(
+        text_fns.quality_signals(docs, "doc_id", "text")
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (functions/text.py lm_score,
     Wenzek et al. 2020): per-doc mean negative log-likelihood under an
@@ -1029,8 +1064,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers, per-position ln rounds to the 9-decimal grid,
     per-doc sums fold in position order — the oracle hashes
     identically."""
-    docs = table(spark, sf_dir, "documents")
-    return text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    return _lm_scored_docs_shared(spark, sf_dir)
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,8 +1075,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = least. One scoring pass + a 1-row threshold aggregate
     broadcast; thresholds interpolate bit-identically to DuckDB's
     quantile_cont."""
-    docs = table(spark, sf_dir, "documents")
-    scored = text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    scored = _lm_scored_docs_shared(spark, sf_dir)
     return text_fns.lm_perplexity_buckets(scored)
 
 
@@ -2420,13 +2453,30 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bpe_token_counts(docs, "text", num_merges=3)
 
 
+def _bpe_counted_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document 3-merge BPE token-count table, materialized
+    once per session via the truncation memo (r13 — the
+    `_containment_pairs_shared` discipline): q_bpe_doc_tokens,
+    q_bpe_sequence_packing and q_token_fertility each re-trained the
+    SAME 3 merges and re-scored every document (~2-4 s apiece at
+    sf0.1). One build serves all three; the operator
+    (text.bpe_encode_docs) is unchanged for private callers."""
+    from kafka_denormalization_spark.checkpoint import (
+        truncate_lineage_session,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return truncate_lineage_session(
+        text_fns.bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
+    )
+
+
 def q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE encoding (functions/text.py bpe_encode_docs):
     train 3 merges on the corpus, score every document's token count
     under the learned tokenizer via the word-level vocab join — the
     real token budget the packing/sharding pipeline consumes."""
-    docs = table(spark, sf_dir, "documents")
-    return text_fns.bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
+    return _bpe_counted_shared(spark, sf_dir)
 
 
 def q_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2437,9 +2487,9 @@ def q_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_denormalization_spark.operators.chunking import pack_chunks
 
     docs = table(spark, sf_dir, "documents")
-    counted = text_fns.bpe_encode_docs(
-        docs, "doc_id", "text", num_merges=3
-    ).join(docs.select("doc_id", "source"), ["doc_id"])
+    counted = _bpe_counted_shared(spark, sf_dir).join(
+        docs.select("doc_id", "source"), ["doc_id"]
+    )
     return pack_chunks(
         counted.select("doc_id", "source", "n_bpe_tokens"),
         "source",
@@ -2458,7 +2508,7 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; ratios from exact integer sums, rounded to 6 decimals
     on both engines."""
     docs = table(spark, sf_dir, "documents")
-    counted = text_fns.bpe_encode_docs(docs, "doc_id", "text", num_merges=3)
+    counted = _bpe_counted_shared(spark, sf_dir)
     joined = counted.join(
         docs.select("doc_id", "lang", F.length("text").alias("_chars")),
         "doc_id",
@@ -2823,8 +2873,7 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         curriculum_shards,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    scored = text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    scored = _lm_scored_docs_shared(spark, sf_dir)
     return curriculum_shards(
         scored.select("doc_id", "nll_r"), "doc_id", "nll_r",
         n_shards=CURRICULUM_SHARD_N,
@@ -4922,8 +4971,7 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     table downstream filters read instead of re-deriving their own —
     word/char counts, mean word length, type-token ratio, modal-word
     fraction, stopword fraction, all on the 9-decimal grid."""
-    docs = table(spark, sf_dir, "documents")
-    return text_fns.quality_signals(docs, "doc_id", "text")
+    return _quality_signals_shared(spark, sf_dir)
 
 
 # signal-gate thresholds (C4/Gopher-flavored rules over the RPv2-style
@@ -4943,8 +4991,7 @@ def q_signal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and nonzero stopword density. Returns the surviving signal rows —
     at scale the predicate pushes into the signal table's parquet
     scan."""
-    docs = table(spark, sf_dir, "documents")
-    sig = text_fns.quality_signals(docs, "doc_id", "text")
+    sig = _quality_signals_shared(spark, sf_dir)
     return sig.filter(
         (F.col("n_words") >= SIG_MIN_WORDS)
         & (F.col("frac_unique_r") >= SIG_MIN_UNIQUE)
@@ -5047,7 +5094,7 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    scored = text_fns.lm_score(docs, "doc_id", "text", F.col("lang") == "en")
+    scored = _lm_scored_docs_shared(spark, sf_dir)
     per_doc = scored.join(
         docs.select("doc_id", "source", "n_chars"), "doc_id"
     )
@@ -5088,18 +5135,46 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Z_ROWS_PER_SHARD = 1000
 
+_Z_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _z_order_plan_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events z-order layout table, materialized once per
+    (applicationId, sf_dir) — r13, the `_containment_pairs_shared`
+    discipline: q_z_order_layout, q_z_order_stats and q_z_order_prune
+    each re-derived the identical banded-rank layout (bounds collect +
+    band window + prefix-sum join, ~2-3 s apiece at sf0.1). A dict memo
+    (not the plan-hash one) so repeat calls also skip the eager
+    dimension-bounds collect inside z_order_plan."""
+    from kafka_denormalization_spark.checkpoint import truncate_lineage
+    from kafka_denormalization_spark.operators.sharding import z_order_plan
+
+    app_id = spark.sparkContext.applicationId
+    memo_key = (app_id, sf_dir)
+    for k in [k for k in list(_Z_PLAN_MEMO) if k[0] != app_id]:
+        _Z_PLAN_MEMO.pop(k, None)
+    memo = _Z_PLAN_MEMO.get(memo_key)
+    if memo is not None:
+        return memo
+    ev = events_table(spark, sf_dir)
+    plan = truncate_lineage(
+        z_order_plan(
+            ev, "event_id", "user_id", "ts_us",
+            rows_per_shard=Z_ROWS_PER_SHARD,
+        ).select("event_id", "user_id", "ts_us", "z", "shard_id", "pos")
+    )
+    _Z_PLAN_MEMO[memo_key] = plan
+    return plan
+
 
 def q_z_order_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout (operators/sharding.py z_order_plan): events
     Morton-clustered on (user_id, ts) into 1000-row shards, so every
     shard covers a tight rectangle of both dimensions and min/max file
     stats prune point AND time predicates."""
-    from kafka_denormalization_spark.operators.sharding import z_order_plan
-
-    ev = events_table(spark, sf_dir)
-    return z_order_plan(
-        ev, "event_id", "user_id", "ts_us", rows_per_shard=Z_ROWS_PER_SHARD
-    ).select("event_id", "z", "shard_id", "pos")
+    return _z_order_plan_shared(spark, sf_dir).select(
+        "event_id", "z", "shard_id", "pos"
+    )
 
 
 def q_z_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5108,14 +5183,10 @@ def q_z_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions is the measurable deliverable of the Morton clustering
     (a hash layout's envelopes span the full domain)."""
     from kafka_denormalization_spark.operators.sharding import (
-        z_order_plan,
         z_order_stats,
     )
 
-    ev = events_table(spark, sf_dir)
-    plan = z_order_plan(
-        ev, "event_id", "user_id", "ts_us", rows_per_shard=Z_ROWS_PER_SHARD
-    )
+    plan = _z_order_plan_shared(spark, sf_dir)
     return z_order_stats(plan, "user_id", "ts_us").select(
         "shard_id",
         "n",
@@ -5173,8 +5244,7 @@ def q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/text.py signal_correlations): which signals are
     redundant vs independent — exact DECIMAL/HUGEINT integer-moment
     folds, floats only in the final sqrt/divide/round."""
-    docs = table(spark, sf_dir, "documents")
-    sig = text_fns.quality_signals(docs, "doc_id", "text")
+    sig = _quality_signals_shared(spark, sf_dir)
     return text_fns.signal_correlations(sig, QSIG_COLS)
 
 
@@ -5185,15 +5255,12 @@ def q_z_order_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the measurable payoff of the Morton clustering (a hash layout
     prunes nothing)."""
     from kafka_denormalization_spark.operators.sharding import (
-        z_order_plan,
         z_order_prune,
         z_order_stats,
     )
 
     ev = events_table(spark, sf_dir)
-    plan = z_order_plan(
-        ev, "event_id", "user_id", "ts_us", rows_per_shard=Z_ROWS_PER_SHARD
-    )
+    plan = _z_order_plan_shared(spark, sf_dir)
     stats = z_order_stats(plan, "user_id", "ts_us")
     bounds = ev.agg(
         F.min(F.col("user_id").cast("long")).alias("_amn"),
@@ -5754,68 +5821,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window rewrite, MinHash signature-stage rewrite, incremental-dedup
 # oracle NULL-symmetry) so regressions surface in the driver artifact.
 _DRIVER_HEAD = [
-    # --- r12 head (VERDICT r11 next-round #1, exactly) ---
-    # Selection rule (mechanical, from the CORRECTNESS_r0*.json union,
-    # freshness histogram at rotation time r07:6 r08:50 r09:50 r10:50
-    # r11:50):
-    # (a) ALL 6 names whose freshest driver check is r07 — past the
+    # --- r13 head ---
+    # Selection rule (mechanical, from the CORRECTNESS_r*.json union,
+    # freshness histogram at rotation time r08:10 r09:50 r10:49 r11:50
+    # r12:50):
+    # (a) ALL 10 names whose freshest driver check is r08 — past the
     #     4-round staleness bound (tests/test_entry.py
-    #     test_driver_head_rotation_policy) at round 12; this is
-    #     exactly the set the r11 verdict listed and the r11 head
-    #     comment pre-announced as round-12-mandatory;
-    # (b) 43 of the 50 names whose freshest driver check is r08 (due
-    #     at round 13 otherwise) — getting ahead of the tripwire per
-    #     VERDICT r11 #1. The 7 r08 names NOT rotated, each yielding
-    #     its slot because an included name exercises the same code
-    #     path: audio_stats (same FAKA decode + stats agg as the
-    #     included audio_fingerprint), audio_dedup (same fingerprint +
-    #     shared _sig_keep_min banding as the included
-    #     audio_fingerprint / image_phash_dedup), conv_turn_dedup
-    #     (same turn explode/keying as the included
-    #     conv_turn_near_dedup), embedding_centroid and
-    #     embedding_debias (same fixed-point embedding aggregation as
-    #     the included embedding_covariance / embedding_pca),
-    #     grouping_sets (same multi-grouping SQL shape as the included
-    #     rollup_timeseries / stats_agg), near_dedup_docs (same
-    #     session-memoized _lsh_pairs_shared pair table as the
-    #     included minhash_lsh_dedup / near_dup_clusters),
-    #     semantic_dedup and cosine_dedup (same cosine-pair machinery
-    #     as the included semantic_contamination — one representative
-    #     for the three-name cosine family), z_order_stats (same
-    #     z-order interleave + layout as the included z_order_layout /
-    #     z_order_prune) — the last three yielded their slots to the
-    #     round-12 additions multimodal_to_shards, multimodal_funnel,
-    #     and multimodal_attribution (never driver-checked names MUST
-    #     sit in the current head). All ten are FIRST in line for the
-    #     round-13 head alongside the rest of the r08 cohort;
-    # (c) pref_pair_dedup (fresh r10, not yet due) rotated in early
-    #     because THIS round's signature/bucket session memo (VERDICT
-    #     r11 #2, similarity.py minhash_lsh_pairs_session +
-    #     checkpoint.py truncate_lineage_session) rewrites its hot
-    #     path — changed code paths sit in the head.
-    # (a) r07-stale, alphabetical — mandatory
-    "cluster_source_mix", "cross_source_dups", "shard_plan_bytes",
-    "soft_dedup_sample", "unimax_shards", "zipf_fit_head",
-    # (b) r08-stale, alphabetical
-    "audio_fingerprint", "conv_pair_contamination",
-    "conv_pii_scrub", "conv_stats", "conv_turn_near_dedup",
-    "copurchase_pagerank", "doc_chunks",
-    "embedding_covariance", "embedding_pca", "funnel_counts",
-    "fuzzy_name_pairs", "image_phash_dedup", "lang_id",
-    "local_supplier_volume", "minhash_lsh_dedup",
-    "multimodal_metadata", "near_dup_clusters", "paired_dedup",
-    "pareto_front", "pivot_event_counts", "profile_orders",
-    "quality_checks", "quality_filter", "range_join",
-    "rank_distribution", "rollup_timeseries", "scd2_as_of",
-    "semantic_contamination", "sequence_packing",
-    "session_window", "set_ops", "shipping_priority", "stats_agg",
-    "stratified_sample", "substring_dedup", "text_stats",
-    "two_hop_denorm", "v4_funnel", "z_order_layout", "z_order_prune",
+    #     test_driver_head_rotation_policy) at round 13; exactly the
+    #     set the r12 head comment pre-announced as round-13-mandatory;
+    # (b) 36 of the 50 r09-fresh names (due at round 14 otherwise) —
+    #     getting ahead of the tripwire, VERDICT r11 #1 precedent.
+    #     The 14 r09 names NOT rotated each yield their slot because an
+    #     included name exercises the same code path, and all 14 are
+    #     FIRST in line (mandatory) for the round-14 head:
+    #     bm25_search (same Okapi scoring kernel as the included
+    #     bm25_batch), copurchase_degree (same _copurchase_edges
+    #     self-join as the included copurchase_pagerank — the changed
+    #     path), and 12 TPC-H micro-shapes (big_orders,
+    #     customer_distribution, disjunctive_revenue, exists_late_ship,
+    #     forecast_revenue, idle_rich_customers, late_shipment_priority,
+    #     min_cost_per_part, promo_revenue, small_qty_revenue,
+    #     top_supplier, volume_shipping) whose single-join/agg/window
+    #     physics the included nation_year_revenue / returned_items /
+    #     moving_average cover;
+    # (c) 4 names rotated in early because THIS round rewrites their
+    #     hot path (changed code paths sit in the head):
+    #     copurchase_pagerank (pagerank degree-join hoist + lazy ranks
+    #     init), contamination_scan_join (filter-before-dedup gram
+    #     probe), z_order_layout / z_order_prune (shared session-
+    #     memoized layout table; z_order_stats is in (a)).
+    # (a) r08-stale, alphabetical — mandatory
+    "audio_dedup", "audio_stats", "conv_turn_dedup", "cosine_dedup",
+    "embedding_centroid", "embedding_debias", "grouping_sets",
+    "near_dedup_docs", "semantic_dedup", "z_order_stats",
+    # (b) r09 cohort, alphabetical
+    "ann_int8_topk", "bm25_batch", "bpe_merges", "bpe_token_counts",
+    "cluster_dedup_best", "containment_dedup", "conv_dedup",
+    "corpus_pipeline_v2", "corpus_pipeline_v3", "corpus_report",
+    "corpus_to_shards", "dsir_sample", "dsir_weights", "epoch_mixture",
+    "gram_novelty", "incremental_dedup", "incremental_near_dedup",
+    "kmeans_clusters", "leakage_safe_split", "lm_perplexity",
+    "moving_average", "nation_year_revenue", "oov_rate",
+    "packing_stats", "paired_retention", "percentile_profile",
+    "pii_scrub", "quantize_embeddings", "returned_items",
+    "rolling_zscore", "scd2_intervals", "shard_plan", "shard_stats",
+    "span_dedup", "temperature_sample", "user_journeys",
     # (c) changed-code-path early rotation
-    "pref_pair_dedup",
-    # (d) round-12 additions (never driver-checked)
-    "multimodal_to_shards", "multimodal_funnel",
-    "multimodal_attribution",
+    "copurchase_pagerank", "contamination_scan_join",
+    "z_order_layout", "z_order_prune",
 ]
 assert len(_DRIVER_HEAD) == 50, len(_DRIVER_HEAD)
 assert set(_DRIVER_HEAD) <= set(QUERIES), set(_DRIVER_HEAD) - set(QUERIES)
